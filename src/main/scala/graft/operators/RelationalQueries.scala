@@ -1,0 +1,451 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Layer-2 relational operator surface (SURVEY.md §2B): scans, projection/
+  * filter, the full join family, aggregations (incl. rollup/cube/grouping
+  * sets), window functions, sort/top-k and set operations — all pure
+  * DataFrame API so Catalyst supplies pushdown, pruning, join selection, AQE
+  * and whole-stage codegen.
+  *
+  * The reference (jsam/shardpack) has no relational operators at all — its
+  * closest analogues are keyed lookup (`/root/reference/src/bucket.rs:147-169`)
+  * and the spec's multi-shard key-aligned join convention
+  * (`/root/reference/docs/draft.md:201-211`); this module supplies the query
+  * surface the north star requires over those tables.
+  *
+  * Determinism: every query ends in a total ORDER BY; money arithmetic runs in
+  * exact DECIMAL space (see [[graft.Tables.dsum]]) so Spark and DuckDB agree
+  * bit-for-bit on DOUBLE outputs regardless of aggregation order.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** DECIMAL(10,2) image for multi-factor products — keeps the widest product
+    * chain (price × (1-disc) × (1+tax)) within DECIMAL(38) in BOTH engines so
+    * neither ever rounds.
+    */
+  private def dec10(c: Column): Column = c.cast(DecimalType(10, 2))
+  private val one10 = lit(1).cast(DecimalType(10, 2))
+
+  val queries: Seq[Q] = Seq(
+
+    // ───────────────────────── scans ─────────────────────────
+    Q("scan_parquet",
+      """SELECT count(*) AS cnt, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("cnt"),
+        sum($"l_orderkey").cast(LongType).as("sum_okey"),
+        min($"l_orderkey").as("min_okey"),
+        max($"l_orderkey").as("max_okey"),
+        countDistinct($"l_orderkey").as("n_orders"))
+    },
+
+    // ─────────────────── projection / filter ───────────────────
+    // TPC-H Q6-shaped: one scan, conjunctive predicate, one aggregate.
+    // Predicate + column pruning reach the parquet scan (PushedFilters).
+    Q("project_filter",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |                CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          sum(dec10($"l_extendedprice") * dec10($"l_discount"))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // Keyed point lookup — the reference's `Bucket::read(key)`
+    // (/root/reference/src/bucket.rs:147-169) re-expressed as a pushed-down
+    // key-equality scan.
+    Q("point_lookup",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey = 100""".stripMargin) { (s, d) =>
+      orders(s, d).filter($"o_orderkey" === 100)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+    },
+
+    // ───────────────────────── joins ─────────────────────────
+    Q("join_inner",
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).join(customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_totalprice", $"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    },
+
+    // TPC-H Q5-shaped 5-way join; dims broadcast automatically, big fact
+    // join shuffles on the key. Revenue per nation for ASIA, 1997.
+    Q("join_multiway",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(nation(s, d), $"c_nationkey" === $"n_nationkey")
+        .join(region(s, d), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA" &&
+          $"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+        .groupBy($"n_name")
+        .agg(
+          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"n_name")
+    },
+
+    Q("join_left",
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("total_spend"))
+        .orderBy($"c_custkey")
+    },
+
+    Q("join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    Q("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // Explicit broadcast hint on the dimension — at 100 TB the fact side
+    // never shuffles for this join.
+    Q("join_broadcast",
+      """SELECT n_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_acctbal"))
+        .orderBy($"n_name")
+    },
+
+    // Non-equi band join: successor events within 5 minutes, same user.
+    // Equi part (user_id) keeps it a hash join; the range is a residual
+    // predicate — no quadratic blowup at scale.
+    Q("join_theta_range",
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val a = e.select($"user_id", $"event_id".as("a_id"), $"ts".as("a_ts"))
+      val b = e.select($"user_id".as("b_user"), $"event_id".as("b_id"), $"ts".as("b_ts"))
+      a.join(b, $"user_id" === $"b_user" && $"b_ts" > $"a_ts" &&
+          $"b_ts" <= $"a_ts" + expr("INTERVAL 5 MINUTES"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    },
+
+    // As-of join: for each purchase, the latest click by the same user at or
+    // before it. Implemented scalably as a single sorted pass (union + running
+    // last_value with IGNORE NULLS) — no pairwise join, one shuffle on
+    // user_id. (/root/reference/docs/draft.md:201-211 is the reference's only
+    // join-like concept; as-of is the north-star extension.)
+    Q("join_asof",
+      """SELECT event_id, user_id, matched_click FROM (
+        |  SELECT event_id, user_id, is_p,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_click
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |    FROM events WHERE event_type IN ('click', 'purchase')) u
+        |) WHERE is_p = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "click", $"event_id").as("click_id"),
+          when($"event_type" === "purchase", lit(1)).otherwise(0).as("is_p"))
+        .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"is_p" === 1)
+        .select($"event_id", $"user_id", $"matched_click")
+        .orderBy($"event_id")
+    },
+
+    // ───────────────────── aggregations ─────────────────────
+    // TPC-H Q1-shaped: partial (map-side) agg + final agg over 2 shuffle keys.
+    Q("agg_group",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) *
+        |          (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")) *
+              (one10 + dec10($"l_tax"))).cast(DoubleType).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    Q("agg_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
+    // HLL++ sketch — no exact oracle; driver does the rows-only check.
+    Q.noOracle("agg_approx_distinct") { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .orderBy($"l_returnflag")
+    },
+
+    Q("agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping($"l_returnflag").cast(IntegerType).as("g_rf"),
+          grouping($"l_linestatus").cast(IntegerType).as("g_ls"))
+        .select($"l_returnflag", $"l_linestatus", $"g_rf", $"g_ls", $"sum_qty", $"cnt")
+        .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+    },
+
+    Q("agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).cube($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_extendedprice").as("sum_price"), count(lit(1)).as("cnt"),
+          grouping($"l_returnflag").cast(IntegerType).as("g_rf"),
+          grouping($"l_linestatus").cast(IntegerType).as("g_ls"))
+        .select($"l_returnflag", $"l_linestatus", $"g_rf", $"g_ls", $"sum_price", $"cnt")
+        .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+    },
+
+    Q("agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty[Column]),
+          $"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping($"l_returnflag").cast(IntegerType).as("g_rf"),
+          grouping($"l_linestatus").cast(IntegerType).as("g_ls"))
+        .select($"l_returnflag", $"l_linestatus", $"g_rf", $"g_ls", $"sum_qty", $"cnt")
+        .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+    },
+
+    // ──────────────────── window functions ────────────────────
+    Q("win_rank",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      val wv = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)
+      val wr = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d).select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+          rank().over(wv).as("rnk"),
+          dense_rank().over(wv).as("drnk"),
+          row_number().over(wr).as("rn"))
+        .orderBy($"o_orderpriority", $"rn")
+    },
+
+    Q("win_lag_lead",
+      """SELECT event_id, user_id, value,
+        |  lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val,
+        |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_val,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d).select($"event_id", $"user_id", $"value",
+          lag($"value", 1).over(w).as("prev_val"),
+          lead($"value", 1).over(w).as("next_val"),
+          lag($"event_type", 1).over(w).as("prev_type"))
+        .orderBy($"event_id")
+    },
+
+    Q("win_running_sum",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).select($"event_id", $"user_id",
+          count(lit(1)).over(w).cast(LongType).as("run_cnt"),
+          sum(dec($"value")).over(w).cast(DoubleType).as("run_sum"))
+        .orderBy($"event_id")
+    },
+
+    Q("win_topk_per_group",
+      """SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d)
+        .select($"o_custkey".as("c_custkey"), $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 3)
+        .orderBy($"c_custkey", $"rn")
+    },
+
+    // ─────────────────── sort / limit / top-k ───────────────────
+    // Spark plans TakeOrderedAndProject: per-partition top-N, no full sort.
+    Q("sort_limit",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      orders(s, d).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(100)
+    },
+
+    Q("topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin) { (s, d) =>
+      lineitem(s, d).select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber").limit(10)
+    },
+
+    // ───────────────────── set operations ─────────────────────
+    Q("set_union",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+        .union(customer(s, d).filter($"c_acctbal" < 1000).select($"c_custkey".as("k")))
+        .distinct()
+        .orderBy($"k")
+    },
+
+    Q("set_union_all",
+      """SELECT src, k, count(*) AS cnt FROM (
+        |  SELECT 'f' AS src, o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'c' AS src, c_custkey AS k FROM customer WHERE c_acctbal < 1000)
+        |GROUP BY src, k ORDER BY src, k""".stripMargin) { (s, d) =>
+      orders(s, d).filter($"o_orderstatus" === "F")
+        .select(lit("f").as("src"), $"o_custkey".as("k"))
+        .unionAll(customer(s, d).filter($"c_acctbal" < 1000)
+          .select(lit("c").as("src"), $"c_custkey".as("k")))
+        .groupBy($"src", $"k").agg(count(lit(1)).as("cnt"))
+        .orderBy($"src", $"k")
+    },
+
+    Q("set_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey".as("k")))
+        .orderBy($"k")
+    },
+
+    Q("set_except",
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      customer(s, d).select($"c_custkey".as("k"))
+        .except(orders(s, d).select($"o_custkey".as("k")))
+        .orderBy($"k")
+    }
+  )
+
+  // $"…" sugar without a SparkSession-bound `implicits` import.
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
