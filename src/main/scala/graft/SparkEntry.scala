@@ -13,7 +13,10 @@ object SparkEntry {
 
   /** All declared queries, in registry order. */
   def all: Seq[Q] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++
+      operators.ScalarFnQueries.queries ++
+      operators.StreamShapeQueries.queries ++
+      llm.LlmQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

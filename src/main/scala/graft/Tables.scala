@@ -32,7 +32,8 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         // ns since epoch → µs truncation (all test data is post-1970).
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+        // Integer `div`, NOT `/`: double division loses precision at e18.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

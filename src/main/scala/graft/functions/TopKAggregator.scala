@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** Typed `Aggregator` keeping the K largest doubles per group (descending).
+  * Demonstrates the custom-UDAF extension point (SURVEY.md §2B "UDF
+  * surface"); the buffer is a bounded sorted list, so partial aggregation is
+  * map-side combinable and the result is order-insensitive (associative,
+  * commutative merge) — safe under any shuffle partitioning.
+  */
+class TopKAggregator(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  override def zero: Seq[Double] = Seq.empty
+
+  override def reduce(buf: Seq[Double], a: Double): Seq[Double] =
+    insert(buf, a)
+
+  override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] =
+    y.foldLeft(x)(insert)
+
+  override def finish(r: Seq[Double]): Seq[Double] = r
+
+  private def insert(buf: Seq[Double], a: Double): Seq[Double] = {
+    val withA = (buf :+ a).sorted(Ordering[Double].reverse)
+    if (withA.size > k) withA.take(k) else withA
+  }
+
+  override def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector (embedding) column helpers over `ARRAY<FLOAT>`, built entirely from
+  * Spark higher-order functions (`transform`/`zip_with`/`aggregate`) so they
+  * stay inside whole-stage codegen — no UDFs in the hot path.
+  *
+  * Two families:
+  *   - `quant*`: fixed-point (1e-7) integer arithmetic. Integer sums are
+  *     associative, so results are bit-identical across any partitioning /
+  *     aggregation order AND across engines — these back the oracle-hashed
+  *     similarity queries.
+  *   - `dot`/`norm2`/`cosine`: plain double arithmetic (sequential fold) for
+  *     internal use (ANN, clustering) where cross-engine hashing isn't needed.
+  */
+object VectorFns {
+
+  /** Fixed-point image: floor(x * 1e7) per element. floor (unlike round) has
+    * no half-way ambiguity, so Spark and DuckDB agree on every element.
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared L2 norm of a quantized vector. */
+  def qnorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic cosine from quantized inputs; fixed op sequence
+    * `dot / (sqrt(n_a) * sqrt(n_b))` matches the oracle SQL exactly.
+    */
+  def qcosine(qa: Column, qb: Column): Column =
+    qdot(qa, qb).cast(DoubleType) /
+      (sqrt(qnorm2(qa).cast(DoubleType)) * sqrt(qnorm2(qb).cast(DoubleType)))
+
+  /** Double-precision dot product (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** DuckDB SQL fragment mirroring [[quantize]] for oracle queries. */
+  def sqlQuantize(col: String): String =
+    s"[CAST(floor(x*1e7) AS BIGINT) FOR x IN $col]"
+
+  /** DuckDB SQL fragment: exact integer dot of two quantized list columns. */
+  def sqlQdot(a: String, b: String): String =
+    s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) AS BIGINT)"
+
+  /** DuckDB SQL fragment: exact integer squared norm. */
+  def sqlQnorm2(a: String): String =
+    s"CAST(list_sum([x*x FOR x IN $a]) AS BIGINT)"
+}

@@ -1,0 +1,313 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (north star in
+  * /root/repo/BASELINE.json): deduplication (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search (brute-force top-k +
+  * LSH-bucketed ANN), text analysis (stats, token counts, language ID,
+  * fingerprinting) and multimodal binary-column handling.
+  *
+  * The reference's own dedup primitive is the per-record SHA-256 checksum
+  * (`/root/reference/src/checksum.rs:15-19`); everything beyond that is the
+  * north-star extension surface, designed so each stage is one shuffle:
+  * dedup_exact groups on a hash, MinHash/LSH group on (band, bandhash),
+  * ANN groups on LSH bucket — all key-partitionable at 100 TB.
+  *
+  * Determinism: similarity math uses fixed-point integer arithmetic
+  * ([[graft.functions.VectorFns]]) so sums are associative and hash-identical
+  * across engines; hash families are seeded (xxhash64, fixed seed) so MinHash
+  * and SimHash signatures are reproducible run-to-run.
+  */
+object LlmQueries {
+  import Tables._
+  import VectorFns._
+
+  /** Exact-dedup cap for the O(docs²)-flavored demo queries (pairwise
+    * near-dup over a bounded sample); the unbounded implementations are the
+    * LSH-bucketed ones.
+    */
+  private val SampleDocs = 300
+  private val SampleVecs = 30
+
+  val queries: Seq[Q] = Seq(
+
+    // ───────────────────── deduplication ─────────────────────
+    Q("dedup_exact",
+      """SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .groupBy(sha2($"text", 256).as("h"))
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+        .orderBy($"h")
+    },
+
+    // Exact token-set (1-gram) Jaccard near-dup pairs over a bounded sample;
+    // inter/union counted via an inverted-index join on token — the same
+    // shape scales out by sharding on token.
+    Q("dedup_ngram_jaccard",
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE doc_id < $SampleDocs)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, inter,
+         |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+         |FROM pair
+         |JOIN cnt ca ON ca.doc_id = a_id
+         |JOIN cnt cb ON cb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val tok = documents(s, d).filter($"doc_id" < SampleDocs)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pair = tok.as("a").join(tok.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast(DoubleType) /
+        (col("ca.n") + col("cb.n") - col("inter"))
+      pair
+        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
+        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
+        .filter(jac >= 0.8)
+        .select($"a_id", $"b_id", $"inter", jac.as("jac"))
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Candidate pairs
+    // come only from shared (band, bandhash) buckets — one shuffle on the
+    // bucket key, never all-pairs. Seeded xxhash64 family → reproducible.
+    // Signature agreement ≥ 16/32 ≈ Jaccard ≥ 0.5. Rows-only check (the
+    // hash family is not expressible in DuckDB); property-tested in
+    // MinHashSpec.
+    Q.noOracle("dedup_minhash") { (s, d) =>
+      val numHashes = 32
+      val bands = 8
+      val rows = numHashes / bands
+      val tok = documents(s, d)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      val sigCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), $"w")).as(s"h$i"))
+      val sig = tok.groupBy($"doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val banded = sig.select($"doc_id", $"sig",
+          posexplode(array((0 until bands).map(b =>
+            xxhash64((lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r))): _*)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand
+        .withColumn("est_jac",
+          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+        .filter($"est_jac" >= 0.5)
+        .select($"a_id", $"b_id", $"est_jac")
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // 64-bit SimHash over tokens; near-dup = hamming distance ≤ 8 over a
+    // bounded sample. Pure SQL-lambda arithmetic (no UDF). Rows-only check.
+    Q.noOracle("dedup_simhash") { (s, d) =>
+      val simhash = expr(
+        """aggregate(
+          |  transform(sequence(0, 63), j ->
+          |    if(aggregate(split(text, ' '), CAST(0 AS BIGINT),
+          |         (acc, w) -> acc + if(((xxhash64(w) >> j) & 1) = 1,
+          |                              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+      val sh = documents(s, d).filter($"doc_id" < SampleDocs)
+        .select($"doc_id", simhash.as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        .filter($"hamming" <= 8)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // Embedding near-dup pairs: fixed-point cosine ≥ 0.5 between a bounded
+    // sample and the full table (quantized ⇒ hash-exact vs oracle).
+    Q("dedup_embedding_cosine",
+      s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${sqlQnorm2("v")} AS n2 FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(${sqlQdot("a.v", "b.v")} AS DOUBLE) /
+         |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.vec_id < $SampleVecs
+         |WHERE CAST(${sqlQdot("a.v", "b.v")} AS DOUBLE) /
+         |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("v"))
+        .withColumn("n2", qnorm2($"v"))
+      val cos = qdot(col("a.v"), col("b.v")).cast(DoubleType) /
+        (sqrt(col("a.n2").cast(DoubleType)) * sqrt(col("b.n2").cast(DoubleType)))
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < SampleVecs)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), cos.as("cos"))
+        .filter($"cos" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ─────────────────── similarity search ───────────────────
+    // Brute-force cosine top-k against a fixed query vector (vec_id=1),
+    // broadcast to every partition — the exact baseline.
+    Q("sim_topk",
+      s"""WITH qv AS (SELECT ${sqlQuantize("embedding")} AS q FROM embeddings WHERE vec_id = 1),
+         |e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings)
+         |SELECT vec_id, label,
+         |  CAST(${sqlQdot("e.v", "qv.q")} AS DOUBLE) /
+         |    (sqrt(CAST(${sqlQnorm2("e.v")} AS DOUBLE)) *
+         |     sqrt(CAST(${sqlQnorm2("qv.q")} AS DOUBLE))) AS cos
+         |FROM e, qv
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select($"vec_id", $"label", quantize($"embedding").as("v"))
+      val qv = embeddings(s, d).filter($"vec_id" === 1)
+        .select(quantize($"embedding").as("q"))
+      e.crossJoin(broadcast(qv))
+        .select($"vec_id", $"label",
+          (qdot($"v", $"q").cast(DoubleType) /
+            (sqrt(qnorm2($"v").cast(DoubleType)) *
+              sqrt(qnorm2($"q").cast(DoubleType)))).as("cos"))
+        .orderBy($"cos".desc, $"vec_id")
+        .limit(10)
+    },
+
+    // LSH-bucketed ANN: 12 seeded random-hyperplane sign bits (coefficients
+    // ±1 from xxhash64(plane, dim)) → bucket id; search only the query's
+    // bucket. The scale path: bucketing is one shuffle, each bucket scanned
+    // independently. Rows-only check; recall property-tested in AnnSpec.
+    Q.noOracle("sim_ann_lsh") { (s, d) =>
+      val planes = 12
+      def sig(v: Column): Column =
+        aggregate(
+          zip_with(v, sequence(lit(0), lit(63)), (x, i) => struct(x.as("x"), i.as("i"))),
+          array((0 until planes).map(_ => lit(0.0)): _*),
+          (acc, p) =>
+            transform(acc, (a, pl) =>
+              a + when(pmod(xxhash64(pl, p.getField("i")), lit(2)) === 0, p.getField("x").cast(DoubleType))
+                .otherwise(-p.getField("x").cast(DoubleType))))
+      def bucket(sg: Column): Column =
+        aggregate(sg, lit(0L),
+          (acc, x) => acc * 2 + when(x > 0, lit(1L)).otherwise(lit(0L)))
+      val e = embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding", bucket(sig($"embedding")).as("bkt"))
+      val q = e.filter($"vec_id" === 1)
+        .select($"embedding".as("qe"), $"bkt".as("qbkt"))
+      e.join(broadcast(q), $"bkt" === $"qbkt")
+        .select($"vec_id", $"label", $"bkt",
+          (qdot(quantize($"embedding"), quantize($"qe")).cast(DoubleType) /
+            (sqrt(qnorm2(quantize($"embedding")).cast(DoubleType)) *
+              sqrt(qnorm2(quantize($"qe")).cast(DoubleType)))).as("cos"))
+        .orderBy($"cos".desc, $"vec_id")
+        .limit(10)
+    },
+
+    // ───────────────────── text analysis ─────────────────────
+    Q("text_stats",
+      """SELECT lang, count(*) AS docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(SUM(length(text)) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(length($"text")).cast(LongType).as("sum_chars"),
+          sum(size(split($"text", " "))).cast(LongType).as("sum_words"),
+          sum(when($"n_chars" >= 200, 1).otherwise(0)).cast(LongType).as("n_long"),
+          (sum(length($"text")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy($"lang")
+    },
+
+    // Whitespace + regex ("BPE-ish" alpha runs) token counts and a quality
+    // ratio per document.
+    Q("token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS INT) AS n_nonspace_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS density
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select($"doc_id",
+          size(split($"text", " ")).as("n_ws_tokens"),
+          size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("n_alpha_tokens"),
+          length(regexp_replace($"text", " ", "")).as("n_nonspace_chars"),
+          (length(regexp_replace($"text", " ", "")).cast(DoubleType) / length($"text"))
+            .as("density"))
+        .orderBy($"doc_id")
+    },
+
+    // N-gram-heuristic language ID: stopword-lexicon vote, deterministic.
+    // Rows-only (the lexicon scoring has no DuckDB mirror); accuracy
+    // characteristics property-tested in TextSpec.
+    Q.noOracle("lang_id") { (s, d) =>
+      val lexicons = Map(
+        "en" -> Seq("the", "a", "of", "and", "to"),
+        "es" -> Seq("el", "la", "de", "y", "que"),
+        "fr" -> Seq("le", "la", "de", "et", "un"),
+        "de" -> Seq("der", "die", "das", "und", "ist"))
+      val words = split($"text", " ")
+      def score(stops: Seq[String]): Column =
+        aggregate(words, lit(0),
+          (acc, w) => acc + when(w.isin(stops: _*), 1).otherwise(0))
+      val scored = lexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
+        struct(score(stops).as("score"), lit(l).as("lang"))
+      }
+      documents(s, d)
+        .select($"doc_id", $"lang",
+          greatest(scored: _*).getField("lang").as("pred_lang"),
+          greatest(scored: _*).getField("score").as("pred_score"))
+        .withColumn("pred_lang",
+          when($"pred_score" > 0, $"pred_lang").otherwise(lit("unk")))
+        .select($"doc_id", $"lang", $"pred_lang", $"pred_score")
+        .orderBy($"doc_id")
+    },
+
+    // Rolling polynomial fingerprint over the token stream (mod 2^31-1,
+    // xxhash64-seeded) — order-sensitive, unlike the set-based dedup hashes.
+    // Rows-only; algebra property-tested in TextSpec.
+    Q.noOracle("doc_fingerprint") { (s, d) =>
+      documents(s, d).select($"doc_id",
+          expr(
+            """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+              |  (acc, w) -> (acc * 31 + pmod(xxhash64(w), CAST(1000000007 AS BIGINT)))
+              |              % CAST(2147483647 AS BIGINT))""".stripMargin).as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+
+    // ─────────────────── multimodal columns ───────────────────
+    // Text payload as an opaque binary column with typed metadata — the
+    // reference's FileEntry model (file_name/content_type/data,
+    // /root/reference/docs/draft.md:84-94) carried through a relational
+    // pipeline. Decode/feature-extraction stubs live in graft.llm.Multimodal.
+    Q("multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  sha256(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select($"doc_id",
+          octet_length($"text".cast(BinaryType)).as("n_bytes"),
+          sha2($"text".cast(BinaryType), 256).as("content_hash"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -146,12 +146,16 @@ object RelationalQueries {
         .select($"c_custkey", $"c_name").orderBy($"c_custkey")
     },
 
+    // Anti join against the F-status slice so the result is non-trivial
+    // (every customer has *some* order in the test data).
     Q("join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       customer(s, d)
-        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(orders(s, d).filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name").orderBy($"c_custkey")
     },
 
@@ -436,10 +440,11 @@ object RelationalQueries {
     Q("set_except",
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
-        |SELECT o_custkey FROM orders
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin) { (s, d) =>
       customer(s, d).select($"c_custkey".as("k"))
-        .except(orders(s, d).select($"o_custkey".as("k")))
+        .except(orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("k")))
         .orderBy($"k")
     }
   )

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-expression surface (SURVEY.md §2B "Scalar fns" + "UDF surface"):
+  * string / date / math / array / JSON functions and one Scala UDF, every
+  * query mirrored by DuckDB SQL. All built-in `functions._` (codegen'd); the
+  * UDF demonstrates the extension point only.
+  *
+  * The reference stores payloads as untyped bytes with MIME content types and
+  * leaves decoding to the reader (`/root/reference/docs/draft.md:154-165`);
+  * this module is the decode/compute layer over those payloads once typed.
+  *
+  * Cross-engine type notes: DuckDB year()/length()/len() return BIGINT where
+  * Spark returns INT, and DuckDB ceil/floor keep DOUBLE where Spark returns
+  * LONG — the oracle SQL casts to Spark's type. DuckDB dayofweek is 0-based
+  * (Sunday=0); Spark is 1-based.
+  */
+object ScalarFnQueries {
+  import Tables._
+
+  val queries: Seq[Q] = Seq(
+
+    Q("fn_string",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  substr(p_name, 1, 4) AS pre4,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  p_name LIKE '%wid%' AS has_wid,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word_re,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  lpad(p_brand, 10, '*') AS brand_pad,
+        |  replace(p_name, ' ', '_') AS snake
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select($"p_partkey",
+          upper($"p_name").as("up_name"),
+          substring($"p_name", 1, 4).as("pre4"),
+          length($"p_name").as("len"),
+          concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+          $"p_name".like("%wid%").as("has_wid"),
+          regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word_re"),
+          element_at(split($"p_name", " "), 1).as("first_word"),
+          lpad($"p_brand", 10, "*").as("brand_pad"),
+          regexp_replace($"p_name", " ", "_").as("snake"))
+        .orderBy($"p_partkey")
+    },
+
+    Q("fn_date",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).select($"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          quarter($"o_orderdate").as("q"),
+          dayofweek($"o_orderdate").as("dow"),
+          date_trunc("month", $"o_orderdate").cast(DateType).as("month_start"),
+          datediff($"o_orderdate".cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"),
+          date_add($"o_orderdate".cast(DateType), 30).as("plus30"),
+          last_day($"o_orderdate").as("month_end"))
+        .orderBy($"o_orderkey")
+    },
+
+    Q("fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(abs(CAST(l_tax AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS tax_disc_gap,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  l_orderkey % 7 AS mod7,
+        |  l_extendedprice * l_quantity AS prod,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+          abs(dec($"l_tax", 2).cast(DecimalType(10, 2)) -
+            dec($"l_discount", 2).cast(DecimalType(10, 2))).cast(DoubleType).as("tax_disc_gap"),
+          ceil($"l_extendedprice").as("price_ceil"),
+          floor($"l_extendedprice").as("price_floor"),
+          sqrt($"l_extendedprice").as("price_sqrt"),
+          ($"l_orderkey" % 7).as("mod7"),
+          ($"l_extendedprice" * $"l_quantity").as("prod"),
+          greatest($"l_tax", $"l_discount").as("max_rate"),
+          least($"l_tax", $"l_discount").as("min_rate"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    Q("fn_array",
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e1,
+        |  CAST(embedding[64] AS DOUBLE) AS e64,
+        |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |    + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      def e(i: Int): Column = element_at($"embedding", i).cast(DoubleType)
+      embeddings(s, d).select($"vec_id", $"label",
+          size($"embedding").as("dim"),
+          e(1).as("e1"),
+          e(64).as("e64"),
+          (e(1) + e(2) + e(3) + e(4)).as("head4_sum"))
+        .orderBy($"vec_id")
+    },
+
+    // Generator (explode) over tokenized text: word frequencies.
+    Q("fn_explode",
+      """SELECT w, count(*) AS n, count(DISTINCT doc_id) AS docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"w")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("docs"))
+        .orderBy($"w")
+    },
+
+    Q("fn_map_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select($"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast(IntegerType).as("k"),
+          from_json($"props", StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").multiply(2).as("k2"))
+        .orderBy($"event_id")
+    },
+
+    // Scala UDF extension point (deliberately SQL-expressible so the oracle
+    // can check it; perf-critical paths use built-ins or Expressions).
+    Q("fn_udf",
+      """SELECT c_custkey, reverse(upper(c_name)) AS rev_name
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val revUpper = udf((x: String) => if (x == null) null else x.reverse.toUpperCase)
+      customer(s, d)
+        .select($"c_custkey", revUpper($"c_name").as("rev_name"))
+        .orderBy($"c_custkey")
+    },
+
+    // Custom typed Aggregator (UDAF): top-3 order totals per priority class.
+    Q("agg_topk_udaf",
+      """SELECT o_orderpriority,
+        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3_prices
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val top3 = udaf(new graft.functions.TopKAggregator(3))
+      orders(s, d).groupBy($"o_orderpriority")
+        .agg(top3($"o_totalprice").as("top3_prices"))
+        .orderBy($"o_orderpriority")
+    }
+  )
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
