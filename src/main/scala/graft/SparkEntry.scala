@@ -16,6 +16,7 @@ object SparkEntry {
     operators.RelationalQueries.queries ++
       operators.ScalarFnQueries.queries ++
       operators.StreamShapeQueries.queries ++
+      sources.ShardpackQueries.queries ++
       llm.LlmQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Layer-1 surface queries: the shardpack format exercised end-to-end
+  * through the public `format("shardpack")` API. Each run packs the
+  * `documents` table into shardpack files (one entry per record, JSON
+  * metadata), reads them back, and answers from the round-tripped data —
+  * so the DuckDB oracle (which reads the original parquet) is a true
+  * write→read identity check.
+  *
+  * Mirrors the reference's own surface: keyed write
+  * (`/root/reference/src/bucket.rs:91-145`), full-scan read, keyed lookup
+  * (`src/bucket.rs:147-169`) and metadata access (`src/bucket.rs:185-188`).
+  */
+object ShardpackQueries {
+  import Tables._
+
+  private val written = scala.collection.mutable.Set.empty[String]
+
+  /** Pack `documents` into shardpack files once per (JVM, sfDir). */
+  def roundtripDir(s: SparkSession, d: String): String = synchronized {
+    val dir = s"/tmp/graft-shardpack/${d.replaceAll("[^A-Za-z0-9.]", "_")}/documents"
+    if (!written.contains(dir)) {
+      documents(s, d)
+        .select(
+          concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0")).as("key"),
+          to_json(struct($"lang", $"source")).cast(BinaryType).as("metadata"),
+          array(struct(
+            lit("text.txt").as("file_name"),
+            lit("text/plain").as("content_type"),
+            lit("").as("encoding"), // writer default codec
+            $"text".cast(BinaryType).as("data"))).as("entries"))
+        .write.format("shardpack")
+        .option("compression", "lz4")
+        .option("shardMetadata", s"""{"source_table":"documents"}""")
+        .mode("overwrite")
+        .save(dir)
+      written += dir
+    }
+    dir
+  }
+
+  private def readBack(s: SparkSession, d: String): DataFrame =
+    s.read.format("shardpack").load(roundtripDir(s, d))
+
+  val queries: Seq[Q] = Seq(
+
+    // Full scan through the format: aggregate over round-tripped payloads.
+    // The oracle computes the same values from the original parquet — any
+    // write/read corruption breaks the hash match.
+    Q("scan_shardpack",
+      """SELECT count(*) AS n_records,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+        |  min(concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS min_key,
+        |  max(concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS max_key
+        |FROM documents""".stripMargin) { (s, d) =>
+      readBack(s, d).agg(
+        count(lit(1)).as("n_records"),
+        sum(octet_length(element_at($"entries", 1).getField("data")))
+          .cast(LongType).as("sum_bytes"),
+        min($"key").as("min_key"),
+        max($"key").as("max_key"))
+    },
+
+    // Keyed point lookup via pushed-down key filter (the reference's
+    // Bucket::read): only matching record blocks are decoded.
+    Q("shardpack_lookup",
+      """SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  sha256(text) AS content_hash
+        |FROM documents WHERE doc_id = 42""".stripMargin) { (s, d) =>
+      readBack(s, d)
+        .filter($"key" === "doc_00000042")
+        .select($"key",
+          octet_length(element_at($"entries", 1).getField("data")).as("n_bytes"),
+          sha2(element_at($"entries", 1).getField("data"), 256).as("content_hash"))
+    },
+
+    // Metadata / content-type access without touching payload bytes — the
+    // pruned scan never decompresses `entries.data`.
+    Q("shardpack_metadata",
+      """SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key,
+        |  concat('{"lang":"', lang, '","source":"', source, '"}') AS meta_json,
+        |  'text.txt' AS file_name, 'text/plain' AS content_type
+        |FROM documents ORDER BY key""".stripMargin) { (s, d) =>
+      readBack(s, d)
+        .select($"key",
+          $"metadata".cast(StringType).as("meta_json"),
+          element_at($"entries", 1).getField("file_name").as("file_name"),
+          element_at($"entries", 1).getField("content_type").as("content_type"))
+        .orderBy($"key")
+    }
+  )
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

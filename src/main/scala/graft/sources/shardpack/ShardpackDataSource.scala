@@ -1,0 +1,391 @@
+package graft.sources.shardpack
+
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.unsafe.types.UTF8String
+
+import ShardpackFormat._
+
+/** DataSource V2 implementation of the shardpack format:
+  * `spark.read.format("shardpack").load(dir)` /
+  * `df.write.format("shardpack").option("compression","lz4").save(dir)`.
+  *
+  * Scale design (SURVEY.md §1.4, §7 M7):
+  *   - one `InputPartition` per shard file — the shard is the unit of
+  *     distribution exactly as specified (`/root/reference/docs/draft.md:
+  *     177-181`), so a 100 TB bucket fans out to ~400k independent tasks
+  *     with no driver-side index materialization; each task reads only its
+  *     own footer;
+  *   - key-equality filters are pushed down ([[SupportsPushDownFilters]]):
+  *     non-matching records are skipped from their length prefix without
+  *     decompression — the spec's "partial data loading"
+  *     (`docs/draft.md:124-127`);
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]) including the
+  *     nested `entries.data` field: a metadata-only scan never inflates
+  *     payload bytes;
+  *   - writers are task-local and never coordinate: each `DataWriter` rolls
+  *     its own shards at the 256 MiB cap and stages them under dot-prefixed
+  *     temp names; the driver renames on job commit, so task retries are
+  *     idempotent (the reference ignored this — SURVEY.md §3.4).
+  *
+  * Row schema: `key STRING, metadata BINARY,
+  * entries ARRAY<STRUCT<file_name STRING, content_type STRING,
+  * encoding STRING, data BINARY>>`.
+  */
+class ShardpackDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "shardpack"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardpackDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("shardpack requires a path"))
+    new ShardpackTable(path)
+  }
+}
+
+object ShardpackDataSource {
+  val EntrySchema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("encoding", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("metadata", BinaryType, nullable = true),
+    StructField("entries", ArrayType(EntrySchema, containsNull = false), nullable = false)))
+
+  val FileSuffix = ".shardpack"
+
+  def listShards(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(FileSuffix) &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+}
+
+final class ShardpackTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  import ShardpackDataSource._
+
+  override def name(): String = s"shardpack:$path"
+  override def schema(): StructType = Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardpackScanBuilder(path, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ShardpackWriteBuilder(path, info)
+}
+
+// ─────────────────────────── read path ───────────────────────────
+
+final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import ShardpackDataSource._
+
+  private var required: StructType = Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var keyFilter: Option[Set[String]] = None // None = all keys
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("key", _: String) => true
+      case In("key", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case IsNotNull("key") => true
+      case _ => false
+    }
+    pushed = supported
+    val keySets = supported.collect {
+      case EqualTo("key", v: String) => Set(v)
+      case In("key", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (keySets.nonEmpty) keyFilter = Some(keySets.reduce(_ intersect _))
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ShardpackScan(path, required, keyFilter,
+      options.getBoolean("verifyChecksums", true))
+}
+
+final class ShardpackScan(path: String, required: StructType,
+    keyFilter: Option[Set[String]], verify: Boolean) extends Scan with Batch {
+  import ShardpackDataSource._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"shardpack $path keys=${keyFilter.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    listShards(fs, dir)
+      .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardpackReaderFactory(required, keyFilter, verify)
+}
+
+final case class ShardInputPartition(file: String, length: Long) extends InputPartition
+
+final case class ShardpackReaderFactory(required: StructType,
+    keyFilter: Option[Set[String]], verify: Boolean) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[ShardInputPartition]
+    new ShardpackPartitionReader(sp.file, sp.length, required, keyFilter, verify)
+  }
+}
+
+/** Reads one shard: parses the EOF index first (one seek), then streams the
+  * record region sequentially. With a pushed key filter, non-matching record
+  * blocks are skipped from their length prefix — no entry decode, no
+  * decompression, no checksum work.
+  */
+final class ShardpackPartitionReader(file: String, fileLen: Long,
+    required: StructType, keyFilter: Option[Set[String]], verify: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val fs = new Path(file).getFileSystem(new Configuration())
+  private val footer = {
+    val in = fs.open(new Path(file))
+    try ShardpackFormat.readFooter(fileLen, (pos, len) => {
+      val buf = new Array[Byte](len); in.readFully(pos, buf); buf
+    })
+    finally in.close()
+  }
+  private val stream = new java.io.DataInputStream(
+    new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+
+  private val entriesField = required.fields.zipWithIndex
+    .find(_._1.name == "entries")
+  private val entrySubfields: Array[String] = entriesField
+    .map(_._1.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fieldNames)
+    .getOrElse(Array.empty)
+  private val wantEntryData = entrySubfields.contains("data")
+
+  private var idx = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (idx < footer.offsets.length) {
+      idx += 1
+      val recLen = stream.readInt()
+      val block = new Array[Byte](recLen)
+      stream.readFully(block)
+      val keyOk = keyFilter.forall(_.contains(ShardpackFormat.decodeKey(block)))
+      if (keyOk) {
+        val rec = ShardpackFormat.decodeRecordBody(block, wantEntryData, verify)
+        current = toRow(rec)
+        return true
+      }
+    }
+    false
+  }
+
+  private def toRow(rec: Record): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "key" => UTF8String.fromString(rec.key)
+        case "metadata" => rec.metadata
+        case "entries" =>
+          new GenericArrayData(rec.entries.map { e =>
+            val ev: Array[Any] = entrySubfields.map {
+              case "file_name" => UTF8String.fromString(e.fileName)
+              case "content_type" => UTF8String.fromString(e.contentType)
+              case "encoding" => UTF8String.fromString(e.encoding)
+              case "data" => e.data
+            }
+            new GenericInternalRow(ev): Any
+          }.toArray)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}
+
+// ─────────────────────────── write path ───────────────────────────
+
+final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val opts = info.options()
+      new ShardpackBatchWrite(path, info.schema(), truncateFirst,
+        opts.getOrDefault("compression", Codec.None),
+        opts.getLong("shardCapBytes", DefaultShardCap),
+        Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+    }
+  }
+}
+
+final case class ShardpackCommit(tempFiles: Seq[String]) extends WriterCommitMessage
+
+final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
+    codec: String, shardCap: Long, shardMeta: Array[Byte]) extends BatchWrite {
+
+  // Validate the incoming schema up front (positions may differ; names must match).
+  private val keyIdx = schema.fieldIndex("key")
+  private val metaIdx = schema.fieldIndex("metadata")
+  private val entriesIdx = schema.fieldIndex("entries")
+  Codec.id(codec) // fail fast on unknown codec
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    else if (truncateFirst)
+      ShardpackDataSource.listShards(fs, dir).foreach(st => fs.delete(st.getPath, false))
+    ShardpackWriterFactory(path, keyIdx, metaIdx, entriesIdx,
+      entryFieldIndexes(), codec, shardCap, shardMeta)
+  }
+
+  private def entryFieldIndexes(): (Int, Int, Int, Int) = {
+    val et = schema(entriesIdx).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (et.fieldIndex("file_name"), et.fieldIndex("content_type"),
+      et.fieldIndex("encoding"), et.fieldIndex("data"))
+  }
+
+  /** Job commit: promote each task's staged temp shards to visible names.
+    * Only files named in commit messages survive; stray output from failed
+    * task attempts stays dot-prefixed (invisible to readers) and is swept
+    * here.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val committed = messages.flatMap {
+      case ShardpackCommit(fs_) => fs_
+    }.toSet
+    committed.foreach { tmp =>
+      val p = new Path(tmp)
+      fs.rename(p, new Path(p.getParent, p.getName.stripPrefix(".")))
+    }
+    // sweep uncommitted temp files
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".graft-tmp-") && !committed.contains(st.getPath.toString))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    messages.filter(_ != null).flatMap { case ShardpackCommit(fs_) => fs_ }
+      .foreach(tmp => fs.delete(new Path(tmp), false))
+  }
+}
+
+final case class ShardpackWriterFactory(path: String, keyIdx: Int, metaIdx: Int,
+    entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
+    shardCap: Long, shardMeta: Array[Byte]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardpackDataWriter(path, partitionId, taskId, keyIdx, metaIdx, entriesIdx,
+      entryIdxs, codec, shardCap, shardMeta)
+}
+
+/** Task-local shard writer: encodes rows to record blocks, rolls a new shard
+  * file whenever the cap would be exceeded (`/root/reference/src/shard/
+  * writer.rs:92-94` — but rolling instead of erroring, per
+  * `/root/reference/src/bucket.rs:111-121`), stages under dot-temp names.
+  * Memory: one encoded record + O(record offsets) per open shard.
+  */
+final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
+    keyIdx: Int, metaIdx: Int, entriesIdx: Int, entryIdxs: (Int, Int, Int, Int),
+    codec: String, shardCap: Long, shardMeta: Array[Byte])
+    extends DataWriter[InternalRow] {
+
+  private val (fnIdx, ctIdx, encIdx, dataIdx) = entryIdxs
+  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val uuid = UUID.randomUUID().toString.take(8)
+  private val files = ArrayBuffer.empty[String]
+  private var seq = 0
+  private var writer: ShardFileWriter = _
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+
+  private def roll(): Unit = {
+    if (writer != null) { writer.finish(); out = null }
+    val name = f".graft-tmp-part-$partitionId%05d-$taskId-$uuid-$seq%04d${ShardpackDataSource.FileSuffix}"
+    seq += 1
+    val p = new Path(path, name)
+    files += p.toString
+    out = fs.create(p, false)
+    writer = new ShardFileWriter(out, shardMeta)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = toRecord(row)
+    val encoded = ShardpackFormat.encodeRecord(rec, codec)
+    if (writer == null || (writer.bytesWritten > 0 &&
+        writer.bytesWritten + encoded.length > shardCap)) roll()
+    writer.append(encoded)
+  }
+
+  private def toRecord(row: InternalRow): Record = {
+    val key = row.getUTF8String(keyIdx).toString
+    val meta = if (row.isNullAt(metaIdx)) Array.emptyByteArray else row.getBinary(metaIdx)
+    val arr = row.getArray(entriesIdx)
+    val entries = (0 until arr.numElements()).map { i =>
+      val e = arr.getStruct(i, 4)
+      Entry(
+        e.getUTF8String(fnIdx).toString,
+        if (e.isNullAt(ctIdx)) "" else e.getUTF8String(ctIdx).toString,
+        if (e.isNullAt(encIdx)) "" else e.getUTF8String(encIdx).toString,
+        if (e.isNullAt(dataIdx)) Array.emptyByteArray else e.getBinary(dataIdx))
+    }
+    Record(key, meta, entries)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.finish()
+    ShardpackCommit(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    try if (out != null) out.close() catch { case _: Exception => }
+    files.foreach(f => try fs.delete(new Path(f), false) catch { case _: Exception => })
+  }
+
+  override def close(): Unit = ()
+}

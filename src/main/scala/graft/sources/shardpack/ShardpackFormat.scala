@@ -1,0 +1,298 @@
+package graft.sources.shardpack
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Binary codec for the shardpack container format.
+  *
+  * Implements the semantics specified in the reference's format spec
+  * (`/root/reference/docs/draft.md`): immutable shard files of sequential
+  * record blocks, each record = key + optional metadata + N named file
+  * entries with MIME content types (`docs/draft.md:57-94`); a self-index at
+  * EOF (`[count][offsets…][shard metadata][magic]`, `docs/draft.md:100-122`)
+  * giving O(1) random record access after one footer read
+  * (`docs/draft.md:124-127`); per-record integrity checksums
+  * (`/root/reference/src/checksum.rs:15-29`); per-entry compression.
+  *
+  * Deliberate fixes over the reference implementation (SURVEY.md §3.4):
+  *   - the stored-entry header carries the UNCOMPRESSED length, so lz4/zstd
+  *     decode never guesses buffer sizes (`/root/reference/src/bucket.rs:52-55`
+  *     guessed 3×);
+  *   - checksums are computed AND verified per entry over uncompressed bytes
+  *     (the reference verified over a whole decompressed shard,
+  *     `/root/reference/src/bucket.rs:164`);
+  *   - the index is actually written and read (the reference's
+  *     `process_shard` stub never populated it,
+  *     `/root/reference/src/index/bucket.rs:129-133`).
+  *
+  * All integers are big-endian (DataOutput). Layout:
+  * {{{
+  * shard      := record* footer
+  * record     := recLen:u32 key:str16 metaLen:u32 meta:bytes nEntries:u16 entry*
+  * entry      := name:str16 contentType:str16 codec:u8 rawLen:u32
+  *               storedLen:u32 sha256:32B data:bytes[storedLen]
+  * footer     := nRecords:u64 offset:u64* shardMetaLen:u32 shardMeta:bytes
+  *               indexOffset:u64 magic:8B
+  * str16      := len:u16 utf8-bytes
+  * }}}
+  * `recLen` counts the bytes after the length field, so a sequential reader
+  * can skip a record without parsing it (streaming mode,
+  * `docs/draft.md:213-218`); `indexOffset`+magic close the file so a reader
+  * seeks `EOF-16` first (random-access mode).
+  */
+object ShardpackFormat {
+
+  val Magic: Array[Byte] = "SPKGRAF1".getBytes(StandardCharsets.US_ASCII)
+  val FooterTailLen: Int = 16 // indexOffset u64 + magic
+  /** Shard roll threshold — matches the reference's `SHARD_SIZE`
+    * (`/root/reference/src/shard/config.rs:1-7`).
+    */
+  val DefaultShardCap: Long = 256L * 1024 * 1024
+
+  /** One named payload inside a record (`docs/draft.md:84-94`). `encoding` is
+    * the on-disk codec name; `data` is always the UNCOMPRESSED payload at the
+    * API boundary.
+    */
+  final case class Entry(fileName: String, contentType: String, encoding: String,
+      data: Array[Byte])
+
+  /** One sample (`docs/draft.md:76-81`). */
+  final case class Record(key: String, metadata: Array[Byte], entries: Seq[Entry])
+
+  final case class Footer(offsets: Array[Long], shardMetadata: Array[Byte])
+
+  // ───────────────────────── codecs ─────────────────────────
+
+  object Codec {
+    val None = "none"; val Gzip = "gzip"; val Lz4 = "lz4"; val Zstd = "zstd"
+    val All: Seq[String] = Seq(None, Gzip, Lz4, Zstd)
+
+    def id(name: String): Byte = name match {
+      case None => 0; case Gzip => 1; case Lz4 => 2; case Zstd => 3
+      case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
+    }
+    def name(id: Byte): String = id match {
+      case 0 => None; case 1 => Gzip; case 2 => Lz4; case 3 => Zstd
+      case other => throw new IllegalArgumentException(s"Unknown codec id: $other")
+    }
+
+    def compress(codec: String, raw: Array[Byte]): Array[Byte] = codec match {
+      case None => raw
+      case Gzip =>
+        val bos = new ByteArrayOutputStream()
+        val g = new GZIPOutputStream(bos); g.write(raw); g.close()
+        bos.toByteArray
+      case Lz4 =>
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(raw)
+      case Zstd =>
+        com.github.luben.zstd.Zstd.compress(raw)
+      case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
+    }
+
+    /** `rawLen` comes from the entry header — no guessed buffers. */
+    def decompress(codec: String, stored: Array[Byte], rawLen: Int): Array[Byte] = codec match {
+      case None => stored
+      case Gzip =>
+        val in = new GZIPInputStream(new ByteArrayInputStream(stored))
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        while (off < rawLen) {
+          val n = in.read(out, off, rawLen - off)
+          if (n < 0) throw new EOFException(s"gzip stream ended at $off, expected $rawLen")
+          off += n
+        }
+        in.close(); out
+      case Lz4 =>
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+          .decompress(stored, rawLen)
+      case Zstd =>
+        com.github.luben.zstd.Zstd.decompress(stored, rawLen)
+      case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
+    }
+  }
+
+  def sha256(data: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(data)
+
+  final class ChecksumMismatch(msg: String) extends RuntimeException(msg)
+
+  // ──────────────────────── encoding ────────────────────────
+
+  private def writeStr16(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    require(b.length <= 0xFFFF, s"string too long: ${b.length}")
+    out.writeShort(b.length); out.write(b)
+  }
+
+  /** Encode one record block (header + compressed entries). The `codec`
+    * applies to entries whose `encoding` is null/empty; an explicit
+    * per-entry `encoding` wins (`docs/draft.md:90`).
+    */
+  def encodeRecord(rec: Record, codec: String): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val out = new DataOutputStream(body)
+    writeStr16(out, rec.key)
+    val meta = if (rec.metadata == null) Array.emptyByteArray else rec.metadata
+    out.writeInt(meta.length); out.write(meta)
+    require(rec.entries.size <= 0xFFFF, s"too many entries: ${rec.entries.size}")
+    out.writeShort(rec.entries.size)
+    rec.entries.foreach { e =>
+      val enc = if (e.encoding == null || e.encoding.isEmpty) codec else e.encoding
+      val raw = if (e.data == null) Array.emptyByteArray else e.data
+      val stored = Codec.compress(enc, raw)
+      writeStr16(out, e.fileName)
+      writeStr16(out, if (e.contentType == null) "" else e.contentType)
+      out.writeByte(Codec.id(enc))
+      out.writeInt(raw.length)
+      out.writeInt(stored.length)
+      out.write(sha256(raw))
+      out.write(stored)
+    }
+    out.flush()
+    val bytes = body.toByteArray
+    val framed = new ByteArrayOutputStream(bytes.length + 4)
+    val fout = new DataOutputStream(framed)
+    fout.writeInt(bytes.length); fout.write(bytes); fout.flush()
+    framed.toByteArray
+  }
+
+  def writeFooter(out: DataOutputStream, offsets: Seq[Long], shardMeta: Array[Byte],
+      indexOffset: Long): Unit = {
+    out.writeLong(offsets.size.toLong)
+    offsets.foreach(out.writeLong)
+    val m = if (shardMeta == null) Array.emptyByteArray else shardMeta
+    out.writeInt(m.length); out.write(m)
+    out.writeLong(indexOffset)
+    out.write(Magic)
+  }
+
+  // ──────────────────────── decoding ────────────────────────
+
+  private def readStr16(in: DataInputStream): String = {
+    val n = in.readUnsignedShort()
+    val b = new Array[Byte](n); in.readFully(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+
+  private def readFully(in: DataInputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); in.readFully(b); b
+  }
+
+  /** Decode one record block from a stream positioned at its length prefix.
+    *
+    * @param wantEntryData decompress entry payloads (false = header-only,
+    *   used when the `entries.data` column is pruned away)
+    * @param verify re-hash uncompressed payloads against the stored SHA-256
+    */
+  def decodeRecord(in: DataInputStream, wantEntryData: Boolean = true,
+      verify: Boolean = true): Record = {
+    val recLen = in.readInt()
+    val block = readFully(in, recLen)
+    decodeRecordBody(block, wantEntryData, verify)
+  }
+
+  def decodeRecordBody(block: Array[Byte], wantEntryData: Boolean,
+      verify: Boolean): Record = {
+    val in = new DataInputStream(new ByteArrayInputStream(block))
+    val key = readStr16(in)
+    val metaLen = in.readInt()
+    val meta = readFully(in, metaLen)
+    val nEntries = in.readUnsignedShort()
+    val entries = (0 until nEntries).map { _ =>
+      val name = readStr16(in)
+      val ctype = readStr16(in)
+      val codec = Codec.name(in.readByte())
+      val rawLen = in.readInt()
+      val storedLen = in.readInt()
+      val checksum = readFully(in, 32)
+      if (wantEntryData) {
+        val stored = readFully(in, storedLen)
+        val raw = Codec.decompress(codec, stored, rawLen)
+        if (verify && !java.util.Arrays.equals(sha256(raw), checksum))
+          throw new ChecksumMismatch(s"checksum mismatch for entry '$name' of record '$key'")
+        Entry(name, ctype, codec, raw)
+      } else {
+        in.skipBytes(storedLen)
+        Entry(name, ctype, codec, null)
+      }
+    }
+    Record(key, meta, entries)
+  }
+
+  /** Read just the key of a record block (for pushed-down key filters) —
+    * everything after the key is skipped, nothing is decompressed.
+    */
+  def decodeKey(block: Array[Byte]): String = {
+    val in = new DataInputStream(new ByteArrayInputStream(block))
+    readStr16(in)
+  }
+
+  /** Parse the EOF index of a shard (`docs/draft.md:100-127`): seek to
+    * `fileLen-16`, validate magic, then parse the index block.
+    * `readAt(pos, len)` abstracts the underlying storage (Hadoop
+    * FSDataInputStream in the DSv2 reader, byte arrays in tests).
+    */
+  def readFooter(fileLen: Long, readAt: (Long, Int) => Array[Byte]): Footer = {
+    if (fileLen < FooterTailLen)
+      throw new IllegalArgumentException(s"file too short for shardpack footer: $fileLen")
+    val tail = readAt(fileLen - FooterTailLen, FooterTailLen)
+    val tin = new DataInputStream(new ByteArrayInputStream(tail))
+    val indexOffset = tin.readLong()
+    val magic = readFully(tin, 8)
+    if (!java.util.Arrays.equals(magic, Magic))
+      throw new IllegalArgumentException("not a shardpack file (bad magic)")
+    if (indexOffset < 0 || indexOffset > fileLen - FooterTailLen)
+      throw new IllegalArgumentException(s"corrupt shardpack footer: indexOffset=$indexOffset")
+    val idxLen = (fileLen - FooterTailLen - indexOffset).toInt
+    val idx = new DataInputStream(new ByteArrayInputStream(readAt(indexOffset, idxLen)))
+    val n = idx.readLong()
+    if (n < 0 || n > idxLen / 8)
+      throw new IllegalArgumentException(s"corrupt shardpack index: count=$n")
+    val offsets = Array.fill(n.toInt)(idx.readLong())
+    val metaLen = idx.readInt()
+    val shardMeta = readFully(idx, metaLen)
+    Footer(offsets, shardMeta)
+  }
+
+  /** Streaming single-pass shard writer: buffers only offsets (O(records)
+    * driver-side memory, `docs/draft.md:399-400`); the caller owns the
+    * OutputStream and rolls files at [[DefaultShardCap]].
+    */
+  final class ShardFileWriter(out: OutputStream, shardMeta: Array[Byte]) {
+    private val data = new DataOutputStream(out)
+    private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private var pos: Long = 0L
+
+    def bytesWritten: Long = pos
+    def recordCount: Int = offsets.size
+
+    def append(encodedRecord: Array[Byte]): Unit = {
+      offsets += pos
+      data.write(encodedRecord)
+      pos += encodedRecord.length
+    }
+
+    /** Write the EOF index and close. */
+    def finish(): Unit = {
+      writeFooter(data, offsets.toSeq, shardMeta, pos)
+      data.flush()
+      data.close()
+    }
+  }
+
+  /** Sequential record iterator over a full shard body (footer already
+    * parsed) — the spec's streaming read mode (`docs/draft.md:213-218`).
+    */
+  final class RecordStream(in: InputStream, nRecords: Int,
+      wantEntryData: Boolean, verify: Boolean) extends Iterator[Record] {
+    private val din = new DataInputStream(in)
+    private var i = 0
+    override def hasNext: Boolean = i < nRecords
+    override def next(): Record = {
+      i += 1
+      decodeRecord(din, wantEntryData, verify)
+    }
+  }
+}

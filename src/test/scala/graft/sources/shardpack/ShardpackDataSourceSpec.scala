@@ -1,0 +1,130 @@
+package graft.sources.shardpack
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** End-to-end DSv2 tests: `format("shardpack")` write → read through the
+  * public Spark API, shard rolling, overwrite semantics, key-filter
+  * pushdown and nested column pruning.
+  */
+class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("shardpack-test").toString
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      format_string("key%05d", $"id").as("key"),
+      to_json(struct($"id")).cast(BinaryType).as("metadata"),
+      array(
+        struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"),
+          encode(format_string("payload-%05d-", $"id"), "UTF-8").as("data")),
+        struct(lit("meta.json").as("file_name"), lit("application/json").as("content_type"),
+          lit("gzip").as("encoding"),
+          encode(format_string("""{"i":%d}""", $"id"), "UTF-8").as("data"))
+      ).as("entries"))
+  }
+
+  test("write then read round-trips all rows, keys and payloads") {
+    val dir = tmpDir()
+    sampleDf(200).write.format("shardpack").option("compression", "lz4").mode("append").save(dir)
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() == 200)
+    val row = back.filter(col("key") === "key00007")
+      .select(col("entries").getItem(0).getField("data").cast(StringType).as("body"),
+        col("entries").getItem(1).getField("data").cast(StringType).as("meta"),
+        col("entries").getItem(1).getField("encoding").as("enc"),
+        col("metadata").cast(StringType).as("md"))
+      .head()
+    assert(row.getString(0) == "payload-00007-")
+    assert(row.getString(1) == """{"i":7}""")
+    assert(row.getString(2) == "gzip") // per-entry encoding wins over file codec
+    assert(row.getString(3) == """{"id":7}""")
+  }
+
+  test("small shardCap rolls multiple shard files per task") {
+    val dir = tmpDir()
+    sampleDf(500).coalesce(1).write.format("shardpack")
+      .option("shardCapBytes", 4096).mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".shardpack"))
+    assert(files.length > 5, s"expected many shards, got ${files.length}")
+    assert(files.forall(_.length() <= 8192), "no shard should wildly exceed the cap")
+    assert(spark.read.format("shardpack").load(dir).count() == 500)
+  }
+
+  test("mode overwrite truncates previous shards") {
+    val dir = tmpDir()
+    sampleDf(50).write.format("shardpack").mode("append").save(dir)
+    sampleDf(10).write.format("shardpack").mode("overwrite").save(dir)
+    assert(spark.read.format("shardpack").load(dir).count() == 10)
+  }
+
+  test("mode append keeps previous shards") {
+    val dir = tmpDir()
+    sampleDf(50).write.format("shardpack").mode("append").save(dir)
+    sampleDf(10).write.format("shardpack").mode("append").save(dir)
+    assert(spark.read.format("shardpack").load(dir).count() == 60)
+  }
+
+  test("key equality filter is pushed down and returns the right record") {
+    val dir = tmpDir()
+    sampleDf(300).write.format("shardpack").mode("append").save(dir)
+    val q = spark.read.format("shardpack").load(dir).filter(col("key") === "key00123")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("shardpack"), s"plan should show the shardpack scan:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("key") == "key00123")
+  }
+
+  test("IN-list key filter pushdown") {
+    val dir = tmpDir()
+    sampleDf(100).write.format("shardpack").mode("append").save(dir)
+    val got = spark.read.format("shardpack").load(dir)
+      .filter(col("key").isin("key00001", "key00042", "nope"))
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("key00001", "key00042"))
+  }
+
+  test("column pruning: metadata-only scan works without payload decode") {
+    val dir = tmpDir()
+    sampleDf(50).write.format("shardpack").option("compression", "gzip").mode("append").save(dir)
+    val got = spark.read.format("shardpack").load(dir)
+      .select("key").orderBy("key").limit(3).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("key00000", "key00001", "key00002"))
+    // nested: entry names without data
+    val names = spark.read.format("shardpack").load(dir)
+      .select(explode(col("entries").getField("file_name")).as("n"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("body.txt", "meta.json"))
+  }
+
+  test("empty dataframe write produces readable empty table") {
+    val dir = tmpDir()
+    sampleDf(0).write.format("shardpack").mode("append").save(dir)
+    assert(spark.read.format("shardpack").load(dir).count() == 0)
+  }
+
+  test("corrupted shard surfaces a checksum error on read") {
+    val dir = tmpDir()
+    sampleDf(5).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".shardpack")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    bytes(30) = (bytes(30) ^ 0x77).toByte
+    Files.write(f.toPath, bytes)
+    val e = intercept[Exception] {
+      spark.read.format("shardpack").load(dir)
+        .select(col("entries").getField("data")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
