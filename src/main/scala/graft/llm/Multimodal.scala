@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline: image/audio/video payloads ride through the
+  * engine as opaque BINARY columns with typed metadata (the reference's
+  * FileEntry model — name + MIME content type + bytes,
+  * `/root/reference/docs/draft.md:84-94, 187-195`), and decode / feature
+  * extraction runs as a per-partition batch transform.
+  *
+  * ── STUB BOUNDARY ──
+  * No image/audio codecs exist in this container, so [[decodeStub]] is a
+  * clearly-marked deterministic fake: it derives "decoded" dimensions and
+  * features purely from the payload bytes. Swap `decodeStub` for a real
+  * codec (javax.imageio / ffmpeg JNI) without touching any of the Spark
+  * plumbing — schema, batching, partitioning and the shardpack round-trip
+  * are all real and tested (MultimodalSpec).
+  *
+  * Scale notes: decode runs inside `mapPartitions` (the genuine fit for
+  * opaque-binary batch work — no Catalyst expression could express a codec),
+  * so it streams record-by-record with constant memory, parallelizes per
+  * shard/partition, and never collects to the driver. Feature rows are
+  * narrow (drop the payload as early as possible — `entries.data` pruning in
+  * the shardpack scan means a metadata-only pass never even reads pixels).
+  */
+object Multimodal {
+
+  /** Typed metadata for one decoded media payload. */
+  final case class MediaMeta(
+      key: String,
+      contentType: String,
+      nBytes: Int,
+      width: Int,
+      height: Int,
+      nChannels: Int,
+      sha: String)
+
+  /** Fixed-size feature vector extracted per payload (stub: byte histogram
+    * moments; real impl: CNN embedding / mel spectrogram stats).
+    */
+  final case class MediaFeatures(key: String, features: Array[Double])
+
+  /** STUB decoder — deterministic fake. A real implementation would parse
+    * the container header (JPEG SOF / WAV fmt / MP4 moov); this derives
+    * plausible dimensions from the first payload bytes so tests are stable.
+    */
+  def decodeStub(key: String, contentType: String, data: Array[Byte]): MediaMeta = {
+    def b(i: Int): Int = if (data.length > i) data(i) & 0xFF else 0
+    MediaMeta(
+      key = key,
+      contentType = contentType,
+      nBytes = data.length,
+      width = 1 + (b(0) << 4 | b(1) >> 4) % 4096,
+      height = 1 + (b(1) & 0x0F | b(2) << 4) % 4096,
+      nChannels = 1 + b(3) % 4,
+      sha = graft.sources.shardpack.ShardpackFormat.sha256(data)
+        .map(x => f"$x%02x").mkString)
+  }
+
+  /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
+    * Deterministic; stands in for a real embedding model.
+    */
+  def extractStub(data: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    data.foreach(x => hist((x & 0xFF) >> 5) += 1.0)
+    val n = math.max(1.0, data.length.toDouble)
+    hist.map(_ / n)
+  }
+
+  /** STUB frame sampler for "video" payloads: returns `n` evenly spaced
+    * byte-slices standing in for decoded frames.
+    */
+  def frameSampleStub(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (data.isEmpty || n <= 0) Seq.empty
+    else {
+      val frame = math.max(1, data.length / n)
+      (0 until n).map { i =>
+        val start = math.min(i * frame, data.length - 1)
+        data.slice(start, math.min(start + frame, data.length))
+      }
+    }
+  }
+
+  /** Decode a shardpack-shaped DataFrame (`key, metadata, entries`) into
+    * typed media metadata — one output row per entry. Runs per-partition;
+    * the iterator is consumed lazily so payloads stream through.
+    */
+  def decodeEntries(df: DataFrame): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"key", explode($"entries").as("e"))
+      .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, ct, d) => decodeStub(k, ct, d) })
+  }
+
+  /** Extract feature vectors per entry payload (batch shape: one partition =
+    * one decode batch, matching the shard = task unit).
+    */
+  def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"key", explode($"entries").as("e"))
+      .select($"key", $"e.data".as("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (k, d) => MediaFeatures(k, extractStub(d)) })
+  }
+}

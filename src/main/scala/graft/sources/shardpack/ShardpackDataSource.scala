@@ -91,7 +91,7 @@ final class ShardpackTable(path: String) extends Table with SupportsRead with Su
   override def schema(): StructType = Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardpackScanBuilder(path, options)
@@ -248,14 +248,40 @@ final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def batchWrite = {
       val opts = info.options()
       new ShardpackBatchWrite(path, info.schema(), truncateFirst,
         opts.getOrDefault("compression", Codec.None),
         opts.getLong("shardCapBytes", DefaultShardCap),
         Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
     }
+    override def toBatch: BatchWrite = batchWrite
+    // Structured Streaming sink: each micro-batch appends its own shard
+    // files (reusing the batch writer/commit machinery keyed by epoch).
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new ShardpackStreamingWrite(batchWrite)
   }
+}
+
+/** Micro-batch streaming sink: per-epoch task writers stage dot-temp shards;
+  * epoch commit promotes them, exactly like the batch path. Epoch replays
+  * re-stage fresh temp names, so duplicated epochs never double-publish.
+  */
+final class ShardpackStreamingWrite(inner: ShardpackBatchWrite)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val f = inner.createBatchWriterFactory(info)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+        f.createWriter(partitionId, taskId)
+    }
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    inner.commit(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
 }
 
 final case class ShardpackCommit(tempFiles: Seq[String]) extends WriterCommitMessage

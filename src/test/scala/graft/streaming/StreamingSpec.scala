@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import StreamingOps._
+
+/** Incremental (MemoryStream-driven) tests of the streaming surface:
+  * watermark + tumbling windows with late-data drop, session windows, keyed
+  * dedup within watermark, custom stateful sessionization, and the shardpack
+  * streaming sink.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  private def ev(id: Long, t: Timestamp, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Event =
+    Event(id, t, user, typ, value)
+
+  test("tumbling window with watermark finalizes windows and drops late data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDF(), watermark = "2 minutes", window_ = "1 minute")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, ts(0, 10)), ev(2, ts(0, 40)), ev(3, ts(1, 10)))
+      q.processAllAvailable()
+      // watermark = max(ts)-2min = 09:59 → nothing finalized yet
+      assert(spark.table("tumbling").count() == 0)
+      in.addData(ev(4, ts(4, 0))) // advances watermark to 10:02
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").orderBy("win_start").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq ==
+        Seq((ts(0, 0), 2L), (ts(1, 0), 1L)))
+      // a late event inside an already-finalized window is dropped
+      in.addData(ev(5, ts(0, 50)))
+      q.processAllAvailable()
+      assert(spark.table("tumbling").agg(sum("cnt")).head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("session window groups events within the gap per user") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = sessionCounts(in.toDF(), watermark = "5 minutes", gap = "2 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 10:00, 10:01 (one session) then 10:10 (new session)
+      in.addData(ev(1, ts(0)), ev(2, ts(1)), ev(3, ts(10)))
+      in.addData(ev(9, ts(30))) // push the watermark far ahead to close all
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("sess_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(rows.take(2).toSeq == Seq(
+        (1L, ts(0), ts(3), 2L),   // session end = last event + gap
+        (1L, ts(10), ts(12), 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keyed repeats") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = dedupWithinWatermark(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, ts(0), user = 1, typ = "click"),
+        ev(2, ts(1), user = 1, typ = "click"), // dup key within watermark
+        ev(3, ts(1), user = 1, typ = "buy"),
+        ev(4, ts(2), user = 2, typ = "click"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 3)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = sessionizeWithState(in.toDS(), gapMs = 2 * 60 * 1000)
+      .writeStream.format("memory").queryName("statesess").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, ts(0)), ev(2, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("statesess").count() == 0) // session still open
+      in.addData(ev(3, ts(10))) // 9-min silence closes the first session
+      q.processAllAvailable()
+      val r = spark.table("statesess").head
+      assert(r.getAs[Timestamp]("sess_start") == ts(0))
+      assert(r.getAs[Timestamp]("sess_end") == ts(3)) // last + gap
+      assert(r.getAs[Int]("cnt") == 2)
+    } finally q.stop()
+  }
+
+  test("shardpack streaming sink appends one batch of shards per epoch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shardpack-stream").toString
+    val ckpt = Files.createTempDirectory("shardpack-ckpt").toString
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .select(
+        concat(lit("ev_"), lpad($"event_id".cast("string"), 6, "0")).as("key"),
+        to_json(struct($"user_id", $"event_type")).cast("binary").as("metadata"),
+        array(struct(
+          lit("event.json").as("file_name"), lit("application/json").as("content_type"),
+          lit("").as("encoding"), to_json(struct($"value")).cast("binary").as("data")))
+          .as("entries"))
+      .writeStream.format("shardpack")
+      .option("checkpointLocation", ckpt)
+      .option("compression", "gzip")
+      .outputMode(OutputMode.Append)
+      .start(dir)
+    try {
+      in.addData(ev(1, ts(0)), ev(2, ts(1)))
+      q.processAllAvailable()
+      in.addData(ev(3, ts(2)))
+      q.processAllAvailable()
+      val back = spark.read.format("shardpack").load(dir)
+      assert(back.count() == 3)
+      val keys = back.select("key").collect().map(_.getString(0)).sorted
+      assert(keys.toSeq == Seq("ev_000001", "ev_000002", "ev_000003"))
+      val payload = back.filter($"key" === "ev_000003")
+        .select($"entries".getItem(0).getField("data").cast("string")).head.getString(0)
+      assert(payload == """{"value":1.0}""")
+    } finally q.stop()
+  }
+}
