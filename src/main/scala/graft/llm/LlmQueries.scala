@@ -34,6 +34,28 @@ object LlmQueries {
   private val SampleDocs = 300
   private val SampleVecs = 30
 
+  /** Distinct word-3-gram shingle set per document (the standard MinHash
+    * shingling unit). Unigram tokens are useless on a small-vocabulary
+    * corpus — every pair of long docs shares most words — while 3-gram
+    * shingles keep the candidate space sparse (measured max doc-frequency of
+    * a shingle at sf0.1: 25 of 5000 docs).
+    */
+  private def shingleTok(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))))).as("w"))
+
+  /** DuckDB mirror of [[shingleTok]] (docs with <3 words yield no rows in
+    * both engines).
+    */
+  private def sqlShingleTok(from: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |  [ws[i]||' '||ws[i+1]||' '||ws[i+2] FOR i IN range(1, len(ws)-1)])) AS w
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $from)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────── deduplication ─────────────────────
@@ -46,14 +68,12 @@ object LlmQueries {
         .orderBy($"h")
     },
 
-    // Exact token-set (1-gram) Jaccard near-dup pairs over a bounded sample;
-    // inter/union counted via an inverted-index join on token — the same
-    // shape scales out by sharding on token.
+    // Exact 3-gram-shingle Jaccard near-dup pairs over a bounded sample;
+    // inter/union counted via an inverted-index join on shingle — the same
+    // shape scales out by sharding on shingle.
     Q("dedup_ngram_jaccard",
       s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |    FROM documents WHERE doc_id < $SampleDocs)),
+         |  ${sqlShingleTok("documents")}),
          |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
          |pair AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
@@ -64,10 +84,9 @@ object LlmQueries {
          |FROM pair
          |JOIN cnt ca ON ca.doc_id = a_id
          |JOIN cnt cb ON cb.doc_id = b_id
-         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val tok = documents(s, d).filter($"doc_id" < SampleDocs)
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      val tok = shingleTok(documents(s, d))
       val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pair = tok.as("a").join(tok.as("b"),
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -78,7 +97,7 @@ object LlmQueries {
       pair
         .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
         .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
-        .filter(jac >= 0.8)
+        .filter(jac >= 0.5)
         .select($"a_id", $"b_id", $"inter", jac.as("jac"))
         .orderBy($"a_id", $"b_id")
     },
@@ -93,8 +112,7 @@ object LlmQueries {
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val tok = documents(s, d)
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      val tok = shingleTok(documents(s, d))
       val sigCols = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), $"w")).as(s"h$i"))
       val sig = tok.groupBy($"doc_id")
