@@ -1,0 +1,111 @@
+package graft.sources.shardpack
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-level operations over shardpack tables, completing the
+  * reference's operation inventory (SURVEY.md §2A) beyond plain scan/write:
+  *
+  *   - [[pack]] — the spec's `shardpack create` CLI
+  *     (`/root/reference/docs/draft.md:136-148`): pack a directory of raw
+  *     files into shards, one record per file.
+  *   - [[deleteKeys]] — `Bucket::delete`
+  *     (`/root/reference/src/bucket.rs:171-183`), re-expressed for immutable
+  *     storage as an anti-join rewrite: the reference's implementation
+  *     destroyed co-located keys by deleting whole shard files (SURVEY.md
+  *     §3.4 defect 5); here surviving records are rewritten and the old
+  *     generation swapped out atomically-per-file.
+  *   - [[alignedJoin]] — the spec's columnar-by-convention layout
+  *     (`docs/draft.md:201-205`): one logical dataset stored as per-column
+  *     shardpack directories joined back on key.
+  *   - [[overlay]] — the spec's read-time update overlay
+  *     (`docs/draft.md:207-211`): a small shardpack of updated records
+  *     combined with the base at read time, overlay winning per key.
+  *
+  * Scale notes: deleteKeys broadcast the (small) key list; alignedJoin and
+  * overlay are key-equi joins that Catalyst shuffles on `key` — bucketed
+  * layouts co-partition them away; pack streams file bytes through the
+  * binaryFile source without driver materialization.
+  */
+object ShardpackOps {
+
+  /** Pack every file under `inputDir` into a shardpack table at `outDir`.
+    * Key = path relative to `inputDir`; content type inferred from the
+    * extension; one entry per record named after the file.
+    */
+  def pack(spark: SparkSession, inputDir: String, outDir: String,
+      compression: String = ShardpackFormat.Codec.None,
+      recordSizeLimit: Long = 1L << 30): Unit = {
+    // binaryFile yields fully-qualified URIs (file:/…, s3a://…)
+    val fs = new Path(inputDir).getFileSystem(new Configuration())
+    // Path.toString matches the path column's form (file:/… single-slash)
+    val prefixLen = fs.makeQualified(new Path(inputDir)).toString.length + 1
+    val contentType = {
+      val ext = lower(element_at(split(col("path"), "\\."), -1))
+      when(ext === "json", "application/json")
+        .when(ext === "txt", "text/plain")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext === "png", "image/png")
+        .when(ext === "npy", "application/x-npy")
+        .otherwise("application/octet-stream")
+    }
+    spark.read.format("binaryFile").load(s"$inputDir/*")
+      .filter(length(col("content")) <= recordSizeLimit) // CLI --record-size-limit
+      .select(
+        expr(s"substring(path, ${prefixLen + 1})").as("key"),
+        lit(null).cast("binary").as("metadata"),
+        array(struct(
+          expr(s"substring(path, ${prefixLen + 1})").as("file_name"),
+          contentType.as("content_type"),
+          lit("").as("encoding"),
+          col("content").as("data"))).as("entries"))
+      .write.format("shardpack").option("compression", compression)
+      .mode("append").save(outDir)
+  }
+
+  /** Delete records by key: rewrite surviving records to a new generation of
+    * shards, then swap. Never edits a shard in place (shards are immutable,
+    * `docs/draft.md:207-211`).
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
+    import spark.implicits._
+    val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.format("shardpack").load(dir)
+      .join(broadcast(keys.toDF("key")), Seq("key"), "left_anti")
+      .write.format("shardpack").mode("append").save(staging)
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    ShardpackDataSource.listShards(fs, new Path(dir))
+      .foreach(st => fs.delete(st.getPath, false))
+    ShardpackDataSource.listShards(fs, new Path(staging))
+      .foreach(st => fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Join per-column shardpack tables on key, concatenating their entry
+    * lists — reading the spec's columnar layout back into one logical row.
+    * Inner join: the spec requires consistent key sets across columns.
+    */
+  def alignedJoin(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty)
+    parts.reduce { (a, b) =>
+      a.join(b.select(col("key"), col("entries").as("_r_entries")), Seq("key"))
+        .withColumn("entries", concat(col("entries"), col("_r_entries")))
+        .drop("_r_entries")
+    }
+  }
+
+  /** Read-time overlay: rows from `overlayDf` replace same-key rows of
+    * `base`; base rows without an update pass through.
+    */
+  def overlay(base: DataFrame, overlayDf: DataFrame): DataFrame = {
+    val o = overlayDf.select(col("key"),
+      col("metadata").as("_o_metadata"), col("entries").as("_o_entries"))
+    base.join(o, Seq("key"), "left")
+      .select(col("key"),
+        when(col("_o_entries").isNotNull, col("_o_metadata"))
+          .otherwise(col("metadata")).as("metadata"),
+        coalesce(col("_o_entries"), col("entries")).as("entries"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sources.shardpack
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Tests for the bucket-level operations: directory packing (spec CLI),
+  * keyed delete via rewrite, columnar aligned join, and read-time overlay.
+  */
+class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("spops").toString
+
+  private def writeDocs(dir: String, rows: (String, String)*): Unit = {
+    import spark.implicits._
+    rows.toSeq.toDF("key", "body")
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+      .write.format("shardpack").mode("append").save(dir)
+  }
+
+  test("pack: directory of raw files becomes one record per file") {
+    val in = tmp()
+    Files.write(Paths.get(in, "a.txt"), "alpha".getBytes)
+    Files.write(Paths.get(in, "b.json"), """{"x":1}""".getBytes)
+    Files.write(Paths.get(in, "c.bin"), Array[Byte](1, 2, 3))
+    val out = tmp() + "/packed"
+    ShardpackOps.pack(spark, in, out, compression = "gzip")
+    val back = spark.read.format("shardpack").load(out)
+      .select(col("key"),
+        col("entries").getItem(0).getField("content_type").as("ct"),
+        col("entries").getItem(0).getField("data").as("data"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq("a.txt", "b.json", "c.bin"))
+    assert(back.map(_._2).toSeq == Seq("text/plain", "application/json", "application/octet-stream"))
+    assert(new String(back(0)._3) == "alpha")
+    assert(back(2)._3.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("deleteKeys removes exactly the named keys, preserving co-located records") {
+    val dir = tmp() + "/docs"
+    // single shard file → all keys co-located (the reference's delete would
+    // have destroyed every record in the shard; bucket.rs:174-179)
+    import spark.implicits._
+    Seq(("k1", "one"), ("k2", "two"), ("k3", "three"), ("k4", "four"))
+      .toDF("key", "body")
+      .coalesce(1)
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+      .write.format("shardpack").mode("append").save(dir)
+    ShardpackOps.deleteKeys(spark, dir, Seq("k2", "k4"))
+    val left = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("k1", "k3"))
+  }
+
+  test("alignedJoin merges per-column shardpacks into one entry list") {
+    val leftDir = tmp() + "/left"
+    val rightDir = tmp() + "/right"
+    writeDocs(leftDir, ("k1", "left-1"), ("k2", "left-2"))
+    writeDocs(rightDir, ("k1", "right-1"), ("k2", "right-2"))
+    val joined = ShardpackOps.alignedJoin(Seq(
+      spark.read.format("shardpack").load(leftDir),
+      spark.read.format("shardpack").load(rightDir)))
+    val rows = joined.select(col("key"), size(col("entries")).as("n"),
+        col("entries").getItem(1).getField("data").cast("string").as("second"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("k1", 2, "right-1"), ("k2", 2, "right-2")))
+  }
+
+  test("overlay: updated records win per key, others pass through") {
+    val baseDir = tmp() + "/base"
+    val overDir = tmp() + "/over"
+    writeDocs(baseDir, ("k1", "v1"), ("k2", "v2"), ("k3", "v3"))
+    writeDocs(overDir, ("k2", "v2-updated"))
+    val merged = ShardpackOps.overlay(
+      spark.read.format("shardpack").load(baseDir),
+      spark.read.format("shardpack").load(overDir))
+    val rows = merged
+      .select(col("key"), col("entries").getItem(0).getField("data").cast("string").as("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("k1", "v1"), ("k2", "v2-updated"), ("k3", "v3")))
+  }
+}
