@@ -228,9 +228,9 @@ object LlmQueries {
         .select($"embedding".as("qe"), $"bkt".as("qbkt"))
       e.join(broadcast(q), $"bkt" === $"qbkt")
         .select($"vec_id", $"label", $"bkt",
-          (qdot(quantize($"embedding"), quantize($"qe")).cast(DoubleType) /
-            (sqrt(qnorm2(quantize($"embedding")).cast(DoubleType)) *
-              sqrt(qnorm2(quantize($"qe")).cast(DoubleType)))).as("cos"))
+          // native codegen'd cosine (graft.functions.VecCosine) — the ANN
+          // hot path; rows-only query, so no cross-engine decimal contract
+          graft.functions.VecCosine.vec_cosine($"embedding", $"qe").as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
     },
