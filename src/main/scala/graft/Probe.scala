@@ -17,12 +17,17 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = SparkEntry.all.find(_.name == name).getOrElse(sys.error(s"no query $name"))
-    val df = q.fn(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // Comma-separated names time each in sequence (repeat a name to see
+    // warm-vs-cold); the formatted plan prints only for a single query.
+    val names = name.split(",")
+    for (n0 <- names) {
+      val q = SparkEntry.all.find(_.name == n0).getOrElse(sys.error(s"no query $n0"))
+      val df = q.fn(spark, sfDir)
+      if (names.length == 1) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[probe] $n0 rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

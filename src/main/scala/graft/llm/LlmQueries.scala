@@ -235,6 +235,51 @@ object LlmQueries {
         .limit(10)
     },
 
+    // IVF ANN: coarse-quantize to the nearest of 16 fixed centroids (the
+    // first 16 vectors — deterministic, standing in for trained k-means
+    // cells), then probe only the query's 2 nearest cells. Centroids are
+    // driver state (as in any IVF index), so cell assignment is a pure map
+    // over the broadcast literal — NO shuffle; the probe filter drops
+    // ~7/8 of the table before the top-k. Rows-only check.
+    Q.noOracle("sim_ann_ivf") { (s, d) =>
+      val nCent = 16
+      val nProbe = 2
+      val centRows = embeddings(s, d).filter($"vec_id" < nCent)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      def cosine(x: Array[Float], y: Array[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+          ny += y(i).toDouble * y(i); i += 1
+        }
+        dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      val qv = centRows.find(_._1 == 1L).get._2
+      val probeCells = centRows
+        .map { case (cid, cv) => (cid, cosine(qv, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nProbe).map(_._1)
+      val centLit = array(centRows.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"),
+          array(cv.map(lit(_)): _*).cast("array<float>").as("cv"))
+      }: _*)
+      // array_max over (cos, -cid) structs = argmax cosine, ties to the
+      // smaller cid — lexicographic struct ordering, no shuffle.
+      val cell = -array_max(transform(centLit, c => struct(
+        graft.functions.VecCosine.vec_cosine($"embedding", c.getField("cv")).as("cos"),
+        (-c.getField("cid")).as("ncid")))).getField("ncid")
+      embeddings(s, d)
+        .withColumn("cell", cell)
+        .filter($"cell".isin(probeCells: _*))
+        .select($"vec_id", $"label", $"cell",
+          graft.functions.VecCosine.vec_cosine(
+            $"embedding", array(qv.map(lit(_)): _*).cast("array<float>")).as("cos"))
+        .orderBy($"cos".desc, $"vec_id")
+        .limit(10)
+    },
+
     // ───────────────────── text analysis ─────────────────────
     Q("text_stats",
       """SELECT lang, count(*) AS docs,
@@ -267,6 +312,49 @@ object LlmQueries {
           length(regexp_replace($"text", " ", "")).as("n_nonspace_chars"),
           (length(regexp_replace($"text", " ", "")).cast(DoubleType) / length($"text"))
             .as("density"))
+        .orderBy($"doc_id")
+    },
+
+    // Document quality scoring: length / punctuation-ratio / stopword-ratio
+    // heuristics with a composite keep flag — the standard pre-training
+    // filter stage. Ratios are single divisions of exact integer counts, so
+    // Spark and DuckDB agree bit-for-bit.
+    Q("quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('the','a','of','and','to','in','is','that'))) AS INT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CASE WHEN len(string_split(text, ' ')) >= 20
+        |        AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |            / length(text) <= 0.1
+        |        AND CAST(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |            / len(string_split(text, ' ')) >= 0.02
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+      val words = split($"text", " ")
+      val nWords = size(words)
+      val nPunct = size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0)))
+      val nStop = size(filter(words, w => w.isin(stops: _*)))
+      val punctRatio = nPunct.cast(DoubleType) / length($"text")
+      val stopRatio = nStop.cast(DoubleType) / nWords
+      documents(s, d).select($"doc_id",
+          length($"text").as("n_chars"),
+          nWords.as("n_words"),
+          nPunct.as("n_punct"),
+          nStop.as("n_stop"),
+          punctRatio.as("punct_ratio"),
+          stopRatio.as("stop_ratio"),
+          when(nWords >= 20 && punctRatio <= 0.1 && stopRatio >= 0.02, 1)
+            .otherwise(0).as("keep"))
         .orderBy($"doc_id")
     },
 

@@ -173,6 +173,35 @@ object RelationalQueries {
         .orderBy($"n_name")
     },
 
+    // TPC-H Q9-shaped star join over the two otherwise-uncovered dims
+    // (supplier, part): revenue by supplier nation × order year for one part
+    // family. Both dims broadcast; the fact side shuffles once for the agg.
+    Q("join_star",
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(part(s, d).filter($"p_name".like("%red%"))),
+          $"l_partkey" === $"p_partkey")
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"o_orderdate").cast(IntegerType).as("o_year"))
+        .agg(
+          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"n_name", $"o_year")
+    },
+
     // Non-equi band join: successor events within 5 minutes, same user.
     // Equi part (user_id) keeps it a hash join; the range is a residual
     // predicate — no quadratic blowup at scale.
