@@ -111,6 +111,33 @@ class LlmSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rows.head.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("ann ivf: query tops its own cell; recall >= 7/10 vs brute force") {
+    val ivf = LlmQueries.queries.find(_.name == "sim_ann_ivf").get.fn(spark, sf).collect()
+    assert(ivf.length == 10)
+    assert(ivf.head.getLong(0) == 1L, "query vec (vec_id=1) must rank first")
+    assert(math.abs(ivf.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    val cosines = ivf.map(_.getAs[Double]("cos"))
+    assert(cosines.sliding(2).forall(p => p(0) >= p(1)), "cos must be non-increasing")
+    val bf = LlmQueries.queries.find(_.name == "sim_topk").get.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ivf.map(_.getLong(0)).count(bf.contains)
+    // measured: 9/10 at sf0.001 and sf0.01 with nprobe=2 of 16 cells
+    assert(recall >= 7, s"IVF recall $recall/10 too low")
+  }
+
+  test("quality_score keep flag is consistent with its component ratios") {
+    val rows = LlmQueries.queries.find(_.name == "quality_score").get.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      val punctRatio = r.getAs[Double]("punct_ratio")
+      val stopRatio = r.getAs[Double]("stop_ratio")
+      val expect = if (nWords >= 20 && punctRatio <= 0.1 && stopRatio >= 0.02) 1 else 0
+      assert(r.getAs[Int]("keep") == expect, s"doc ${r.getLong(0)}")
+      assert(punctRatio >= 0 && punctRatio <= 1 && stopRatio >= 0 && stopRatio <= 1)
+    }
+  }
+
   test("topk aggregator matches sort-based top-k") {
     import spark.implicits._
     val data = (1 to 500).map(i => ((i % 7).toString, (i * 37 % 101).toDouble))
