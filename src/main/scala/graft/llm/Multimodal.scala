@@ -68,6 +68,30 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** STUB resize: nearest-neighbor downsample of the payload viewed as a
+    * `w×h` byte matrix — the real implementation would resample decoded
+    * pixels; the stub keeps the exact sampling arithmetic (index mapping
+    * `(x·w)/w'`, `(y·h)/h'`) so the Spark-side shape is the real one.
+    * Output length is exactly `newW·newH`.
+    */
+  def resizeStub(data: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, "target dims must be positive")
+    val out = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val srcY = (y.toLong * h / newH).toInt
+      var x = 0
+      while (x < newW) {
+        val srcX = (x.toLong * w / newW).toInt
+        val idx = srcY * w + srcX
+        out(y * newW + x) = if (idx < data.length) data(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** STUB frame sampler for "video" payloads: returns `n` evenly spaced
     * byte-slices standing in for decoded frames.
     */
@@ -93,6 +117,23 @@ object Multimodal {
       .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
       .as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (k, ct, d) => decodeStub(k, ct, d) })
+  }
+
+  /** Resize every entry payload to `newW×newH` using its decoded dimensions
+    * — decode and resample fused in one per-partition pass so pixels never
+    * round-trip through a shuffle.
+    */
+  def resizeEntries(df: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"key", explode($"entries").as("e"))
+      .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, ct, d) =>
+        val meta = decodeStub(k, ct, d)
+        (k, newW, newH, resizeStub(d, meta.width, meta.height, newW, newH))
+      })
+      .toDF("key", "width", "height", "data")
   }
 
   /** Extract feature vectors per entry payload (batch shape: one partition =

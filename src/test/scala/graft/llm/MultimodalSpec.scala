@@ -52,6 +52,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.frameSampleStub(Array.emptyByteArray, 4).isEmpty)
   }
 
+  test("resize maps payloads to exactly newW*newH bytes, idempotent at same size") {
+    val data = (0 until 64 * 48).map(_.toByte).toArray
+    val small = Multimodal.resizeStub(data, 64, 48, 16, 12)
+    assert(small.length == 16 * 12)
+    // corner pixels survive nearest-neighbor downsampling
+    assert(small(0) == data(0))
+    val same = Multimodal.resizeStub(data, 64, 48, 64, 48)
+    assert(same.toSeq == data.toSeq, "identity resize must be a no-op")
+    val df = Multimodal.resizeEntries(mediaDf(10), 8, 8).collect()
+    assert(df.length == 10)
+    assert(df.forall(_.getAs[Array[Byte]]("data").length == 64))
+  }
+
   test("pipeline: shardpack round-trip then decode preserves payload identity") {
     val dir = Files.createTempDirectory("mm-shardpack").toString
     mediaDf(30).write.format("shardpack").option("compression", "gzip")
