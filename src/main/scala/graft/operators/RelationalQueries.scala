@@ -302,6 +302,31 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Exact percentiles with linear interpolation. Quantities are scaled to
+    // exact ints and the quantile fractions are exact binary (k/4), so the
+    // interpolation a + (b−a)·frac is bit-identical in Spark (`percentile`)
+    // and DuckDB (`quantile_cont`). At 100 TB swap `percentile` for
+    // `percentile_approx` (t-digest sketch, mergeable map-side).
+    Q("agg_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5)  AS p50,
+        |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.75) AS p75,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        // round BEFORE the int cast: DuckDB rounds double→BIGINT, Spark
+        // truncates — after round() both see the same exact integer
+        .withColumn("q100", round($"l_quantity" * 100).cast(LongType))
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"q100", lit(0.25)).as("p25"),
+          percentile($"q100", lit(0.5)).as("p50"),
+          percentile($"q100", lit(0.75)).as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
     Q("agg_rollup",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's runtime
+  * skew-join splitting can't help (e.g. the skew is in the build of an
+  * aggregation, or the join is inside a stateful stream with fixed
+  * partitioning).
+  *
+  * Mechanics: the skewed (large) side gets a random-but-deterministic salt
+  * in `[0, n)` appended to its key; the small side is replicated n ways, one
+  * copy per salt value, via an `explode` of a literal range. The join key
+  * becomes `(key, salt)`, so one hot key's rows spread over n reducers
+  * instead of one. Replication multiplies the small side by n — choose n ≈
+  * (hot-key rows) / (target partition rows), not "big".
+  *
+  * The salt is `pmod(hash(monotonically_increasing_id), n)` — spreads rows
+  * of the same key uniformly without needing a random generator (keeps the
+  * result deterministic for tests; `rand(seed)` works equally).
+  */
+object SkewOps {
+
+  /** Inner-join `big` with `small` on `bigKey === smallKey`, salting `big`
+    * n ways and replicating `small` n ways.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      n: Int): DataFrame = {
+    require(n > 0, "salt fan-out must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(n)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    salted
+      .join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase (partial → final) aggregation for skewed group keys:
+    * first aggregate on `(key, salt)`, then re-aggregate the n partials per
+    * key. `sum`/`count`/`min`/`max` re-aggregate with themselves; this
+    * helper does counts and sums, the pattern generalizes to any
+    * commutative monoid (cf. TopKAggregator's bounded merge).
+    */
+  def saltedCountSum(df: DataFrame, key: String, sumCol: String, n: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(n)))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))
+      .groupBy(col(key))
+      .agg(sum($"__cnt").as("cnt"), sum($"__sum").as("sum"))
+  }
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
