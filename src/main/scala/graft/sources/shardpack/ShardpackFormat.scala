@@ -65,16 +65,24 @@ object ShardpackFormat {
 
   // ───────────────────────── codecs ─────────────────────────
 
+  /** The reference's `CompressionType` declares None/Gzip/Lz4/Zstd/Snappy
+    * but rejects Zstd and Snappy at runtime
+    * (`/root/reference/src/bucket.rs:18-25,135,161`); here the full enum is
+    * honored — zstd-jni and snappy-java ship with Spark.
+    */
   object Codec {
     val None = "none"; val Gzip = "gzip"; val Lz4 = "lz4"; val Zstd = "zstd"
-    val All: Seq[String] = Seq(None, Gzip, Lz4, Zstd)
+    val Snappy = "snappy"
+    val All: Seq[String] = Seq(None, Gzip, Lz4, Zstd, Snappy)
 
     def id(name: String): Byte = name match {
       case None => 0; case Gzip => 1; case Lz4 => 2; case Zstd => 3
+      case Snappy => 4
       case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
     }
     def name(id: Byte): String = id match {
       case 0 => None; case 1 => Gzip; case 2 => Lz4; case 3 => Zstd
+      case 4 => Snappy
       case other => throw new IllegalArgumentException(s"Unknown codec id: $other")
     }
 
@@ -88,6 +96,8 @@ object ShardpackFormat {
         net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(raw)
       case Zstd =>
         com.github.luben.zstd.Zstd.compress(raw)
+      case Snappy =>
+        org.xerial.snappy.Snappy.compress(raw)
       case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
     }
 
@@ -109,6 +119,8 @@ object ShardpackFormat {
           .decompress(stored, rawLen)
       case Zstd =>
         com.github.luben.zstd.Zstd.decompress(stored, rawLen)
+      case Snappy =>
+        org.xerial.snappy.Snappy.uncompress(stored)
       case other => throw new IllegalArgumentException(s"Unsupported compression: $other")
     }
   }
