@@ -91,7 +91,8 @@ final class ShardpackTable(path: String) extends Table with SupportsRead with Su
   override def schema(): StructType = Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardpackScanBuilder(path, options)
@@ -142,6 +143,9 @@ final class ShardpackScan(path: String, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ShardpackMicroBatchStream(path, required, keyFilter, verify)
   override def description(): String =
     s"shardpack $path keys=${keyFilter.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 

@@ -1,0 +1,88 @@
+package graft.sources.shardpack
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming source tailing a shardpack bucket:
+  * `spark.readStream.format("shardpack").load(dir)` emits each NEW shard
+  * file as it lands, one input partition per shard — the incremental-ingest
+  * counterpart of the batch scan, completing the source/sink symmetry with
+  * [[ShardpackWriteBuilder]]'s streaming sink.
+  *
+  * Offsets are the sorted set of processed shard file names. That is sound
+  * because shards are immutable and appear atomically (writers stage
+  * dot-prefixed temps and rename on commit — exactly the visibility contract
+  * the spec's sequential-streaming mode assumes,
+  * `/root/reference/docs/draft.md:213-218`); a name either is in the listing
+  * or not, never half-written. Spark's own FileStreamSource logs per-batch
+  * file lists the same way. Key pushdown and column pruning from the
+  * enclosing [[ShardpackScanBuilder]] apply to every micro-batch.
+  */
+final class ShardpackMicroBatchStream(path: String, required: StructType,
+    keyFilter: Option[Set[String]], verify: Boolean) extends MicroBatchStream {
+
+  private def currentFiles(): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    ShardpackDataSource.listShards(fs, dir).map(_.getPath.toString)
+  }
+
+  override def initialOffset(): Offset = ShardpackOffset(Seq.empty)
+
+  override def latestOffset(): Offset = ShardpackOffset(currentFiles())
+
+  override def deserializeOffset(json: String): Offset = ShardpackOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ShardpackOffset].files.toSet
+    val fresh = end.asInstanceOf[ShardpackOffset].files.filterNot(seen)
+    val conf = new Configuration()
+    fresh.map { f =>
+      val p = new Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      ShardInputPartition(f, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardpackReaderFactory(required, keyFilter, verify)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = sorted list of shard files already emitted. */
+final case class ShardpackOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ShardpackOffset {
+  /** Parse the JSON string-array written by [[ShardpackOffset.json]]. */
+  def fromJson(json: String): ShardpackOffset = {
+    val s = json.trim
+    require(s.startsWith("[") && s.endsWith("]"), s"bad shardpack offset: $s")
+    val body = s.substring(1, s.length - 1)
+    if (body.isEmpty) ShardpackOffset(Seq.empty)
+    else {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inStr = false
+      var escaped = false
+      body.foreach { c =>
+        if (escaped) { cur += c; escaped = false }
+        else if (c == '\\') escaped = true
+        else if (c == '"') {
+          if (inStr) { out += cur.result(); cur.clear() }
+          inStr = !inStr
+        } else if (inStr) cur += c
+        // commas/whitespace between strings are ignored
+      }
+      ShardpackOffset(out.result())
+    }
+  }
+}

@@ -136,4 +136,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(payload == """{"value":1.0}""")
     } finally q.stop()
   }
+
+  test("shardpack streaming source tails a bucket as new shards land") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shardpack-src").toString
+    val ckpt = Files.createTempDirectory("shardpack-src-ckpt").toString
+    def docs(ids: Range) = ids.toDF("i").select(
+      format_string("doc_%05d", $"i").as("key"),
+      lit(Array.empty[Byte]).as("metadata"),
+      array(struct(
+        lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"),
+        concat(lit("payload "), $"i".cast("string")).cast("binary").as("data")))
+        .as("entries"))
+    docs(0 until 5).write.format("shardpack").mode("append").save(dir)
+
+    val q = spark.readStream.format("shardpack").load(dir)
+      .select($"key", $"entries".getItem(0).getField("data").cast("string").as("body"))
+      .writeStream.format("memory").queryName("sp_tail")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sp_tail").count() == 5, "initial shards must be emitted")
+      docs(5 until 8).write.format("shardpack").mode("append").save(dir)
+      q.processAllAvailable()
+      val rows = spark.table("sp_tail").collect()
+      assert(rows.length == 8, "appended shards must stream exactly once")
+      assert(rows.map(_.getString(0)).sorted.toSeq ==
+        (0 until 8).map(i => f"doc_$i%05d"))
+      assert(rows.find(_.getString(0) == "doc_00007").get.getString(1) == "payload 7")
+    } finally q.stop()
+  }
+
+  test("shardpack offset json round-trips (incl. escaping)") {
+    val off = graft.sources.shardpack.ShardpackOffset(
+      Seq("""/a/b/sh"ard.shardpack""", "/plain/s.shardpack"))
+    val back = graft.sources.shardpack.ShardpackOffset.fromJson(off.json())
+    assert(back.files.toSet == off.files.toSet)
+    assert(graft.sources.shardpack.ShardpackOffset.fromJson("[]").files.isEmpty)
+  }
 }
