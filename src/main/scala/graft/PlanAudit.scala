@@ -1,30 +1,29 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Scale-readiness audit over every registered query's physical plan.
   *
   * Flags the plan shapes that break at 100 TB even though they pass at test
-  * scale: cartesian products, broadcast nested-loop joins, parquet scans with
-  * no pushed filters on filtered queries, and missing whole-stage codegen.
-  * Prints one line per query: join strategies, number of exchanges, scan
-  * pushdown summary — so a regression in any plan is one diff away.
+  * scale — cartesian products and broadcast nested-loop joins — and prints,
+  * per query: join strategies, shuffle-exchange count, whole-stage-codegen
+  * span count, and each parquet scan's pushed filters, so a regression in
+  * any plan dimension is one diff away.
   *
   * Usage: runMain graft.PlanAudit [sfDir]
   */
 object PlanAudit {
-  /** Queries whose "anti-pattern" shape is deliberate, with the reason.
-    * A nested-loop/cartesian flag on any OTHER query is a regression.
+
+  /** Queries whose flagged shape is deliberate — keyed by the EXACT warn
+    * kind excused, so a different regression on the same query still flags
+    * (e.g. sim_topk's intended NESTED_LOOP degrading to CARTESIAN).
     */
-  private val allowed = Map(
-    "sim_topk" ->
-      "NLJ build side is the single broadcast query vector (1 row) — optimal",
-    "dedup_simhash" ->
-      "pairwise demo bounded to SampleDocs; unbounded path = dedup_minhash",
-    "dedup_embedding_cosine" ->
-      "pairwise demo bounded to SampleVecs; unbounded path = sim_ann_lsh/ivf")
+  private val allowed: Map[String, Set[String]] = Map(
+    "sim_topk" -> Set("NESTED_LOOP"), // build side = 1-row query vector: optimal
+    "dedup_simhash" -> Set("NESTED_LOOP"), // bounded SampleDocs; scale path = minhash
+    "dedup_embedding_cosine" -> Set("NESTED_LOOP")) // bounded SampleVecs; scale path = ann
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -42,19 +41,30 @@ object PlanAudit {
         val df = q.fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan
         val nodes = collectNodes(plan)
-        val joins = nodes.filter(_.endsWith("Join")).groupBy(identity)
+        val names = nodes.map(_.nodeName)
+        val joins = names.filter(_.endsWith("Join")).groupBy(identity)
           .map { case (k, v) => if (v.size > 1) s"${v.size}×$k" else k }
           .toSeq.sorted
-        val exchanges = nodes.count(_.contains("Exchange"))
+        val exchanges = names.count(_.contains("Exchange"))
+        val codegen = names.count(_.startsWith("WholeStageCodegen"))
+        // every parquet scan's pushed-filter summary — empty brackets on a
+        // filtered query mean pushdown was lost
+        val pushes = nodes.collect {
+          case s: FileSourceScanExec =>
+            s.metadata.getOrElse("PushedFilters", "[]")
+        }.distinct
         val warns = Seq(
-          if (nodes.exists(_.contains("CartesianProduct"))) Some("CARTESIAN") else None,
-          if (nodes.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None
+          if (names.exists(_.contains("CartesianProduct"))) Some("CARTESIAN") else None,
+          if (names.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None
         ).flatten
+        val excused = allowed.getOrElse(q.name, Set.empty)
+        val bad = warns.filterNot(excused)
         val tag =
-          if (warns.isEmpty) "ok"
-          else if (allowed.contains(q.name)) "ok(bounded)"
-          else { flagged += 1; warns.mkString("!", ",", "!") }
-        println(f"[audit] ${q.name}%-24s $tag%-14s exch=$exchanges joins=${joins.mkString("+")}")
+          if (bad.nonEmpty) { flagged += 1; bad.mkString("!", ",", "!") }
+          else if (warns.nonEmpty) "ok(bounded)"
+          else "ok"
+        println(f"[audit] ${q.name}%-24s $tag%-14s exch=$exchanges wsc=$codegen " +
+          f"joins=${joins.mkString("+")}%-40s push=${pushes.mkString(" ")}")
       } catch {
         case e: Throwable =>
           flagged += 1
@@ -65,12 +75,11 @@ object PlanAudit {
     spark.stop()
   }
 
-  private def collectNodes(plan: SparkPlan): Seq[String] = {
-    val self = plan.nodeName
+  private def collectNodes(plan: SparkPlan): Seq[SparkPlan] = {
     val children = plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case p => p.children ++ p.subqueries
     }
-    self +: children.flatMap(collectNodes)
+    plan +: children.flatMap(collectNodes)
   }
 }

@@ -244,6 +244,10 @@ object LlmQueries {
     Q.noOracle("sim_ann_ivf") { (s, d) =>
       val nCent = 16
       val nProbe = 2
+      // Centroids (and the query vector) are collected driver state, as in
+      // any IVF index — the collect here is the "load the index" step, tiny
+      // and bounded by nCent. If the bucket lacks vec_id 1 (the query) the
+      // query degrades to an empty result like its LSH sibling would.
       val centRows = embeddings(s, d).filter($"vec_id" < nCent)
         .select($"vec_id", $"embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -256,7 +260,13 @@ object LlmQueries {
         }
         dot / (math.sqrt(nx) * math.sqrt(ny))
       }
-      val qv = centRows.find(_._1 == 1L).get._2
+      val qvOpt = centRows.find(_._1 == 1L).map(_._2)
+      if (qvOpt.isEmpty)
+        embeddings(s, d)
+          .select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
+          .filter(lit(false))
+      else {
+      val qv = qvOpt.get
       val probeCells = centRows
         .map { case (cid, cv) => (cid, cosine(qv, cv)) }
         .sortBy { case (cid, cos) => (-cos, cid) }
@@ -278,6 +288,7 @@ object LlmQueries {
             $"embedding", array(qv.map(lit(_)): _*).cast("array<float>")).as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
+      }
     },
 
     // ───────────────────── text analysis ─────────────────────

@@ -41,19 +41,30 @@ object Multimodal {
     */
   final case class MediaFeatures(key: String, features: Array[Double])
 
-  /** STUB decoder — deterministic fake. A real implementation would parse
-    * the container header (JPEG SOF / WAV fmt / MP4 moov); this derives
-    * plausible dimensions from the first payload bytes so tests are stable.
+  /** STUB header parse — dimensions only, reads the first 4 payload bytes
+    * (a real implementation parses JPEG SOF / WAV fmt / MP4 moov, which is
+    * likewise O(header), never O(payload)).
+    */
+  def decodeDimsStub(data: Array[Byte]): (Int, Int, Int) = {
+    def b(i: Int): Int = if (data.length > i) data(i) & 0xFF else 0
+    (1 + (b(0) << 4 | b(1) >> 4) % 4096,
+      1 + (b(1) & 0x0F | b(2) << 4) % 4096,
+      1 + b(3) % 4)
+  }
+
+  /** STUB decoder — deterministic fake: header dims from
+    * [[decodeDimsStub]] plus a full-payload SHA-256 content hash (the one
+    * genuinely O(payload) field — only this path pays it).
     */
   def decodeStub(key: String, contentType: String, data: Array[Byte]): MediaMeta = {
-    def b(i: Int): Int = if (data.length > i) data(i) & 0xFF else 0
+    val (w, h, c) = decodeDimsStub(data)
     MediaMeta(
       key = key,
       contentType = contentType,
       nBytes = data.length,
-      width = 1 + (b(0) << 4 | b(1) >> 4) % 4096,
-      height = 1 + (b(1) & 0x0F | b(2) << 4) % 4096,
-      nChannels = 1 + b(3) % 4,
+      width = w,
+      height = h,
+      nChannels = c,
       sha = graft.sources.shardpack.ShardpackFormat.sha256(data)
         .map(x => f"$x%02x").mkString)
   }
@@ -120,8 +131,11 @@ object Multimodal {
   }
 
   /** Resize every entry payload to `newW×newH` using its decoded dimensions
-    * — decode and resample fused in one per-partition pass so pixels never
-    * round-trip through a shuffle.
+    * — header parse and resample fused in one per-partition pass so pixels
+    * never round-trip through a shuffle, and nothing hashes or re-decodes
+    * the payload (dims come from the O(header) [[decodeDimsStub]]).
+    * `content_type` rides through so downstream stages can still route by
+    * modality.
     */
   def resizeEntries(df: DataFrame, newW: Int, newH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -130,10 +144,10 @@ object Multimodal {
       .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
       .as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (k, ct, d) =>
-        val meta = decodeStub(k, ct, d)
-        (k, newW, newH, resizeStub(d, meta.width, meta.height, newW, newH))
+        val (w, h, _) = decodeDimsStub(d)
+        (k, ct, newW, newH, resizeStub(d, w, h, newW, newH))
       })
-      .toDF("key", "width", "height", "data")
+      .toDF("key", "content_type", "width", "height", "data")
   }
 
   /** Extract feature vectors per entry payload (batch shape: one partition =

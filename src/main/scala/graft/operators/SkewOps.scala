@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   * instead of one. Replication multiplies the small side by n — choose n ≈
   * (hot-key rows) / (target partition rows), not "big".
   *
-  * The salt is `pmod(hash(monotonically_increasing_id), n)` — spreads rows
-  * of the same key uniformly without needing a random generator (keeps the
-  * result deterministic for tests; `rand(seed)` works equally).
+  * The salt is `pmod(hash(<every column of the row>), n)` — a pure function
+  * of row CONTENT. This matters for fault tolerance: a salt from
+  * `monotonically_increasing_id` or `rand` changes when a lost map task is
+  * recomputed and re-enumerates rows in a different order, so reducers that
+  * already committed see one assignment and re-run reducers another —
+  * silently dropping/duplicating rows (the SPARK-23207 class of bug).
+  * Content-hashing is retry-stable. Caveat: byte-identical duplicate rows
+  * share a salt; if the hot key's rows are exact duplicates, dedup or add a
+  * distinguishing column first.
   */
 object SkewOps {
+
+  private def contentSalt(df: DataFrame, n: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(n))
 
   /** Inner-join `big` with `small` on `bigKey === smallKey`, salting `big`
     * n ways and replicating `small` n ways.
@@ -31,8 +40,7 @@ object SkewOps {
       smallKey: String,
       n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    val salted = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(n)))
+    val salted = big.withColumn("__salt", contentSalt(big, n))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     salted
@@ -49,8 +57,8 @@ object SkewOps {
     * commutative monoid (cf. TopKAggregator's bounded merge).
     */
   def saltedCountSum(df: DataFrame, key: String, sumCol: String, n: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(n)))
+    require(n > 0, "salt fan-out must be positive")
+    val salted = df.withColumn("__salt", contentSalt(df, n))
     salted.groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))
       .groupBy(col(key))

@@ -134,18 +134,21 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
 
   override def build(): Scan =
     new ShardpackScan(path, required, keyFilter,
-      options.getBoolean("verifyChecksums", true))
+      options.getBoolean("verifyChecksums", true),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 final class ShardpackScan(path: String, required: StructType,
-    keyFilter: Option[Set[String]], verify: Boolean) extends Scan with Batch {
+    keyFilter: Option[Set[String]], verify: Boolean,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   import ShardpackDataSource._
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardpackMicroBatchStream(path, required, keyFilter, verify)
+    new ShardpackMicroBatchStream(path, required, keyFilter, verify,
+      maxFilesPerTrigger)
   override def description(): String =
     s"shardpack $path keys=${keyFilter.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 

@@ -3,7 +3,7 @@ package graft.sources.shardpack
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming source tailing a shardpack bucket:
@@ -17,12 +17,25 @@ import org.apache.spark.sql.types.StructType
   * dot-prefixed temps and rename on commit — exactly the visibility contract
   * the spec's sequential-streaming mode assumes,
   * `/root/reference/docs/draft.md:213-218`); a name either is in the listing
-  * or not, never half-written. Spark's own FileStreamSource logs per-batch
-  * file lists the same way. Key pushdown and column pruning from the
+  * or not, never half-written. Key pushdown and column pruning from the
   * enclosing [[ShardpackScanBuilder]] apply to every micro-batch.
+  *
+  * Backlog control: implements [[SupportsAdmissionControl]], so
+  * `.option("maxFilesPerTrigger", k)` caps each micro-batch at k new shards
+  * — a restart against a large backlog drains it in bounded batches instead
+  * of one giant one. Planning lists the directory ONCE per batch (a single
+  * RPC on object stores) and skips files that vanished between listing and
+  * planning (e.g. a concurrent compaction) rather than failing the query.
+  *
+  * Scale note: like Spark's own FileStreamSource per-batch file-list log,
+  * the offset carries the cumulative seen-file list; at ~400k shards the
+  * production refinement is a compacting seen-file log in the checkpoint
+  * with watermark-based retention — the offset format stays the same.
   */
 final class ShardpackMicroBatchStream(path: String, required: StructType,
-    keyFilter: Option[Set[String]], verify: Boolean) extends MicroBatchStream {
+    keyFilter: Option[Set[String]], verify: Boolean,
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def currentFiles(): Seq[String] = {
     val dir = new Path(path)
@@ -32,18 +45,45 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = ShardpackOffset(Seq.empty)
 
-  override def latestOffset(): Offset = ShardpackOffset(currentFiles())
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[ShardpackOffset].files
+    val seenSet = seen.toSet
+    val fresh = currentFiles().filterNot(seenSet).sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    ShardpackOffset(seen ++ admitted)
+  }
+
+  override def reportLatestOffset(): Offset = ShardpackOffset(currentFiles())
 
   override def deserializeOffset(json: String): Offset = ShardpackOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ShardpackOffset].files.toSet
     val fresh = end.asInstanceOf[ShardpackOffset].files.filterNot(seen)
-    val conf = new Configuration()
-    fresh.map { f =>
-      val p = new Path(f)
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen
-      ShardInputPartition(f, len): InputPartition
+    // one listing for all lengths; a file compacted away between offset
+    // resolution and planning is skipped, not fatal (its records are gone
+    // from the bucket either way)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val byName = ShardpackDataSource.listShards(fs, dir)
+      .map(st => st.getPath.toString -> st.getLen).toMap
+    fresh.flatMap { f =>
+      byName.get(f) match {
+        case Some(len) => Some(ShardInputPartition(f, len): InputPartition)
+        case None =>
+          System.err.println(s"[shardpack] shard vanished before planning, skipping: $f")
+          None
+      }
     }.toArray
   }
 

@@ -204,6 +204,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch to k shards") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shardpack-throttle").toString
+    val ckpt = Files.createTempDirectory("shardpack-throttle-ckpt").toString
+    // three saves × repartition(1) = exactly three shard files
+    for (batch <- 0 until 3) {
+      (batch * 10 until batch * 10 + 10).toDF("i").repartition(1).select(
+        format_string("doc_%05d", $"i").as("key"),
+        lit(Array.empty[Byte]).as("metadata"),
+        array(struct(
+          lit("b.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"i".cast("string").cast("binary").as("data")))
+          .as("entries"))
+        .write.format("shardpack").mode("append").save(dir)
+    }
+    val q = spark.readStream.format("shardpack")
+      .option("maxFilesPerTrigger", 1).load(dir)
+      .select($"key")
+      .writeStream.format("memory").queryName("sp_throttle")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sp_throttle").count() == 30)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 one-shard batches, got ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.forall(_.numInputRows == 10))
+    } finally q.stop()
+  }
+
   test("shardpack offset json round-trips (incl. escaping)") {
     val off = graft.sources.shardpack.ShardpackOffset(
       Seq("""/a/b/sh"ard.shardpack""", "/plain/s.shardpack"))
