@@ -379,6 +379,39 @@ object RelationalQueries {
         .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
     },
 
+    // Pivot: long→wide on the 3 return-flag values. Spark plans it as one
+    // aggregation with conditional sums — same shape as the CASE mirror, so
+    // one shuffle regardless of pivot-column cardinality.
+    Q("agg_pivot",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum($"l_quantity"))
+        .select($"l_linestatus", $"A".as("qty_a"), $"N".as("qty_n"), $"R".as("qty_r"))
+        .orderBy($"l_linestatus")
+    },
+
+    // Unpivot (melt): wide→long over the two order-money columns; Spark's
+    // native Expand node — each input row fans out map-side, no shuffle
+    // until the ORDER BY.
+    Q("fn_unpivot",
+      """SELECT o_orderkey, m, v FROM (
+        |  SELECT o_orderkey, 'custkey' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'totalprice' AS m, o_totalprice AS v FROM orders)
+        |ORDER BY o_orderkey, m""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select($"o_orderkey", $"o_custkey".cast(DoubleType).as("custkey"),
+          $"o_totalprice".as("totalprice"))
+        .unpivot(Array($"o_orderkey"), Array($"custkey", $"totalprice"), "m", "v")
+        .orderBy($"o_orderkey", $"m")
+    },
+
     // ──────────────────── window functions ────────────────────
     Q("win_rank",
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
