@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Layer-1 throughput: shardpack vs parquet on the same payload
+  * (`documents` packed as key/metadata/one-entry records). Measures write,
+  * full scan (payload aggregation), metadata-only scan (column pruning) and
+  * point lookup (key pushdown) per codec. The reference publishes no
+  * numbers (BASELINE.md), so parquet — the format Spark ships — is the
+  * yardstick.
+  *
+  * Usage: runMain graft.FormatBench [sfDir]
+  */
+object FormatBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val recs = Tables.documents(spark, sfDir).select(
+      concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0")).as("key"),
+      to_json(struct($"lang", $"source")).cast(BinaryType).as("metadata"),
+      array(struct(
+        lit("text.txt").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"), $"text".cast(BinaryType).as("data"))).as("entries"))
+    recs.cache(); val n = recs.count()
+    spark.range(100).count() // warm
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def bytesOf(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.getContentSummary(p).getLength
+    }
+    def measure(fmt: String, opts: Map[String, String], dir: String): Unit = {
+      val (_, tw) = time {
+        recs.write.format(fmt).options(opts).mode("overwrite").save(dir)
+      }
+      val read = () => spark.read.format(fmt).load(dir)
+      val (_, tscan) = time {
+        read().agg(sum(octet_length(element_at($"entries", 1).getField("data")))).collect()
+      }
+      val (_, tmeta) = time {
+        read().agg(count($"key"), max(length($"metadata"))).collect()
+      }
+      val (_, tpoint) = time {
+        read().filter($"key" === "doc_00000042").select($"key").collect()
+      }
+      val label = fmt + opts.get("compression").fold("")("/" + _)
+      println(f"[fmtbench] $label%-18s n=$n write=$tw%6.2fs scan=$tscan%6.2fs " +
+        f"metaOnly=$tmeta%6.2fs pointLookup=$tpoint%6.2fs size=${bytesOf(dir) / 1e6}%8.1f MB")
+    }
+
+    val base = "/tmp/graft-fmtbench"
+    for (codec <- Seq("none", "gzip", "lz4", "zstd", "snappy"))
+      measure("shardpack", Map("compression" -> codec), s"$base/sp-$codec")
+    measure("parquet", Map.empty, s"$base/parquet")
+    spark.stop()
+  }
+}
