@@ -21,9 +21,20 @@ class TopKAggregator(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]
 
   override def finish(r: Seq[Double]): Seq[Double] = r
 
+  /** Bounded insertion into the descending-sorted buffer: O(1) rejection
+    * when the buffer is full and `a` is no better than its minimum, O(k)
+    * positional insert otherwise — no full re-sort per row.
+    */
   private def insert(buf: Seq[Double], a: Double): Seq[Double] = {
-    val withA = (buf :+ a).sorted(Ordering[Double].reverse)
-    if (withA.size > k) withA.take(k) else withA
+    if (buf.size >= k && a <= buf.last) buf
+    else {
+      val pos = buf.indexWhere(_ < a) match {
+        case -1 => buf.size
+        case i => i
+      }
+      val withA = (buf.take(pos) :+ a) ++ buf.drop(pos)
+      if (withA.size > k) withA.take(k) else withA
+    }
   }
 
   override def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()

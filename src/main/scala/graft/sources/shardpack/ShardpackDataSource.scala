@@ -154,23 +154,25 @@ final class ShardpackScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfs.session())
     listShards(fs, dir)
       .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, keyFilter, verify)
+    ShardpackReaderFactory(required, keyFilter, verify, HadoopConfs.serializable())
 }
 
 final case class ShardInputPartition(file: String, length: Long) extends InputPartition
 
 final case class ShardpackReaderFactory(required: StructType,
-    keyFilter: Option[Set[String]], verify: Boolean) extends PartitionReaderFactory {
+    keyFilter: Option[Set[String]], verify: Boolean,
+    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[ShardInputPartition]
-    new ShardpackPartitionReader(sp.file, sp.length, required, keyFilter, verify)
+    new ShardpackPartitionReader(sp.file, sp.length, required, keyFilter, verify,
+      hconf.value)
   }
 }
 
@@ -180,10 +182,11 @@ final case class ShardpackReaderFactory(required: StructType,
   * decompression, no checksum work.
   */
 final class ShardpackPartitionReader(file: String, fileLen: Long,
-    required: StructType, keyFilter: Option[Set[String]], verify: Boolean)
+    required: StructType, keyFilter: Option[Set[String]], verify: Boolean,
+    hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
-  private val fs = new Path(file).getFileSystem(new Configuration())
+  private val fs = new Path(file).getFileSystem(hadoopConf)
   private val footer = {
     val in = fs.open(new Path(file))
     try ShardpackFormat.readFooter(fileLen, (pos, len) => {
@@ -270,28 +273,32 @@ final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-/** Micro-batch streaming sink: per-epoch task writers stage dot-temp shards;
-  * epoch commit promotes them, exactly like the batch path. Epoch replays
-  * re-stage fresh temp names, so duplicated epochs never double-publish.
+/** Micro-batch streaming sink: per-epoch task writers stage dot-temp shards
+  * whose FINAL names are a deterministic function of (epochId, partitionId,
+  * shard seq). Epoch replays after checkpoint recovery therefore resolve to
+  * the same destination names, and commit skips destinations that already
+  * exist — re-delivered epochs never double-publish.
   */
 final class ShardpackStreamingWrite(inner: ShardpackBatchWrite)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val f = inner.createBatchWriterFactory(info)
-    new StreamingDataWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-        f.createWriter(partitionId, taskId)
-    }
-  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ShardpackEpochWriterFactory(inner.writerFactory)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     inner.commit(messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     inner.abort(messages)
 }
 
-final case class ShardpackCommit(tempFiles: Seq[String]) extends WriterCommitMessage
+final case class ShardpackEpochWriterFactory(f: ShardpackWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    f.createEpochWriter(partitionId, taskId, epochId)
+}
+
+/** `files` = (staged temp path, final visible name) per rolled shard. */
+final case class ShardpackCommit(files: Seq[(String, String)]) extends WriterCommitMessage
 
 final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     codec: String, shardCap: Long, shardMeta: Array[Byte]) extends BatchWrite {
@@ -302,14 +309,15 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
   private val entriesIdx = schema.fieldIndex("entries")
   Codec.id(codec) // fail fast on unknown codec
 
+  private[shardpack] def writerFactory: ShardpackWriterFactory =
+    ShardpackWriterFactory(path, keyIdx, metaIdx, entriesIdx,
+      entryFieldIndexes(), codec, shardCap, shardMeta, HadoopConfs.serializable())
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfs.session())
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    else if (truncateFirst)
-      ShardpackDataSource.listShards(fs, dir).foreach(st => fs.delete(st.getPath, false))
-    ShardpackWriterFactory(path, keyIdx, metaIdx, entriesIdx,
-      entryFieldIndexes(), codec, shardCap, shardMeta)
+    writerFactory
   }
 
   private def entryFieldIndexes(): (Int, Int, Int, Int) = {
@@ -319,43 +327,68 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
       et.fieldIndex("encoding"), et.fieldIndex("data"))
   }
 
-  /** Job commit: promote each task's staged temp shards to visible names.
-    * Only files named in commit messages survive; stray output from failed
-    * task attempts stays dot-prefixed (invisible to readers) and is swept
-    * here.
+  /** Job commit: promote each task's staged temp shards to their final
+    * names, THEN (for overwrite mode) delete the previous generation.
+    * Ordering is chosen so no failure point loses data: a crash before the
+    * renames leaves the old generation intact (abort sweeps temps); a crash
+    * mid-promotion leaves old + some new visible (transient duplicates for
+    * an overwrite, never emptiness). Renames are checked — an already-
+    * existing destination with the temp gone means a replayed commit (the
+    * streaming sink's deterministic epoch names) and is skipped as success.
+    * Only files named in commit messages are promoted; stray output from
+    * failed task attempts stays dot-prefixed (invisible to readers) and is
+    * swept at the end.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    val committed = messages.flatMap {
-      case ShardpackCommit(fs_) => fs_
-    }.toSet
-    committed.foreach { tmp =>
-      val p = new Path(tmp)
-      fs.rename(p, new Path(p.getParent, p.getName.stripPrefix(".")))
+    val fs = dir.getFileSystem(HadoopConfs.session())
+    val previous =
+      if (truncateFirst) ShardpackDataSource.listShards(fs, dir).map(_.getPath) else Seq.empty
+    val committed = messages.flatMap { case ShardpackCommit(fs_) => fs_ }
+    val finalNames = committed.map(_._2).toSet
+    committed.foreach { case (tmp, finalName) =>
+      val src = fs.makeQualified(new Path(tmp))
+      val dst = fs.makeQualified(new Path(dir, finalName))
+      if (fs.exists(dst)) {
+        // replayed epoch commit: destination already published; drop the temp
+        if (fs.exists(src)) fs.delete(src, false)
+      } else if (!fs.rename(src, dst)) {
+        throw new java.io.IOException(s"shardpack commit failed: rename $src -> $dst")
+      }
     }
-    // sweep uncommitted temp files
+    // overwrite: old generation goes away only after the new one is visible
+    previous.filterNot(p => finalNames.contains(p.getName))
+      .foreach(p => fs.delete(p, false))
+    // sweep uncommitted temp files (qualified-path comparison)
+    val committedTemps = committed.map(t => fs.makeQualified(new Path(t._1)).toString).toSet
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".graft-tmp-") && !committed.contains(st.getPath.toString))
+      if (n.startsWith(".graft-tmp-") &&
+          !committedTemps.contains(fs.makeQualified(st.getPath).toString))
         fs.delete(st.getPath, false)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfs.session())
     messages.filter(_ != null).flatMap { case ShardpackCommit(fs_) => fs_ }
-      .foreach(tmp => fs.delete(new Path(tmp), false))
+      .foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
   }
 }
 
 final case class ShardpackWriterFactory(path: String, keyIdx: Int, metaIdx: Int,
     entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
-    shardCap: Long, shardMeta: Array[Byte]) extends DataWriterFactory {
+    shardCap: Long, shardMeta: Array[Byte],
+    hconf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardpackDataWriter(path, partitionId, taskId, keyIdx, metaIdx, entriesIdx,
-      entryIdxs, codec, shardCap, shardMeta)
+    new ShardpackDataWriter(path, partitionId, taskId, None, keyIdx, metaIdx,
+      entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
+
+  /** Streaming variant: epoch-deterministic final shard names. */
+  def createEpochWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ShardpackDataWriter(path, partitionId, taskId, Some(epochId), keyIdx,
+      metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
 }
 
 /** Task-local shard writer: encodes rows to record blocks, rolls a new shard
@@ -365,24 +398,35 @@ final case class ShardpackWriterFactory(path: String, keyIdx: Int, metaIdx: Int,
   * Memory: one encoded record + O(record offsets) per open shard.
   */
 final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
-    keyIdx: Int, metaIdx: Int, entriesIdx: Int, entryIdxs: (Int, Int, Int, Int),
-    codec: String, shardCap: Long, shardMeta: Array[Byte])
+    epochId: Option[Long], keyIdx: Int, metaIdx: Int, entriesIdx: Int,
+    entryIdxs: (Int, Int, Int, Int), codec: String, shardCap: Long,
+    shardMeta: Array[Byte], hadoopConf: Configuration = new Configuration())
     extends DataWriter[InternalRow] {
 
   private val (fnIdx, ctIdx, encIdx, dataIdx) = entryIdxs
-  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val fs = new Path(path).getFileSystem(hadoopConf)
   private val uuid = UUID.randomUUID().toString.take(8)
-  private val files = ArrayBuffer.empty[String]
+  private val files = ArrayBuffer.empty[(String, String)] // (temp path, final name)
   private var seq = 0
   private var writer: ShardFileWriter = _
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
 
   private def roll(): Unit = {
     if (writer != null) { writer.finish(); out = null }
-    val name = f".graft-tmp-part-$partitionId%05d-$taskId-$uuid-$seq%04d${ShardpackDataSource.FileSuffix}"
+    // Temp names are attempt-unique (uuid) so retried attempts never collide
+    // on create; FINAL names are attempt-independent for streaming epochs so
+    // a replayed epoch is idempotent at commit (batch keeps the uuid — names
+    // only need job-uniqueness there).
+    val finalName = epochId match {
+      case Some(e) =>
+        f"epoch-$e%06d-part-$partitionId%05d-$seq%04d${ShardpackDataSource.FileSuffix}"
+      case None =>
+        f"part-$partitionId%05d-$taskId-$uuid-$seq%04d${ShardpackDataSource.FileSuffix}"
+    }
+    val tempName = s".graft-tmp-$uuid-$finalName"
     seq += 1
-    val p = new Path(path, name)
-    files += p.toString
+    val p = new Path(path, tempName)
+    files += (p.toString -> finalName)
     out = fs.create(p, false)
     writer = new ShardFileWriter(out, shardMeta)
   }
@@ -397,7 +441,7 @@ final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
 
   private def toRecord(row: InternalRow): Record = {
     val key = row.getUTF8String(keyIdx).toString
-    val meta = if (row.isNullAt(metaIdx)) Array.emptyByteArray else row.getBinary(metaIdx)
+    val meta = if (row.isNullAt(metaIdx)) null else row.getBinary(metaIdx)
     val arr = row.getArray(entriesIdx)
     val entries = (0 until arr.numElements()).map { i =>
       val e = arr.getStruct(i, 4)
@@ -417,7 +461,9 @@ final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
 
   override def abort(): Unit = {
     try if (out != null) out.close() catch { case _: Exception => }
-    files.foreach(f => try fs.delete(new Path(f), false) catch { case _: Exception => })
+    files.foreach { case (tmp, _) =>
+      try fs.delete(new Path(tmp), false) catch { case _: Exception => }
+    }
   }
 
   override def close(): Unit = ()

@@ -146,8 +146,10 @@ object ShardpackFormat {
     val body = new ByteArrayOutputStream()
     val out = new DataOutputStream(body)
     writeStr16(out, rec.key)
-    val meta = if (rec.metadata == null) Array.emptyByteArray else rec.metadata
-    out.writeInt(meta.length); out.write(meta)
+    // length -1 = NULL metadata (distinct from empty — the schema declares
+    // metadata nullable and `WHERE metadata IS NULL` must round-trip)
+    if (rec.metadata == null) out.writeInt(-1)
+    else { out.writeInt(rec.metadata.length); out.write(rec.metadata) }
     require(rec.entries.size <= 0xFFFF, s"too many entries: ${rec.entries.size}")
     out.writeShort(rec.entries.size)
     rec.entries.foreach { e =>
@@ -210,7 +212,7 @@ object ShardpackFormat {
     val in = new DataInputStream(new ByteArrayInputStream(block))
     val key = readStr16(in)
     val metaLen = in.readInt()
-    val meta = readFully(in, metaLen)
+    val meta = if (metaLen < 0) null else readFully(in, metaLen)
     val nEntries = in.readUnsignedShort()
     val entries = (0 until nEntries).map { _ =>
       val name = readStr16(in)

@@ -39,7 +39,7 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
 
   private def currentFiles(): Seq[String] = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfs.session())
     ShardpackDataSource.listShards(fs, dir).map(_.getPath.toString)
   }
 
@@ -74,7 +74,7 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
     // resolution and planning is skipped, not fatal (its records are gone
     // from the bucket either way)
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfs.session())
     val byName = ShardpackDataSource.listShards(fs, dir)
       .map(st => st.getPath.toString -> st.getLen).toMap
     fresh.flatMap { f =>
@@ -88,7 +88,7 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, keyFilter, verify)
+    ShardpackReaderFactory(required, keyFilter, verify, HadoopConfs.serializable())
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

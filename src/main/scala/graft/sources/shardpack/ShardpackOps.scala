@@ -39,7 +39,7 @@ object ShardpackOps {
       compression: String = ShardpackFormat.Codec.None,
       recordSizeLimit: Long = 1L << 30): Unit = {
     // binaryFile yields fully-qualified URIs (file:/…, s3a://…)
-    val fs = new Path(inputDir).getFileSystem(new Configuration())
+    val fs = new Path(inputDir).getFileSystem(HadoopConfs.session())
     // Path.toString matches the path column's form (file:/… single-slash)
     val prefixLen = fs.makeQualified(new Path(inputDir)).toString.length + 1
     val contentType = {
@@ -72,14 +72,22 @@ object ShardpackOps {
   def deleteKeys(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
     import spark.implicits._
     val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    // snapshot the old generation BEFORE making the new one visible
+    val oldShards = ShardpackDataSource.listShards(fs, new Path(dir)).map(_.getPath)
     spark.read.format("shardpack").load(dir)
       .join(broadcast(keys.toDF("key")), Seq("key"), "left_anti")
       .write.format("shardpack").mode("append").save(staging)
-    val fs = new Path(dir).getFileSystem(new Configuration())
-    ShardpackDataSource.listShards(fs, new Path(dir))
-      .foreach(st => fs.delete(st.getPath, false))
-    ShardpackDataSource.listShards(fs, new Path(staging))
-      .foreach(st => fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
+    // rename the new generation IN first (task-unique names never clash),
+    // then drop the old: a crash mid-swap leaves transient duplicates, never
+    // an empty bucket — the previous delete-then-rename order had an
+    // unbounded data-loss window
+    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
+      val dst = new Path(dir, st.getPath.getName)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"deleteKeys: rename ${st.getPath} -> $dst failed")
+    }
+    oldShards.foreach(p => fs.delete(p, false))
     fs.delete(new Path(staging), true)
   }
 

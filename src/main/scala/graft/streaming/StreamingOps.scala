@@ -63,34 +63,57 @@ object StreamingOps {
       sess_end: java.sql.Timestamp, cnt: Int)
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
-    * hatch for session semantics the built-in can't express (here: emit a
-    * session when `gapMs` of event-time silence elapses, tracked with a
-    * processing-time timeout for simplicity of the demo).
+    * hatch for session semantics the built-in can't express. A session
+    * closes after `gapMs` of event-time silence; an EVENT-TIME timeout at
+    * `last + gapMs` flushes each user's trailing session and removes its
+    * state once the watermark passes the gap, so a user who goes quiet
+    * neither loses their last session nor leaks a state-store entry.
+    * (Processing-time timeouts would busy-loop empty micro-batches; event
+    * time fires only as the watermark advances.)
     */
-  def sessionizeWithState(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t < st.last + gapMs =>
-                cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
-              case Some(st) =>
-                out += SessionOut(user, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.last + gapMs), st.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          def close(st: SessionState) = SessionOut(user,
+            new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last + gapMs), st.n)
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events: emit the pending session and
+            // reclaim this user's state
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t < st.last + gapMs =>
+                  // merge; a cross-batch straggler may precede the recorded
+                  // start, so the session start moves back too
+                  cur = Some(SessionState(math.min(st.start, t),
+                    math.max(st.last, t), st.n + 1))
+                case Some(st) =>
+                  out += close(st)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // flush the trailing session when the watermark passes the gap
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

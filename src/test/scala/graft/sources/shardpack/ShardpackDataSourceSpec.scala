@@ -50,6 +50,22 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getString(3) == """{"id":7}""")
   }
 
+  test("NULL metadata round-trips as NULL, distinct from empty binary") {
+    val dir = tmpDir()
+    spark.range(2).select(
+      format_string("k%d", col("id")).as("key"),
+      when(col("id") === 0, lit(null).cast(BinaryType))
+        .otherwise(lit(Array.emptyByteArray)).as("metadata"),
+      array(struct(lit("f").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"), lit("x".getBytes).as("data"))).as("entries"))
+      .write.format("shardpack").mode("append").save(dir)
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.filter(col("metadata").isNull).select("key").head.getString(0) == "k0")
+    val empty = back.filter(col("metadata").isNotNull).head
+    assert(empty.getString(0) == "k1")
+    assert(empty.getAs[Array[Byte]]("metadata").length == 0)
+  }
+
   test("small shardCap rolls multiple shard files per task") {
     val dir = tmpDir()
     sampleDf(500).coalesce(1).write.format("shardpack")

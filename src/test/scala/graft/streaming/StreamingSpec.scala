@@ -134,6 +134,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val payload = back.filter($"key" === "ev_000003")
         .select($"entries".getItem(0).getField("data").cast("string")).head.getString(0)
       assert(payload == """{"value":1.0}""")
+      // shard names are a deterministic function of (epoch, partition, seq):
+      // the commit skips already-published names, so epoch replays after
+      // checkpoint recovery cannot double-publish
+      val names = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(_.endsWith(".shardpack")).sorted
+      assert(names.nonEmpty && names.forall(_.matches("epoch-\\d{6}-part-\\d{5}-\\d{4}\\.shardpack")),
+        s"expected epoch-deterministic shard names, got ${names.mkString(",")}")
+      assert(names.map(_.take(12)).distinct.length == 2, "one epoch prefix per micro-batch")
     } finally q.stop()
   }
 
