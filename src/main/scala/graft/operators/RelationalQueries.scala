@@ -250,6 +250,37 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // TPC-H Q3-shaped, implemented ENTIRELY through spark.sql over temp
+    // views — the SQL entry point is first-class next to the DataFrame API;
+    // both compile to the same Catalyst plan (verified: identical join/agg
+    // shape in PlanAudit).
+    Q("sql_q3",
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_orderkey, o_orderdate,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+          |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-03-15'
+          |  AND l_shipdate > TIMESTAMP '1997-03-15'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    },
+
     // ───────────────────── aggregations ─────────────────────
     // TPC-H Q1-shaped: partial (map-side) agg + final agg over 2 shuffle keys.
     Q("agg_group",
