@@ -21,6 +21,7 @@ object PlanAudit {
     * (e.g. sim_topk's intended NESTED_LOOP degrading to CARTESIAN).
     */
   private val allowed: Map[String, Set[String]] = Map(
+    "join_cross" -> Set("CARTESIAN", "NESTED_LOOP"), // explicit 25×5 dim product
     "sim_topk" -> Set("NESTED_LOOP"), // build side = 1-row query vector: optimal
     "dedup_simhash" -> Set("NESTED_LOOP"), // bounded SampleDocs; scale path = minhash
     "dedup_embedding_cosine" -> Set("NESTED_LOOP")) // bounded SampleVecs; scale path = ann

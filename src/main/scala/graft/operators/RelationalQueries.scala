@@ -202,6 +202,16 @@ object RelationalQueries {
         .orderBy($"n_name", $"o_year")
     },
 
+    // Explicit cartesian of two bounded dims (25×5) — the one place a
+    // cross join is the right plan; anything larger pairs via keys.
+    Q("join_cross",
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin) { (s, d) =>
+      nation(s, d).select($"n_name")
+        .crossJoin(region(s, d).select($"r_name"))
+        .orderBy($"n_name", $"r_name")
+    },
+
     // Non-equi band join: successor events within 5 minutes, same user.
     // Equi part (user_id) keeps it a hash join; the range is a residual
     // predicate — no quadratic blowup at scale.
@@ -563,6 +573,29 @@ object RelationalQueries {
       customer(s, d).select($"c_custkey".as("k"))
         .except(orders(s, d).filter($"o_orderstatus" === "F")
           .select($"o_custkey".as("k")))
+        .orderBy($"k")
+    },
+
+    // Bag semantics: multiplicities min(l,r) / l−r, preserved per row.
+    Q("set_intersect_all",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+        .intersectAll(o.filter($"o_totalprice" > 50000).select($"o_custkey".as("k")))
+        .orderBy($"k")
+    },
+
+    Q("set_except_all",
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 10000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter($"o_totalprice" > 10000).select($"o_custkey".as("k"))
+        .exceptAll(o.filter($"o_orderstatus" === "F").select($"o_custkey".as("k")))
         .orderBy($"k")
     }
   )
