@@ -102,6 +102,67 @@ object LlmQueries {
         .orderBy($"a_id", $"b_id")
     },
 
+    // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    // graph (pairs → groups → keep min doc_id per group — the step that
+    // makes dedup actionable). Spark side: min-label propagation iterated
+    // to a fixpoint — each round is one distributed join+agg, rounds =
+    // graph diameter (tiny for near-dup cliques); the same loop is how
+    // GraphX computes components, no driver-side graph. Oracle: recursive
+    // CTE transitive closure.
+    Q("dedup_cluster",
+      s"""WITH RECURSIVE tok AS (
+         |  ${sqlShingleTok("documents")}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |good AS (
+         |  SELECT a_id, b_id FROM pair
+         |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM good
+         |          UNION ALL SELECT b_id, a_id FROM good),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(label) AS cluster FROM reach
+         |GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = shingleTok(documents(s, d))
+      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pair = tok.as("a").join(tok.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast(DoubleType) /
+        (col("ca.n") + col("cb.n") - col("inter"))
+      val good = pair
+        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
+        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
+        .filter(jac >= 0.5)
+        .select($"a_id", $"b_id")
+      val edges = good.select($"a_id".as("u"), $"b_id".as("v"))
+        .union(good.select($"b_id".as("u"), $"a_id".as("v")))
+        .persist()
+      var labels = edges.select($"u").distinct().select($"u", $"u".as("label")).persist()
+      var converged = false
+      while (!converged) {
+        // each node takes min(own label, neighbors' labels)
+        val next = edges.join(labels.withColumnRenamed("u", "v2"), $"v" === $"v2")
+          .select($"u", $"label")
+          .union(labels.select($"u", $"label"))
+          .groupBy($"u").agg(min($"label").as("label"))
+          .persist()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "u")
+          .filter($"label" =!= $"old").isEmpty
+        labels.unpersist()
+        labels = next
+      }
+      edges.unpersist()
+      labels.select($"u".as("doc_id"), $"label".as("cluster")).orderBy($"doc_id")
+    },
+
     // MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Candidate pairs
     // come only from shared (band, bandhash) buckets — one shuffle on the
     // bucket key, never all-pairs. Seeded xxhash64 family → reproducible.
