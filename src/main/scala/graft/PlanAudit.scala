@@ -20,6 +20,12 @@ object PlanAudit {
     * kind excused, so a different regression on the same query still flags
     * (e.g. sim_topk's intended NESTED_LOOP degrading to CARTESIAN).
     */
+  /** Iterative queries execute a driver-side fixpoint loop when the fn is
+    * called, so the returned plan covers only the final derived frame —
+    * the audit line is annotated rather than silently misleading.
+    */
+  private val iterative = Set("dedup_cluster")
+
   private val allowed: Map[String, Set[String]] = Map(
     "join_cross" -> Set("CARTESIAN", "NESTED_LOOP"), // explicit 25×5 dim product
     "sim_topk" -> Set("NESTED_LOOP"), // build side = 1-row query vector: optimal
@@ -63,6 +69,7 @@ object PlanAudit {
         val tag =
           if (bad.nonEmpty) { flagged += 1; bad.mkString("!", ",", "!") }
           else if (warns.nonEmpty) "ok(bounded)"
+          else if (iterative(q.name)) "ok(iterative)"
           else "ok"
         println(f"[audit] ${q.name}%-24s $tag%-14s exch=$exchanges wsc=$codegen " +
           f"joins=${joins.mkString("+")}%-40s push=${pushes.mkString(" ")}")

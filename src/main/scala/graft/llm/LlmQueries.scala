@@ -137,11 +137,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("inter"))
       val jac = col("inter").cast(DoubleType) /
         (col("ca.n") + col("cb.n") - col("inter"))
+      // persist the pair graph: edges' union would otherwise recompute the
+      // shingle self-join (the dominant cost) once per branch
       val good = pair
         .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
         .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
         .filter(jac >= 0.5)
         .select($"a_id", $"b_id")
+        .persist()
       val edges = good.select($"a_id".as("u"), $"b_id".as("v"))
         .union(good.select($"b_id".as("u"), $"a_id".as("v")))
         .persist()
@@ -159,8 +162,14 @@ object LlmQueries {
         labels.unpersist()
         labels = next
       }
-      edges.unpersist()
-      labels.select($"u".as("doc_id"), $"label".as("cluster")).orderBy($"doc_id")
+      // localCheckpoint truncates the loop lineage and lets every cache
+      // entry be released now — the checkpoint blocks free with the
+      // returned DataFrame (ContextCleaner), unlike a leaked .persist()
+      val result = labels
+        .select($"u".as("doc_id"), $"label".as("cluster"))
+        .localCheckpoint(true)
+      labels.unpersist(); edges.unpersist(); good.unpersist()
+      result.orderBy($"doc_id")
     },
 
     // MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Candidate pairs

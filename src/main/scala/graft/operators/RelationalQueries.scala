@@ -32,6 +32,21 @@ object RelationalQueries {
   private def dec10(c: Column): Column = c.cast(DecimalType(10, 2))
   private val one10 = lit(1).cast(DecimalType(10, 2))
 
+  /** sql_q3's single source of truth — run verbatim by BOTH Spark and the
+    * DuckDB oracle (ANSI subset both engines parse identically).
+    */
+  private val Q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -261,34 +276,14 @@ object RelationalQueries {
     },
 
     // TPC-H Q3-shaped, implemented ENTIRELY through spark.sql over temp
-    // views — the SQL entry point is first-class next to the DataFrame API;
-    // both compile to the same Catalyst plan (verified: identical join/agg
-    // shape in PlanAudit).
-    Q("sql_q3",
-      """SELECT l_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
-        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1997-03-15'
-        |  AND l_shipdate > TIMESTAMP '1997-03-15'
-        |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    // views — the SQL entry point is first-class next to the DataFrame API.
+    // ONE shared SQL text is both the Spark query and the DuckDB oracle:
+    // the hash match literally proves both engines agree on the statement.
+    Q("sql_q3", Q3Sql) { (s, d) =>
       customer(s, d).createOrReplaceTempView("customer")
       orders(s, d).createOrReplaceTempView("orders")
       lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(
-        """SELECT l_orderkey, o_orderdate,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
-          |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
-          |FROM customer JOIN orders ON c_custkey = o_custkey
-          |JOIN lineitem ON l_orderkey = o_orderkey
-          |WHERE c_mktsegment = 'BUILDING'
-          |  AND o_orderdate < TIMESTAMP '1997-03-15'
-          |  AND l_shipdate > TIMESTAMP '1997-03-15'
-          |GROUP BY l_orderkey, o_orderdate
-          |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+      s.sql(Q3Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────
