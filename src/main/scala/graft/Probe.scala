@@ -22,9 +22,10 @@ object Probe {
     val names = name.split(",")
     for (n0 <- names) {
       val q = SparkEntry.all.find(_.name == n0).getOrElse(sys.error(s"no query $n0"))
+      // time fn() too — iterative queries (dedup_cluster) execute inside it
+      val t0 = System.nanoTime()
       val df = q.fn(spark, sfDir)
       if (names.length == 1) df.explain("formatted")
-      val t0 = System.nanoTime()
       val n = df.count()
       println(f"[probe] $n0 rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
