@@ -464,6 +464,38 @@ object RelationalQueries {
         .orderBy($"o_orderpriority", $"rn")
     },
 
+    // Distribution + navigation functions: ntile/percent_rank/cume_dist are
+    // exact rank arithmetic (no float accumulation), first/nth_value pin the
+    // frame explicitly — all deterministic under the total per-partition
+    // order.
+    Q("win_distribution",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey),
+        |       wf AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // rank-family functions require the default RANGE frame; the value
+      // navigators get an explicit ROWS frame
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select($"o_orderkey", $"o_orderpriority",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first($"o_orderkey").over(wf).as("first_key"),
+          nth_value($"o_orderkey", 2).over(wf).as("second_key"))
+        .orderBy($"o_orderkey")
+    },
+
     Q("win_lag_lead",
       """SELECT event_id, user_id, value,
         |  lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val,
