@@ -363,6 +363,31 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Argmax/argmin aggregates: the per-group extremum carrier row without
+    // a self-join or window (one shuffle, partial-aggregable).
+    Q("agg_arg_max",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS max_price_key,
+        |  arg_min(o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 - o_orderkey) AS min_price_key,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // total ordering key folds the key-tiebreak into one exact BIGINT
+      // (price cents ×1e7 ± key; keys are < 1e7): max by (price, key),
+      // min by (price, -key) — DuckDB's arg_max/arg_min take only scalar
+      // ordering keys, so struct ordering can't be mirrored
+      val cents = round($"o_totalprice" * 100).cast(LongType)
+      orders(s, d).groupBy($"o_orderpriority")
+        .agg(
+          max_by($"o_orderkey", cents * 10000000L + $"o_orderkey").as("max_price_key"),
+          min_by($"o_orderkey", cents * 10000000L - $"o_orderkey").as("min_price_key"),
+          max($"o_totalprice").cast(DoubleType).as("max_price"),
+          min($"o_totalprice").cast(DoubleType).as("min_price"))
+        .orderBy($"o_orderpriority")
+    },
+
     Q("agg_rollup",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
