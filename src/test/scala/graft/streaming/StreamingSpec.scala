@@ -243,6 +243,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("shardpack offset json round-trips under arbitrary path strings (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOf(Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const('"'), 1 -> Gen.const('\\'),
+      1 -> Gen.const('/'), 1 -> Gen.const('é'))).map(_.mkString))
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { files =>
+        val off = graft.sources.shardpack.ShardpackOffset(files)
+        val back = graft.sources.shardpack.ShardpackOffset.fromJson(off.json())
+        assert(back.files.sorted == files.sorted, s"seed=$i files=$files")
+      }
+    }
+  }
+
   test("shardpack offset json round-trips (incl. escaping)") {
     val off = graft.sources.shardpack.ShardpackOffset(
       Seq("""/a/b/sh"ard.shardpack""", "/plain/s.shardpack"))
