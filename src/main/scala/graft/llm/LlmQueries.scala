@@ -148,10 +148,19 @@ object LlmQueries {
       // min-root determinism, and costs ONE job beyond the pair
       // computation — measured 30+ Spark jobs (one per diameter step,
       // ~13 s) for the distributed min-label-propagation loop on the same
-      // input. Past driver memory (~100M pairs) shard the edge list and
-      // run iterative large-star/small-star; the cutover is a guard here,
-      // not a redesign.
+      // input. The guard below enforces the driver-memory cutover: past
+      // MaxDriverPairs edges (~16 bytes each → ~1.6 GB at the cap), fail
+      // loudly with the redesign instruction (shard the edge list and run
+      // iterative large-star/small-star) instead of OOMing the driver.
+      val MaxDriverPairs = 100L * 1000 * 1000
+      good.persist()
+      val nPairs = good.count()
+      require(nPairs <= MaxDriverPairs,
+        s"dedup_cluster: $nPairs near-dup pairs exceeds the driver union-find " +
+          s"cutover ($MaxDriverPairs); run distributed large-star/small-star " +
+          "label propagation over the sharded edge list instead")
       val pairRows = good.collect()
+      good.unpersist(blocking = false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

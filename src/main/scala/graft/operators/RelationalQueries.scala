@@ -368,21 +368,24 @@ object RelationalQueries {
     Q("agg_arg_max",
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey,
-        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS max_price_key,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS max_price_key,
         |  arg_min(o_orderkey,
-        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 - o_orderkey) AS min_price_key,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*10000000000 - o_orderkey) AS min_price_key,
         |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
         |  CAST(min(o_totalprice) AS DOUBLE) AS min_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       // total ordering key folds the key-tiebreak into one exact BIGINT
-      // (price cents ×1e7 ± key; keys are < 1e7): max by (price, key),
-      // min by (price, -key) — DuckDB's arg_max/arg_min take only scalar
-      // ordering keys, so struct ordering can't be mirrored
+      // (price cents ×1e10 ± key): max by (price, key), min by (price, -key)
+      // — DuckDB's arg_max/arg_min take only scalar ordering keys, so struct
+      // ordering can't be mirrored. Domain headroom: cents ≤ ~6e7 (TPC-H
+      // totalprice cap) so cents×1e10 ≤ 6e17 < 2^63, and keys stay below the
+      // 1e10 multiplier through ~sf1600 (orderkey ≈ 6e6·sf) — neither term
+      // bleeds into the other at any scale this engine targets.
       val cents = round($"o_totalprice" * 100).cast(LongType)
       orders(s, d).groupBy($"o_orderpriority")
         .agg(
-          max_by($"o_orderkey", cents * 10000000L + $"o_orderkey").as("max_price_key"),
-          min_by($"o_orderkey", cents * 10000000L - $"o_orderkey").as("min_price_key"),
+          max_by($"o_orderkey", cents * 10000000000L + $"o_orderkey").as("max_price_key"),
+          min_by($"o_orderkey", cents * 10000000000L - $"o_orderkey").as("min_price_key"),
           max($"o_totalprice").cast(DoubleType).as("max_price"),
           min($"o_totalprice").cast(DoubleType).as("min_price"))
         .orderBy($"o_orderpriority")

@@ -153,13 +153,21 @@ object ScalarFnQueries {
     },
 
     // Custom typed Aggregator (UDAF): top-3 order totals per priority class.
+    // Surfaced as three scalar columns (not the raw ARRAY) so the driver's
+    // column-wise hash compare — which cannot hash list cells — can check it.
     Q("agg_topk_udaf",
-      """SELECT o_orderpriority,
-        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3_prices
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      """WITH t AS (SELECT o_orderpriority,
+        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS l
+        |FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, l[1] AS top1, l[2] AS top2, l[3] AS top3
+        |FROM t ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       val top3 = udaf(new graft.functions.TopKAggregator(3))
       orders(s, d).groupBy($"o_orderpriority")
-        .agg(top3($"o_totalprice").as("top3_prices"))
+        .agg(top3($"o_totalprice").as("l"))
+        .select($"o_orderpriority",
+          element_at($"l", 1).as("top1"),
+          element_at($"l", 2).as("top2"),
+          element_at($"l", 3).as("top3"))
         .orderBy($"o_orderpriority")
     }
   )

@@ -309,8 +309,13 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
   private val entriesIdx = schema.fieldIndex("entries")
   Codec.id(codec) // fail fast on unknown codec
 
+  // Job identity carried in every temp name this job stages, so commit's
+  // sweep can distinguish our failed-attempt leftovers from a concurrent
+  // append job's in-flight temps (which must not be deleted).
+  private val jobUuid = UUID.randomUUID().toString.take(8)
+
   private[shardpack] def writerFactory: ShardpackWriterFactory =
-    ShardpackWriterFactory(path, keyIdx, metaIdx, entriesIdx,
+    ShardpackWriterFactory(path, jobUuid, keyIdx, metaIdx, entriesIdx,
       entryFieldIndexes(), codec, shardCap, shardMeta, HadoopConfs.serializable())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -359,11 +364,13 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
     // overwrite: old generation goes away only after the new one is visible
     previous.filterNot(p => finalNames.contains(p.getName))
       .foreach(p => fs.delete(p, false))
-    // sweep uncommitted temp files (qualified-path comparison)
+    // Sweep uncommitted temp files (qualified-path comparison). Scoped to
+    // THIS job's uuid prefix: a concurrent append job's staged temps carry a
+    // different jobUuid and are left for its own commit/abort to resolve.
     val committedTemps = committed.map(t => fs.makeQualified(new Path(t._1)).toString).toSet
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".graft-tmp-") &&
+      if (n.startsWith(s".graft-tmp-$jobUuid-") &&
           !committedTemps.contains(fs.makeQualified(st.getPath).toString))
         fs.delete(st.getPath, false)
     }
@@ -377,17 +384,17 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
   }
 }
 
-final case class ShardpackWriterFactory(path: String, keyIdx: Int, metaIdx: Int,
-    entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
+final case class ShardpackWriterFactory(path: String, jobUuid: String, keyIdx: Int,
+    metaIdx: Int, entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
     shardCap: Long, shardMeta: Array[Byte],
     hconf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardpackDataWriter(path, partitionId, taskId, None, keyIdx, metaIdx,
+    new ShardpackDataWriter(path, jobUuid, partitionId, taskId, None, keyIdx, metaIdx,
       entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
 
   /** Streaming variant: epoch-deterministic final shard names. */
   def createEpochWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardpackDataWriter(path, partitionId, taskId, Some(epochId), keyIdx,
+    new ShardpackDataWriter(path, jobUuid, partitionId, taskId, Some(epochId), keyIdx,
       metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
 }
 
@@ -397,8 +404,8 @@ final case class ShardpackWriterFactory(path: String, keyIdx: Int, metaIdx: Int,
   * `/root/reference/src/bucket.rs:111-121`), stages under dot-temp names.
   * Memory: one encoded record + O(record offsets) per open shard.
   */
-final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
-    epochId: Option[Long], keyIdx: Int, metaIdx: Int, entriesIdx: Int,
+final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
+    taskId: Long, epochId: Option[Long], keyIdx: Int, metaIdx: Int, entriesIdx: Int,
     entryIdxs: (Int, Int, Int, Int), codec: String, shardCap: Long,
     shardMeta: Array[Byte], hadoopConf: Configuration = new Configuration())
     extends DataWriter[InternalRow] {
@@ -423,7 +430,7 @@ final class ShardpackDataWriter(path: String, partitionId: Int, taskId: Long,
       case None =>
         f"part-$partitionId%05d-$taskId-$uuid-$seq%04d${ShardpackDataSource.FileSuffix}"
     }
-    val tempName = s".graft-tmp-$uuid-$finalName"
+    val tempName = s".graft-tmp-$jobUuid-$uuid-$finalName"
     seq += 1
     val p = new Path(path, tempName)
     files += (p.toString -> finalName)

@@ -70,9 +70,11 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ShardpackOffset].files.toSet
     val fresh = end.asInstanceOf[ShardpackOffset].files.filterNot(seen)
-    // one listing for all lengths; a file compacted away between offset
-    // resolution and planning is skipped, not fatal (its records are gone
-    // from the bucket either way)
+    // One listing for all lengths. A shard in the committed offset range but
+    // absent from the listing is probed directly: on an eventually-consistent
+    // store a listing can MISS a file that still exists — silently skipping
+    // would permanently drop its records (the offset already marks it seen).
+    // Only a confirmed FileNotFound (compaction removed it) is skippable.
     val dir = new Path(path)
     val fs = dir.getFileSystem(HadoopConfs.session())
     val byName = ShardpackDataSource.listShards(fs, dir)
@@ -81,8 +83,14 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
       byName.get(f) match {
         case Some(len) => Some(ShardInputPartition(f, len): InputPartition)
         case None =>
-          System.err.println(s"[shardpack] shard vanished before planning, skipping: $f")
-          None
+          try {
+            val st = fs.getFileStatus(new Path(f))
+            Some(ShardInputPartition(f, st.getLen): InputPartition)
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              System.err.println(s"[shardpack] shard deleted before planning, skipping: $f")
+              None
+          }
       }
     }.toArray
   }
@@ -96,9 +104,22 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
 
 /** Offset = sorted list of shard files already emitted. */
 final case class ShardpackOffset(files: Seq[String]) extends Offset {
+  /** JSON string-array. Control characters (< 0x20) are escaped as `\\uXXXX`
+    * — Spark's offset log is line-oriented, so a raw newline in a path would
+    * corrupt the checkpoint; backslash and quote get the usual escapes.
+    */
   override def json(): String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    files.sorted.map { f =>
+      val b = new StringBuilder("\"")
+      f.foreach {
+        case '\\' => b ++= "\\\\"
+        case '"' => b ++= "\\\""
+        case c if c < 0x20 => b ++= f"\\u${c.toInt}%04x"
+        case c => b += c
+      }
+      b += '"'
+      b.result()
+    }.mkString("[", ",", "]")
 }
 
 object ShardpackOffset {
@@ -112,15 +133,27 @@ object ShardpackOffset {
       val out = Seq.newBuilder[String]
       val cur = new StringBuilder
       var inStr = false
-      var escaped = false
-      body.foreach { c =>
-        if (escaped) { cur += c; escaped = false }
-        else if (c == '\\') escaped = true
-        else if (c == '"') {
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (inStr && c == '\\') {
+          require(i + 1 < body.length, s"bad shardpack offset escape: $s")
+          body.charAt(i + 1) match {
+            case 'u' =>
+              require(i + 5 < body.length, s"bad shardpack offset escape: $s")
+              cur += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case 'n' => cur += '\n'; i += 1
+            case 'r' => cur += '\r'; i += 1
+            case 't' => cur += '\t'; i += 1
+            case e => cur += e; i += 1 // \\ and \" (and any future passthrough)
+          }
+        } else if (c == '"') {
           if (inStr) { out += cur.result(); cur.clear() }
           inStr = !inStr
         } else if (inStr) cur += c
         // commas/whitespace between strings are ignored
+        i += 1
       }
       ShardpackOffset(out.result())
     }

@@ -248,11 +248,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import org.scalacheck.rng.Seed
     val gen = Gen.listOf(Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 1 -> Gen.const('"'), 1 -> Gen.const('\\'),
-      1 -> Gen.const('/'), 1 -> Gen.const('é'))).map(_.mkString))
+      1 -> Gen.const('/'), 1 -> Gen.const('é'),
+      // control chars: the offset log is line-oriented, so these MUST be
+      // \uXXXX-escaped by json() or the checkpoint line would split
+      1 -> Gen.const('\n'), 1 -> Gen.const('\r'), 1 -> Gen.const('\t'),
+      1 -> Gen.choose(0.toChar, 0x1f.toChar))).map(_.mkString))
     (0 until 200).foreach { i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { files =>
         val off = graft.sources.shardpack.ShardpackOffset(files)
-        val back = graft.sources.shardpack.ShardpackOffset.fromJson(off.json())
+        val json = off.json()
+        assert(!json.exists(_ < 0x20), s"seed=$i raw control char in offset json: $json")
+        val back = graft.sources.shardpack.ShardpackOffset.fromJson(json)
         assert(back.files.sorted == files.sorted, s"seed=$i files=$files")
       }
     }
@@ -260,7 +266,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("shardpack offset json round-trips (incl. escaping)") {
     val off = graft.sources.shardpack.ShardpackOffset(
-      Seq("""/a/b/sh"ard.shardpack""", "/plain/s.shardpack"))
+      Seq("""/a/b/sh"ard.shardpack""", "/plain/s.shardpack", "/new\nline.shardpack"))
     val back = graft.sources.shardpack.ShardpackOffset.fromJson(off.json())
     assert(back.files.toSet == off.files.toSet)
     assert(graft.sources.shardpack.ShardpackOffset.fromJson("[]").files.isEmpty)
