@@ -26,6 +26,24 @@ import org.apache.spark.sql.types._
 object LlmQueries {
   import Tables._
   import VectorFns._
+  import graft.functions.{CrossHash => H}
+
+  /** 12 random-hyperplane ±1 sign vectors (64 dims) for sim_ann_lsh, drawn
+    * from the cross-engine affine family's parity so both engines see the
+    * same literal coefficients.
+    */
+  private val AnnSigns: Seq[Array[Long]] = (0 until 12).map { p =>
+    Array.tabulate(64) { i =>
+      if ((H.affineA(64 + p) * (i + 1) + H.affineB(64 + p)) % H.P1 % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Stopword lexicons shared by the Spark and oracle sides of lang_id. */
+  private val LangLexicons = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
 
   /** Exact-dedup cap for the O(docs²)-flavored demo queries (pairwise
     * near-dup over a bounded sample); the unbounded implementations are the
@@ -185,23 +203,43 @@ object LlmQueries {
 
     // MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Candidate pairs
     // come only from shared (band, bandhash) buckets — one shuffle on the
-    // bucket key, never all-pairs. Seeded xxhash64 family → reproducible.
-    // Signature agreement ≥ 16/32 ≈ Jaccard ≥ 0.5. Rows-only check (the
-    // hash family is not expressible in DuckDB); property-tested in
-    // MinHashSpec.
-    Q.noOracle("dedup_minhash") { (s, d) =>
+    // bucket key, never all-pairs. The hash family is the cross-engine
+    // affine one (h_i(x) = (a_i·shingleHash + b_i) mod p), so the DuckDB
+    // oracle replays signatures, banding, and the ≥16/32 (≈ Jaccard 0.5)
+    // agreement filter exactly; LSH recall is property-tested in LlmSpec.
+    Q("dedup_minhash", {
+      val sigColsSql = (0 until 32)
+        .map(i => s"min(${H.sqlAffine(i, "x")}) AS h$i").mkString(", ")
+      val bandSql = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"${H.sqlFoldHash((0 until 4).map(r => s"h${b * 4 + r}"))} AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      val agreeSql = (0 until 32)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  ${sqlShingleTok("documents")}),
+         |x AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x FROM tok),
+         |sig AS (SELECT doc_id, $sigColsSql FROM x GROUP BY doc_id),
+         |band AS ($bandSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM band a JOIN band b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(($agreeSql) AS DOUBLE) / 32 AS est_jac
+         |FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+         |WHERE CAST(($agreeSql) AS DOUBLE) / 32 >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val tok = shingleTok(documents(s, d))
-      val sigCols = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), $"w")).as(s"h$i"))
+      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
+      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
       val sig = tok.groupBy($"doc_id")
         .agg(sigCols.head, sigCols.tail: _*)
         .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       val banded = sig.select($"doc_id", $"sig",
           posexplode(array((0 until bands).map(b =>
-            xxhash64((lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r))): _*)): _*)))
+            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -218,19 +256,48 @@ object LlmQueries {
         .orderBy($"a_id", $"b_id")
     },
 
-    // 64-bit SimHash over tokens; near-dup = hamming distance ≤ 8 over a
-    // bounded sample. Pure SQL-lambda arithmetic (no UDF). Rows-only check.
-    Q.noOracle("dedup_simhash") { (s, d) =>
-      val simhash = expr(
-        """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    if(aggregate(split(text, ' '), CAST(0 AS BIGINT),
-          |         (acc, w) -> acc + if(((xxhash64(w) >> j) & 1) = 1,
-          |                              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-          |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
-      val sh = documents(s, d).filter($"doc_id" < SampleDocs)
-        .select($"doc_id", simhash.as("sh"))
+    // 62-bit SimHash over tokens (31 bits from each of two independent
+    // char-polynomial hashes); near-dup = hamming distance ≤ 8 over a
+    // bounded sample. Pure SQL-lambda arithmetic (no UDF), identical in
+    // DuckDB, so the oracle hash-checks the full pair set.
+    Q("dedup_simhash", {
+      def half(c: String, off: Int) =
+        s"list_sum(list_transform(range(0, 31), j -> " +
+          s"CASE WHEN list_sum(list_transform($c, h -> " +
+          s"CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << (j + $off)) ELSE CAST(0 AS BIGINT) END))"
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents WHERE doc_id < $SampleDocs),
+         |h AS (SELECT doc_id,
+         |  list_transform(ws, w -> ${H.sqlWordHash("w")}) AS hs1,
+         |  list_transform(ws, w -> ${H.sqlWordHash("w", 137L, H.P2)}) AS hs2
+         |FROM w),
+         |s AS (SELECT doc_id, ${half("hs1", 0)} + ${half("hs2", 31)} AS sh FROM h)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      // Explode → hash each word ONCE → 62 partial-aggregable bit votes in
+      // one shuffle. The nested-lambda formulation (hash recomputed per bit)
+      // allocates ~60× the garbage and is not map-side combinable; this
+      // shape is, and scales to the full corpus, not just the sample.
+      val words = documents(s, d).filter($"doc_id" < SampleDocs)
+        .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("w"))
+        .select($"doc_id", H.wordHash($"w").as("h1"), H.wordHash($"w", 137L, H.P2).as("h2"))
+      val votes = (0 until 31).map(j =>
+        sum(when(shiftright($"h1", j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v1_$j")) ++
+        (0 until 31).map(j =>
+          sum(when(shiftright($"h2", j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v2_$j"))
+      val voted = words.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      val shBits = (0 until 31).map(j => when(col(s"v1_$j") > 0, lit(1L << j)).otherwise(0L)) ++
+        (0 until 31).map(j => when(col(s"v2_$j") > 0, lit(1L << (j + 31))).otherwise(0L))
+      // left-join back so an all-empty doc keeps sh=0 (matching the oracle,
+      // which emits every sampled doc)
+      val sh = documents(s, d).filter($"doc_id" < SampleDocs).select($"doc_id")
+        .join(voted.select($"doc_id", shBits.reduce(_ + _).as("sh")), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"sh", lit(0L)).as("sh"))
       sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
@@ -286,32 +353,47 @@ object LlmQueries {
         .limit(10)
     },
 
-    // LSH-bucketed ANN: 12 seeded random-hyperplane sign bits (coefficients
-    // ±1 from xxhash64(plane, dim)) → bucket id; search only the query's
-    // bucket. The scale path: bucketing is one shuffle, each bucket scanned
-    // independently. Rows-only check; recall property-tested in AnnSpec.
-    Q.noOracle("sim_ann_lsh") { (s, d) =>
-      val planes = 12
-      def sig(v: Column): Column =
-        aggregate(
-          zip_with(v, sequence(lit(0), lit(63)), (x, i) => struct(x.as("x"), i.as("i"))),
-          array((0 until planes).map(_ => lit(0.0)): _*),
-          (acc, p) =>
-            transform(acc, (a, pl) =>
-              a + when(pmod(xxhash64(pl, p.getField("i")), lit(2)) === 0, p.getField("x").cast(DoubleType))
-                .otherwise(-p.getField("x").cast(DoubleType))))
-      def bucket(sg: Column): Column =
-        aggregate(sg, lit(0L),
-          (acc, x) => acc * 2 + when(x > 0, lit(1L)).otherwise(lit(0L)))
-      val e = embeddings(s, d)
-        .select($"vec_id", $"label", $"embedding", bucket(sig($"embedding")).as("bkt"))
+    // LSH-bucketed ANN: 12 random-hyperplane sign bits (±1 coefficients from
+    // the seeded affine family, materialized as literal sign vectors) →
+    // bucket id; search only the query's bucket. The scale path: bucketing
+    // is one shuffle, each bucket scanned independently. Projections are
+    // exact integer dots of the quantized embedding with the ±1 vectors, so
+    // the DuckDB oracle replays bucketing and cosines bit-for-bit.
+    Q("sim_ann_lsh", {
+      val bucketSql = AnnSigns.zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
+        case (acc, (sv, _)) =>
+          val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
+          s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
+      }
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1)
+         |SELECT b.vec_id, b.label, b.bkt,
+         |  CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) AS cos
+         |FROM b, q WHERE b.bkt = q.qbkt
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      // Materialize (v, n2) behind an exchange: without the barrier,
+      // project collapsing re-inlines quantize() into each of the 12 plane
+      // projections (12× the lambda work and garbage). At scale this
+      // materialization is the "build the LSH index" pass — quantized
+      // vectors would live as a stored column.
+      val e0 = embeddings(s, d)
+        .select($"vec_id", $"label", quantize($"embedding").as("v"))
+        .withColumn("n2", qnorm2($"v"))
+        .repartition(col("vec_id"))
+      val bucket = AnnSigns.foldLeft(lit(0L): Column) { (acc, sv) =>
+        val proj = qdot($"v", array(sv.map(lit(_)): _*))
+        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }
+      val e = e0.withColumn("bkt", bucket)
       val q = e.filter($"vec_id" === 1)
-        .select($"embedding".as("qe"), $"bkt".as("qbkt"))
+        .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
       e.join(broadcast(q), $"bkt" === $"qbkt")
         .select($"vec_id", $"label", $"bkt",
-          // native codegen'd cosine (graft.functions.VecCosine) — the ANN
-          // hot path; rows-only query, so no cross-engine decimal contract
-          graft.functions.VecCosine.vec_cosine($"embedding", $"qe").as("cos"))
+          (qdot($"v", $"qv").cast(DoubleType) /
+            (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))).as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
     },
@@ -321,54 +403,81 @@ object LlmQueries {
     // cells), then probe only the query's 2 nearest cells. Centroids are
     // driver state (as in any IVF index), so cell assignment is a pure map
     // over the broadcast literal — NO shuffle; the probe filter drops
-    // ~7/8 of the table before the top-k. Rows-only check.
-    Q.noOracle("sim_ann_ivf") { (s, d) =>
+    // ~7/8 of the table before the top-k. All cosines are exact-integer
+    // dots cast to DOUBLE in a fixed op order, so the DuckDB oracle replays
+    // cell assignment, probe selection, and the final top-k identically.
+    Q("sim_ann_ivf", {
+      def sqlCos(dv: String, dn: String, cv: String, cn: String) =
+        s"CAST(${sqlQdot(dv, cv)} AS DOUBLE) / " +
+          s"(sqrt(CAST($dn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+         |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
+         |probe AS (SELECT cid FROM c, qv
+         |  ORDER BY ${sqlCos("qv.v", "qv.n2", "c.cv", "c.cn2")} DESC, cid LIMIT 2),
+         |cell AS (SELECT n.vec_id, n.label, n.v, n.n2,
+         |  -(list_max(list({'cos': ${sqlCos("n.v", "n.n2", "c.cv", "c.cn2")},
+         |                   'ncid': -c.cid}))).ncid AS cell
+         |  FROM n, c GROUP BY n.vec_id, n.label, n.v, n.n2)
+         |SELECT cl.vec_id, cl.label, cl.cell,
+         |  ${sqlCos("cl.v", "cl.n2", "qv.v", "qv.n2")} AS cos
+         |FROM cell cl, qv WHERE cl.cell IN (SELECT cid FROM probe)
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
       val nCent = 16
       val nProbe = 2
       // Centroids (and the query vector) are collected driver state, as in
       // any IVF index — the collect here is the "load the index" step, tiny
       // and bounded by nCent. If the bucket lacks vec_id 1 (the query) the
       // query degrades to an empty result like its LSH sibling would.
-      val centRows = embeddings(s, d).filter($"vec_id" < nCent)
-        .select($"vec_id", $"embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // Exchange barrier: materialize (v, n2) once per row, or project
+      // collapsing recomputes quantize() inside all 16 centroid cosines
+      // (the "build the IVF index" pass at scale — see sim_ann_lsh).
+      val eq = embeddings(s, d)
+        .select($"vec_id", $"label", quantize($"embedding").as("v"))
+        .withColumn("n2", qnorm2($"v"))
+        .repartition(col("vec_id"))
+      val centRows = eq.filter($"vec_id" < nCent)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-      def cosine(x: Array[Float], y: Array[Float]): Double = {
-        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      // same op order as the SQL: exact int dot/norms, one double division
+      def qcos(x: Array[Long], y: Array[Long]): Double = {
+        var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
         while (i < x.length) {
-          dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
-          ny += y(i).toDouble * y(i); i += 1
+          dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
         }
-        dot / (math.sqrt(nx) * math.sqrt(ny))
+        dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
       }
       val qvOpt = centRows.find(_._1 == 1L).map(_._2)
       if (qvOpt.isEmpty)
-        embeddings(s, d)
-          .select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
+        eq.select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
           .filter(lit(false))
       else {
-      val qv = qvOpt.get
-      val probeCells = centRows
-        .map { case (cid, cv) => (cid, cosine(qv, cv)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }
-        .take(nProbe).map(_._1)
-      val centLit = array(centRows.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"),
-          array(cv.map(lit(_)): _*).cast("array<float>").as("cv"))
-      }: _*)
-      // array_max over (cos, -cid) structs = argmax cosine, ties to the
-      // smaller cid — lexicographic struct ordering, no shuffle.
-      val cell = -array_max(transform(centLit, c => struct(
-        graft.functions.VecCosine.vec_cosine($"embedding", c.getField("cv")).as("cos"),
-        (-c.getField("cid")).as("ncid")))).getField("ncid")
-      embeddings(s, d)
-        .withColumn("cell", cell)
-        .filter($"cell".isin(probeCells: _*))
-        .select($"vec_id", $"label", $"cell",
-          graft.functions.VecCosine.vec_cosine(
-            $"embedding", array(qv.map(lit(_)): _*).cast("array<float>")).as("cos"))
-        .orderBy($"cos".desc, $"vec_id")
-        .limit(10)
+        val qv = qvOpt.get
+        val qn2 = qv.map(x => x * x).sum
+        val probeCells = centRows
+          .map { case (cid, cv) => (cid, qcos(qv, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(nProbe).map(_._1)
+        val centLit = array(centRows.map { case (cid, cv) =>
+          struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+        }: _*)
+        def colCos(v: Column, n2: Column, cv: Column, cn2: Column): Column =
+          qdot(v, cv).cast(DoubleType) /
+            (sqrt(n2.cast(DoubleType)) * sqrt(cn2.cast(DoubleType)))
+        // array_max over (cos, -cid) structs = argmax cosine, ties to the
+        // smaller cid — lexicographic struct ordering, no shuffle.
+        val cell = -array_max(transform(centLit, c => struct(
+          colCos($"v", $"n2", c.getField("cv"), qnorm2(c.getField("cv"))).as("cos"),
+          (-c.getField("cid")).as("ncid")))).getField("ncid")
+        eq.withColumn("cell", cell)
+          .filter($"cell".isin(probeCells: _*))
+          .select($"vec_id", $"label", $"cell",
+            colCos($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
+          .orderBy($"cos".desc, $"vec_id")
+          .limit(10)
       }
     },
 
@@ -451,19 +560,30 @@ object LlmQueries {
     },
 
     // N-gram-heuristic language ID: stopword-lexicon vote, deterministic.
-    // Rows-only (the lexicon scoring has no DuckDB mirror); accuracy
-    // characteristics property-tested in TextSpec.
-    Q.noOracle("lang_id") { (s, d) =>
-      val lexicons = Map(
-        "en" -> Seq("the", "a", "of", "and", "to"),
-        "es" -> Seq("el", "la", "de", "y", "que"),
-        "fr" -> Seq("le", "la", "de", "et", "un"),
-        "de" -> Seq("der", "die", "das", "und", "ist"))
+    // Argmax tie-break is the lexicographically LARGEST (score, lang) struct
+    // in both engines (Spark greatest over structs == DuckDB list_max).
+    Q("lang_id", {
+      def sc(stops: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), " +
+          s"w -> w IN (${stops.map(x => s"'$x'").mkString(",")}))) AS INT)"
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ${sc(LangLexicons("de"))} AS s_de, ${sc(LangLexicons("en"))} AS s_en,
+         |  ${sc(LangLexicons("es"))} AS s_es, ${sc(LangLexicons("fr"))} AS s_fr
+         |FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |  list_max([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+         |            {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'}]) AS m
+         |FROM s)
+         |SELECT doc_id, lang,
+         |  CASE WHEN m.score > 0 THEN m.lang ELSE 'unk' END AS pred_lang,
+         |  m.score AS pred_score
+         |FROM g ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       val words = split($"text", " ")
       def score(stops: Seq[String]): Column =
         aggregate(words, lit(0),
           (acc, w) => acc + when(w.isin(stops: _*), 1).otherwise(0))
-      val scored = lexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
+      val scored = LangLexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
         struct(score(stops).as("score"), lit(l).as("lang"))
       }
       documents(s, d)
@@ -476,15 +596,21 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
-    // Rolling polynomial fingerprint over the token stream (mod 2^31-1,
-    // xxhash64-seeded) — order-sensitive, unlike the set-based dedup hashes.
-    // Rows-only; algebra property-tested in TextSpec.
-    Q.noOracle("doc_fingerprint") { (s, d) =>
+    // Rolling polynomial fingerprint over the token stream (mod 2^31-1) —
+    // order-sensitive, unlike the set-based dedup hashes. Word hashes come
+    // from the cross-engine char-polynomial family, so the oracle replays
+    // the identical arithmetic.
+    Q("doc_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+         |      w -> ${H.sqlWordHash("w")})),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = filter(split($"text", " "), w => w =!= "")
       documents(s, d).select($"doc_id",
-          expr(
-            """aggregate(split(text, ' '), CAST(0 AS BIGINT),
-              |  (acc, w) -> (acc * 31 + pmod(xxhash64(w), CAST(1000000007 AS BIGINT)))
-              |              % CAST(2147483647 AS BIGINT))""".stripMargin).as("fingerprint"))
+          aggregate(words, lit(0L),
+            (acc, w) => (acc * 31L + H.wordHash(w)) % 2147483647L).as("fingerprint"))
         .orderBy($"doc_id")
     },
 
