@@ -14,6 +14,7 @@ object SparkEntry {
   /** All declared queries, in registry order. */
   def all: Seq[Q] =
     operators.RelationalQueries.queries ++
+      operators.ExtendedQueries.queries ++
       operators.ScalarFnQueries.queries ++
       operators.StreamShapeQueries.queries ++
       sources.ShardpackQueries.queries ++

@@ -614,6 +614,84 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic hash-based train/test split — reproducible across runs,
+    // machines, and engines (no RNG state): the affine hash of doc_id picks
+    // the bucket, so re-running on grown data never reassigns old docs.
+    Q("split_train_test",
+      s"""WITH s AS (SELECT doc_id,
+         |  CASE WHEN (${H.sqlAffine(0, "doc_id")}) % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM documents)
+         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("split",
+          when(H.affine(0, $"doc_id") % 100 < 80, "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"),
+          max($"doc_id").as("max_id"))
+        .orderBy($"split")
+    },
+
+    // PII masking: regex redaction of email-shaped tokens and long digit
+    // runs (the standard pre-training scrub), patterns kept in the
+    // RE2 ∩ java.util.regex common subset so both engines rewrite alike.
+    Q("pii_mask",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '[0-9]{3,}', '<NUM>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS INT) AS n_nums
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select($"doc_id",
+          regexp_replace(
+            regexp_replace($"text", "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>").as("masked"),
+          size(regexp_extract_all($"text", lit("[0-9]{3,}"), lit(0))).as("n_nums"))
+        .orderBy($"doc_id")
+    },
+
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonical form exact-dedup and shingling run on.
+    Q("text_normalize",
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                      ' +', ' ', 'g')) AS norm
+        |FROM documents)
+        |SELECT doc_id, norm, CAST(length(norm) AS INT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id",
+          trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm"))
+        .select($"doc_id", $"norm", length($"norm").as("n_chars_norm"))
+        .orderBy($"doc_id")
+    },
+
+    // Sequence packing for training: contiguous greedy fill of 2048-token
+    // bins over the doc_id order — bin = (tokens before this doc) div 2048,
+    // the standard "concat then chunk" packing. The global running sum is a
+    // single-partition window HERE; at 100 TB you pack per shard/partition
+    // (PARTITION BY shard_id) — the assignment stays deterministic because
+    // doc order within a shard is fixed.
+    Q("pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"n_tokens",
+          (($"cum" - $"n_tokens") / 2048).cast(LongType).as("bin"))
+        .orderBy($"doc_id")
+    },
+
     // ─────────────────── multimodal columns ───────────────────
     // Text payload as an opaque binary column with typed metadata — the
     // reference's FileEntry model (file_name/content_type/data,
