@@ -56,6 +56,33 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each click pairs with views by the same
+    * user within `[v_ts, v_ts + maxDelay]`. BOTH sides carry watermarks and
+    * the join condition bounds event time in both directions, so Spark can
+    * expire buffered rows from both state stores — unbounded state is the
+    * classic stream-join failure at scale, and this shape avoids it.
+    */
+  def clickAfterView(views: DataFrame, clicks: DataFrame,
+      maxDelay: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, expr(
+        s"v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL $maxDelay"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
+  /** Stream-static enrichment join: the static dim is broadcast to every
+    * micro-batch task — no stream state at all, the right default for
+    * dimension lookups in a 100 TB/day pipeline.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -243,6 +243,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with views within the bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingOps.clickAfterView(views.toDF(), clicks.toDF(),
+        maxDelay = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("vc").outputMode(OutputMode.Append).start()
+    try {
+      views.addData(ev(1, ts(0), user = 7), ev(2, ts(20), user = 7))
+      clicks.addData(
+        ev(101, ts(3), user = 7), // within 5 min of view 1 → pair
+        ev(102, ts(9), user = 7), // 9 min after view 1 → outside bound
+        ev(103, ts(21), user = 8)) // other user → no pair
+      q.processAllAvailable()
+      val pairs = spark.table("vc").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 101L)))
+      // a click near the SECOND view pairs with it only
+      clicks.addData(ev(104, ts(23), user = 7))
+      q.processAllAvailable()
+      val pairs2 = spark.table("vc").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2 == Set((1L, 101L), (2L, 104L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = StreamingOps.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, ts(0), user = 1), ev(2, ts(1), user = 3))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("shardpack offset json round-trips under arbitrary path strings (scalacheck)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
