@@ -177,9 +177,12 @@ final case class ShardpackReaderFactory(required: StructType,
 }
 
 /** Reads one shard: parses the EOF index first (one seek), then streams the
-  * record region sequentially. With a pushed key filter, non-matching record
-  * blocks are skipped from their length prefix — no entry decode, no
-  * decompression, no checksum work.
+  * record region sequentially. With a pushed key filter the footer's
+  * key-range stats can prune the WHOLE shard (one footer read, zero record
+  * bytes — at 100 TB a point lookup touches ~16 bytes per non-matching
+  * shard); within a matching shard, non-matching record blocks are skipped
+  * from their length prefix — no entry decode, no decompression, no
+  * checksum work.
   */
 final class ShardpackPartitionReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]], verify: Boolean,
@@ -194,8 +197,17 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     })
     finally in.close()
   }
-  private val stream = new java.io.DataInputStream(
-    new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+  // whole-shard pruning: the pushed key set cannot intersect this shard's
+  // stamped [minKey, maxKey] → never open the record region
+  private val pruned: Boolean = keyFilter.exists(ks =>
+    !ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, ks))
+
+  private var streamOpened = false
+  private lazy val stream = {
+    streamOpened = true
+    new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+  }
 
   private val entriesField = required.fields.zipWithIndex
     .find(_._1.name == "entries")
@@ -209,6 +221,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (pruned) return false
     while (idx < footer.offsets.length) {
       idx += 1
       val recLen = stream.readInt()
@@ -246,7 +259,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = stream.close()
+  override def close(): Unit = if (streamOpened) stream.close()
 }
 
 // ─────────────────────────── write path ───────────────────────────
@@ -417,9 +430,25 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   private var seq = 0
   private var writer: ShardFileWriter = _
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  // per-shard key range, folded into the metadata envelope at finish so
+  // readers can prune whole shards on pushed key filters
+  private var minKey: String = _
+  private var maxKey: String = _
+
+  /** Close the open shard, stamping its key-range stats envelope. */
+  private def finishShard(): Unit = {
+    if (writer != null) {
+      val meta =
+        if (minKey != null) ShardpackFormat.ShardStats.wrap(minKey, maxKey, shardMeta)
+        else shardMeta // footer-only shard: no keys, no stats
+      writer.finish(meta)
+      minKey = null; maxKey = null
+      out = null
+    }
+  }
 
   private def roll(): Unit = {
-    if (writer != null) { writer.finish(); out = null }
+    finishShard()
     // Temp names are attempt-unique (uuid) so retried attempts never collide
     // on create; FINAL names are attempt-independent for streaming epochs so
     // a replayed epoch is idempotent at commit (batch keeps the uuid — names
@@ -443,6 +472,8 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     val encoded = ShardpackFormat.encodeRecord(rec, codec)
     if (writer == null || (writer.bytesWritten > 0 &&
         writer.bytesWritten + encoded.length > shardCap)) roll()
+    if (minKey == null || rec.key < minKey) minKey = rec.key
+    if (maxKey == null || rec.key > maxKey) maxKey = rec.key
     writer.append(encoded)
   }
 
@@ -462,7 +493,7 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.finish()
+    finishShard()
     ShardpackCommit(files.toSeq)
   }
 

@@ -270,6 +270,55 @@ object ShardpackFormat {
     Footer(offsets, shardMeta)
   }
 
+  /** Optional structured envelope stored INSIDE the (spec-opaque) shard
+    * metadata slot by the DSv2 writer: a key-range summary enabling shard
+    * pruning, followed by the user's metadata verbatim. A reader that finds
+    * no marker treats the whole slot as user metadata, so shards written by
+    * other producers (or before this envelope existed) stay readable.
+    *
+    * envelope := marker:8B minKey:str16 maxKey:str16 userMeta:bytes
+    */
+  object ShardStats {
+    val Marker: Array[Byte] = "SPKSTAT1".getBytes(StandardCharsets.US_ASCII)
+
+    def wrap(minKey: String, maxKey: String, userMeta: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.write(Marker)
+      writeStr16(out, minKey)
+      writeStr16(out, maxKey)
+      if (userMeta != null) out.write(userMeta)
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** → (key range if the marker is present, user metadata). */
+    def unwrap(meta: Array[Byte]): (Option[(String, String)], Array[Byte]) = {
+      if (meta == null) (None, Array.emptyByteArray)
+      else if (meta.length < Marker.length ||
+          !java.util.Arrays.equals(java.util.Arrays.copyOf(meta, Marker.length), Marker))
+        (None, meta)
+      else {
+        val in = new DataInputStream(new ByteArrayInputStream(meta))
+        in.skipBytes(Marker.length)
+        val lo = readStr16(in)
+        val hi = readStr16(in)
+        val rest = new Array[Byte](in.available())
+        in.readFully(rest)
+        (Some((lo, hi)), rest)
+      }
+    }
+
+    /** Can a shard with this metadata contain any of `keys`? (No stats →
+      * must be read.)
+      */
+    def mayContain(meta: Array[Byte], keys: Set[String]): Boolean =
+      unwrap(meta)._1 match {
+        case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+        case None => true
+      }
+  }
+
   /** Streaming single-pass shard writer: buffers only offsets (O(records)
     * driver-side memory, `docs/draft.md:399-400`); the caller owns the
     * OutputStream and rolls files at [[DefaultShardCap]].
@@ -289,8 +338,14 @@ object ShardpackFormat {
     }
 
     /** Write the EOF index and close. */
-    def finish(): Unit = {
-      writeFooter(data, offsets.toSeq, shardMeta, pos)
+    def finish(): Unit = finish(shardMeta)
+
+    /** Variant with the final metadata decided at close time (the DSv2
+      * writer wraps the user metadata in a [[ShardStats]] envelope once the
+      * shard's key range is known).
+      */
+    def finish(meta: Array[Byte]): Unit = {
+      writeFooter(data, offsets.toSeq, meta, pos)
       data.flush()
       data.close()
     }

@@ -65,17 +65,39 @@ object ShardpackOps {
       .mode("append").save(outDir)
   }
 
-  /** Delete records by key: rewrite surviving records to a new generation of
-    * shards, then swap. Never edits a shard in place (shards are immutable,
-    * `docs/draft.md:207-211`).
+  /** Delete records by key: rewrite surviving records of the AFFECTED
+    * shards only to a new generation, then swap. Never edits a shard in
+    * place (shards are immutable, `docs/draft.md:207-211`).
+    *
+    * Shard selection uses the footer key-range stats the DSv2 writer
+    * stamps ([[ShardpackFormat.ShardStats]]): a shard whose [min,max] range
+    * misses every delete key is left untouched — the rewrite cost is
+    * proportional to the shards actually containing deletions, not the
+    * bucket size. (Stats-less shards — foreign writers — are conservatively
+    * rewritten.) Footer probes run on the driver here; at very large shard
+    * counts the same ranges would come from a sidecar summary built once.
     */
   def deleteKeys(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
     import spark.implicits._
+    val keySet = keys.toSet
     val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
     val fs = new Path(dir).getFileSystem(HadoopConfs.session())
     // snapshot the old generation BEFORE making the new one visible
-    val oldShards = ShardpackDataSource.listShards(fs, new Path(dir)).map(_.getPath)
-    spark.read.format("shardpack").load(dir)
+    val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
+    val affected = oldShards.filter { st =>
+      val in = fs.open(st.getPath)
+      val footer =
+        try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+          val buf = new Array[Byte](len); in.readFully(pos, buf); buf
+        })
+        finally in.close()
+      ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, keySet)
+    }
+    if (affected.isEmpty) return
+    // read ONLY the affected shards (each is a valid single-file table path)
+    val affectedDf = affected.map(st =>
+      spark.read.format("shardpack").load(st.getPath.toString)).reduce(_ union _)
+    affectedDf
       .join(broadcast(keys.toDF("key")), Seq("key"), "left_anti")
       .write.format("shardpack").mode("append").save(staging)
     // rename the new generation IN first (task-unique names never clash),
@@ -87,7 +109,7 @@ object ShardpackOps {
       if (!fs.rename(st.getPath, dst))
         throw new java.io.IOException(s"deleteKeys: rename ${st.getPath} -> $dst failed")
     }
-    oldShards.foreach(p => fs.delete(p, false))
+    affected.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(staging), true)
   }
 

@@ -33,6 +33,46 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
       ).as("entries"))
   }
 
+  test("written shards stamp a key-range envelope; out-of-range lookups prune") {
+    val dir = tmpDir()
+    sampleDf(50).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val st = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir)).head
+    val in = fs.open(st.getPath)
+    val footer = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+      val b = new Array[Byte](len); in.readFully(pos, b); b
+    }) finally in.close()
+    val (range, userMeta) = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)
+    assert(range.contains(("key00000", "key00049")))
+    assert(userMeta.isEmpty) // no shardMetadata option passed
+    // range check drives whole-shard pruning
+    assert(!ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, Set("zzz")))
+    assert(ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, Set("key00031")))
+    // metadata WITHOUT the marker passes through as user bytes (foreign shard)
+    val raw = "plain-meta".getBytes
+    assert(ShardpackFormat.ShardStats.unwrap(raw) == (None, raw))
+    assert(ShardpackFormat.ShardStats.mayContain(raw, Set("zzz"))) // conservative
+    // end-to-end: pruned lookup finds nothing, in-range lookup still works
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.filter(col("key") === "zzz").count() == 0)
+    assert(back.filter(col("key") === "key00031").count() == 1)
+  }
+
+  test("shardMetadata option survives inside the stats envelope") {
+    val dir = tmpDir()
+    sampleDf(3).coalesce(1).write.format("shardpack")
+      .option("shardMetadata", """{"gen":"g1"}""").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val st = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir)).head
+    val in = fs.open(st.getPath)
+    val footer = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+      val b = new Array[Byte](len); in.readFully(pos, b); b
+    }) finally in.close()
+    val (range, userMeta) = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)
+    assert(range.isDefined)
+    assert(new String(userMeta, "UTF-8") == """{"gen":"g1"}""")
+  }
+
   test("write then read round-trips all rows, keys and payloads") {
     val dir = tmpDir()
     sampleDf(200).write.format("shardpack").option("compression", "lz4").mode("append").save(dir)

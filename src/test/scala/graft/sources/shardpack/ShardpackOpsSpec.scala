@@ -60,6 +60,35 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(left.toSeq == Seq("k1", "k3"))
   }
 
+  test("deleteKeys rewrites only shards whose key range intersects the delete set") {
+    val dir = tmp() + "/pruned"
+    // two shards with disjoint key ranges (separate writes → separate files)
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("z1", "three"), ("z2", "four"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val before = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val zShardsBefore = before.keySet.filter { name =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
+      val in = fs.open(st.getPath)
+      val f = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+        val b = new Array[Byte](len); in.readFully(pos, b); b
+      }) finally in.close()
+      ShardpackFormat.ShardStats.unwrap(f.shardMetadata)._1.exists(_._1.startsWith("z"))
+    }
+    ShardpackOps.deleteKeys(spark, dir, Seq("a2"))
+    val after = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    // the z-range shard file is untouched (same name, same mtime)
+    zShardsBefore.foreach { name =>
+      assert(after.contains(name), s"unaffected shard $name was rewritten")
+      assert(after(name) == before(name), s"unaffected shard $name was modified")
+    }
+    val left = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("a1", "z1", "z2"))
+  }
+
   test("alignedJoin merges per-column shardpacks into one entry list") {
     val leftDir = tmp() + "/left"
     val rightDir = tmp() + "/right"
