@@ -36,6 +36,14 @@ object ExtendedQueries {
       |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
       |ORDER BY c_custkey""".stripMargin
 
+  private val LateralSubquerySql =
+    """SELECT c_custkey, l.o_orderkey, CAST(l.o_totalprice AS DOUBLE) AS top_price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── joins ─────────────────────────
@@ -203,6 +211,30 @@ object ExtendedQueries {
       customer(s, d).createOrReplaceTempView("customer")
       orders(s, d).createOrReplaceTempView("orders")
       s.sql(CorrelatedSubquerySql)
+    },
+
+    // LATERAL correlated subquery (top-1-per-group without a window): the
+    // inner query re-evaluates per outer row; Catalyst decorrelates it.
+    Q("subquery_lateral", LateralSubquerySql) { (s, d) =>
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(LateralSubquerySql)
+    },
+
+    // try_cast: error-safe casts yield NULL instead of failing the task —
+    // the right semantics for dirty data at scale (one bad row cannot kill
+    // a 100 TB job under ANSI mode).
+    Q("fn_try",
+      """SELECT p_partkey,
+        |  try_cast(p_brand AS INTEGER) AS brand_int,
+        |  try_cast(substr(p_brand, 7) AS INTEGER) AS brand_num,
+        |  try_cast(p_size AS SMALLINT) AS size_small
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select($"p_partkey",
+          $"p_brand".try_cast(IntegerType).as("brand_int"),
+          substring($"p_brand", 7, 10).try_cast(IntegerType).as("brand_num"),
+          $"p_size".try_cast(ShortType).as("size_small"))
+        .orderBy($"p_partkey")
     },
 
     // ───────────────────────── windows ─────────────────────────
