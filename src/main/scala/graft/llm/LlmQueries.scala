@@ -697,6 +697,34 @@ object LlmQueries {
     // reference's FileEntry model (file_name/content_type/data,
     // /root/reference/docs/draft.md:84-94) carried through a relational
     // pipeline. Decode/feature-extraction stubs live in graft.llm.Multimodal.
+    // The mapPartitions feature-extraction pipeline (Multimodal.extractStub)
+    // run end-to-end through the typed Dataset API and hash-checked: the
+    // 8-bucket byte histogram is replayed in SQL (documents are ASCII, so
+    // char codepoints == payload bytes). Proves the decode plumbing — not
+    // just the stub — produces engine-exact results.
+    Q("multimodal_features", {
+      val fCols = (0 until 8).map(i =>
+        s"CAST(len(list_filter(buckets, x -> x = $i)) AS DOUBLE) / n AS f$i").mkString(",\n  ")
+      s"""WITH b AS (SELECT doc_id,
+         |  [unicode(c) >> 5 FOR c IN string_split(text, '')] AS buckets,
+         |  greatest(1, length(text)) AS n
+         |FROM documents)
+         |SELECT doc_id,
+         |  $fCols
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val shaped = documents(s, d).select(
+        $"doc_id".cast(StringType).as("key"),
+        lit(null).cast(BinaryType).as("metadata"),
+        array(struct(lit("text.txt").as("file_name"),
+          lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"text".cast(BinaryType).as("data"))).as("entries"))
+      val feats = Multimodal.extractFeatures(shaped).toDF()
+      val cols = col("key").cast(LongType).as("doc_id") +:
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      feats.select(cols: _*).orderBy($"doc_id")
+    },
+
     Q("multimodal_meta",
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
