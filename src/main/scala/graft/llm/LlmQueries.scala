@@ -74,6 +74,70 @@ object LlmQueries {
        |  [ws[i]||' '||ws[i+1]||' '||ws[i+2] FOR i IN range(1, len(ws)-1)])) AS w
        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $from)""".stripMargin
 
+  /** Exact Jaccard ≥ `t` near-dup pairs via the inverted-index join: join
+    * docs on shared shingles, count shared shingles per pair (the
+    * intersection falls out of the group count — verification is free),
+    * filter on the Jaccard bound. Candidate volume is Σ_w df(w)² — bounded
+    * here because 3-gram shingles keep max df tiny (measured 25/5000 docs);
+    * on a heavy-tailed corpus switch to [[jaccardPairsPrefix]], which this
+    * one is A/B-equal to (LlmSpec) but 2× faster at benign df (measured
+    * 3.6 s vs 8.2 s warm at sf0.1, local[32]).
+    *
+    * Returns (a_id, b_id, inter, jac) for pairs with jac ≥ t.
+    */
+  private def jaccardPairs(docs: DataFrame, t: Double): DataFrame = {
+    val tok = shingleTok(docs)
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pair = tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast(DoubleType) /
+      (col("ca.n") + col("cb.n") - col("inter"))
+    pair
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
+      .filter(jac >= t)
+      .select($"a_id", $"b_id", $"inter", jac.as("jac"))
+  }
+
+  /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin family): order
+    * every doc's shingles by a global total order (document frequency asc,
+    * shingle asc) and generate candidates only from the first
+    * `n − ⌈t·n⌉ + 1` shingles of each doc — any pair with Jaccard ≥ t
+    * provably shares a token inside both prefixes, so the candidate set is
+    * complete; candidates are then verified exactly by sorted shingle-array
+    * intersection. The scale path for heavy-tailed shingle frequencies,
+    * where the naive join's Σdf² explodes on hot shingles but the prefix
+    * (built from the RAREST shingles of each doc) stays sparse. Identical
+    * output to [[jaccardPairs]] by construction and by spec test.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingleTok(docs)
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"w")))
+      .join(cnt, "doc_id")
+    val prefix = ranked.filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id", $"w")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = tok.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"w")).as("ws"), count(lit(1)).as("n"))
+    val jac = col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"ws".as("wa"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"ws".as("wb"), $"n".as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast(LongType))
+      .filter(jac >= t)
+      .select($"a_id", $"b_id", $"inter", jac.as("jac"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────── deduplication ─────────────────────
@@ -104,20 +168,7 @@ object LlmQueries {
          |JOIN cnt cb ON cb.doc_id = b_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val tok = shingleTok(documents(s, d))
-      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pair = tok.as("a").join(tok.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast(DoubleType) /
-        (col("ca.n") + col("cb.n") - col("inter"))
-      pair
-        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
-        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
-        .filter(jac >= 0.5)
-        .select($"a_id", $"b_id", $"inter", jac.as("jac"))
-        .orderBy($"a_id", $"b_id")
+      jaccardPairs(documents(s, d), 0.5).orderBy($"a_id", $"b_id")
     },
 
     // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
@@ -147,19 +198,7 @@ object LlmQueries {
          |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, min(label) AS cluster FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = shingleTok(documents(s, d))
-      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pair = tok.as("a").join(tok.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast(DoubleType) /
-        (col("ca.n") + col("cb.n") - col("inter"))
-      val good = pair
-        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
-        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
-        .filter(jac >= 0.5)
-        .select($"a_id", $"b_id")
+      val good = jaccardPairs(documents(s, d), 0.5).select($"a_id", $"b_id")
       // The pair graph is the LSH/Jaccard CANDIDATE output — orders of
       // magnitude smaller than the corpus (477 nodes for 5000 docs at
       // sf0.1). Union-find over the collected pairs is O(E α(E)) with

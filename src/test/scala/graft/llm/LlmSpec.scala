@@ -20,6 +20,18 @@ class LlmSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("prefix-filtered jaccard pairs equal the inverted-index join exactly") {
+    val docs = graft.Tables.documents(spark, sf)
+    val naive = LlmQueries.queries.find(_.name == "dedup_ngram_jaccard").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val prefixed = LlmQueries.jaccardPairsPrefix(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(naive.nonEmpty, "fixture should contain near-dup pairs")
+    assert(prefixed == naive,
+      s"prefix filter lost/invented pairs: only-naive=${naive -- prefixed} only-prefix=${prefixed -- naive}")
+  }
+
   test("minhash: identical texts collide on every band; estimated jaccard = 1") {
     val q = LlmQueries.queries.find(_.name == "dedup_minhash").get.fn
     // feed duplicated documents through the real query by pointing it at a
