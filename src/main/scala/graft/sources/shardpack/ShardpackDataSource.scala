@@ -140,17 +140,66 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
 
 final class ShardpackScan(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import ShardpackDataSource._
+
+  /** Compile-time keys ∩ any runtime (join-driven) key filter. */
+  private[shardpack] var effectiveKeys: Option[Set[String]] = keyFilter
+
+  /** Runtime filtering (DPP-style): after a join's build side materializes,
+    * Spark hands us its key values; readers then prune whole shards via the
+    * footer key-range stats and skip non-matching records — the dynamic
+    * twin of the static pushdown, crucial when the probe side is a 100 TB
+    * bucket and the build side names a few thousand keys.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keySets = filters.collect {
+      case In("key", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+      case EqualTo("key", v: String) => Set(v)
+    }
+    if (keySets.nonEmpty) {
+      val runtime = keySets.reduce(_ intersect _)
+      effectiveKeys = Some(effectiveKeys.fold(runtime)(_ intersect runtime))
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size statistics from the shard listing (driver already has it for
+    * planning) — lets Catalyst auto-broadcast small shardpack tables in
+    * joins instead of defaulting to sort-merge. A pushed key filter caps
+    * the estimate at one record per key so point lookups always land on
+    * the broadcast side.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(HadoopConfs.session())
+    val totalBytes = listShards(fs, dir).map(_.getLen).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(effectiveKeys match {
+          // keyed lookup: a handful of records, not the bucket
+          case Some(ks) => math.min(totalBytes, ks.size.toLong * 1024L)
+          case None => totalBytes
+        })
+      override def numRows(): java.util.OptionalLong =
+        effectiveKeys.fold(java.util.OptionalLong.empty())(ks =>
+          java.util.OptionalLong.of(ks.size.toLong))
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardpackMicroBatchStream(path, required, keyFilter, verify,
+    new ShardpackMicroBatchStream(path, required, effectiveKeys, verify,
       maxFilesPerTrigger)
   override def description(): String =
-    s"shardpack $path keys=${keyFilter.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
+    s"shardpack $path keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
@@ -161,7 +210,7 @@ final class ShardpackScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, keyFilter, verify, HadoopConfs.serializable())
+    ShardpackReaderFactory(required, effectiveKeys, verify, HadoopConfs.serializable())
 }
 
 final case class ShardInputPartition(file: String, length: Long) extends InputPartition

@@ -73,6 +73,31 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(userMeta, "UTF-8") == """{"gen":"g1"}""")
   }
 
+  test("scan reports size statistics so a small shardpack dim broadcasts in joins") {
+    val dir = tmpDir()
+    sampleDf(20).write.format("shardpack").mode("append").save(dir)
+    val dim = spark.read.format("shardpack").load(dir).select(col("key"))
+    val fact = spark.range(10000)
+      .select(format_string("key%05d", col("id") % 50).as("key"), col("id"))
+    val plan = fact.join(dim, "key").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the 20-row shardpack dim, got:\n${plan.take(800)}")
+  }
+
+  test("runtime filtering narrows the key set (and intersects with pushdown)") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    val scan = new ShardpackScan("/nowhere", ShardpackDataSource.Schema,
+      keyFilter = Some(Set("k1", "k2", "k3")), verify = true)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("key"))
+    scan.filter(Array[Filter](In("key", Array("k2", "k3", "k9"))))
+    assert(scan.effectiveKeys.contains(Set("k2", "k3")))
+    scan.filter(Array[Filter](EqualTo("key", "k3")))
+    assert(scan.effectiveKeys.contains(Set("k3")))
+    // non-key runtime filters leave the set unchanged
+    scan.filter(Array[Filter](EqualTo("other", "x")))
+    assert(scan.effectiveKeys.contains(Set("k3")))
+  }
+
   test("write then read round-trips all rows, keys and payloads") {
     val dir = tmpDir()
     sampleDf(200).write.format("shardpack").option("compression", "lz4").mode("append").save(dir)
