@@ -141,6 +141,23 @@ object ScalarFnQueries {
         .orderBy($"event_id")
     },
 
+    // Binary encode/decode surface: base64 / hex / md5 / sha2 over payload
+    // bytes — the codec layer every content-addressed pipeline leans on.
+    Q("fn_encode",
+      """SELECT doc_id,
+        |  base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+        |  hex(substr(text, 1, 12)) AS hx,
+        |  md5(text) AS md5_hash,
+        |  sha256(text) AS sha_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select($"doc_id",
+          base64(substring($"text", 1, 24).cast(BinaryType)).as("b64"),
+          hex(substring($"text", 1, 12)).as("hx"),
+          md5($"text".cast(BinaryType)).as("md5_hash"),
+          sha2($"text".cast(BinaryType), 256).as("sha_hash"))
+        .orderBy($"doc_id")
+    },
+
     // Scala UDF extension point (deliberately SQL-expressible so the oracle
     // can check it; perf-critical paths use built-ins or Expressions).
     Q("fn_udf",

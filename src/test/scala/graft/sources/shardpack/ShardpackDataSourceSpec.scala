@@ -84,6 +84,23 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
       s"expected broadcast of the 20-row shardpack dim, got:\n${plan.take(800)}")
   }
 
+  test("commit sweep is job-scoped: a concurrent job's staged temps survive") {
+    val dir = tmpDir()
+    // a concurrent append job's in-flight staged shard (different jobUuid)
+    sampleDf(1).write.format("shardpack").mode("append").save(dir) // ensure dir exists
+    val foreign = new java.io.File(dir,
+      ".graft-tmp-deadbeef-cafef00d-part-00000-1-zz-0000.shardpack")
+    java.nio.file.Files.write(foreign.toPath, "in-flight".getBytes)
+    sampleDf(5).write.format("shardpack").mode("append").save(dir)
+    assert(foreign.exists(),
+      "commit swept another job's staged temp — concurrent appends would corrupt each other")
+    // our own job's temps are gone (all promoted or swept)
+    val leftoverOwn = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".graft-tmp-") && f.getName != foreign.getName)
+    assert(leftoverOwn.isEmpty, s"own temps leaked: ${leftoverOwn.map(_.getName).toSeq}")
+    foreign.delete()
+  }
+
   test("runtime filtering narrows the key set (and intersects with pushdown)") {
     import org.apache.spark.sql.sources.{EqualTo, Filter, In}
     val scan = new ShardpackScan("/nowhere", ShardpackDataSource.Schema,
