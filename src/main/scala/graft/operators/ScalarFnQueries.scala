@@ -141,6 +141,29 @@ object ScalarFnQueries {
         .orderBy($"event_id")
     },
 
+    // Native MAP column construction and access (distinct from the JSON
+    // string path in fn_map_json). DuckDB map extraction returns a LIST, so
+    // the oracle takes `[1]` to get the scalar; both engines preserve the
+    // literal key order for map_keys.
+    Q("fn_map",
+      """WITH t AS (SELECT event_id,
+        |  map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+        |FROM events)
+        |SELECT event_id,
+        |  m['type'][1] AS v_type,
+        |  m['uid'][1] AS v_uid,
+        |  CAST(cardinality(m) AS INT) AS n_keys,
+        |  array_to_string(map_keys(m), ',') AS keys_csv
+        |FROM t ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = map(lit("type"), $"event_type", lit("uid"), $"user_id".cast(StringType))
+      Tables.events(s, d).select($"event_id",
+          element_at(m, "type").as("v_type"),
+          element_at(m, "uid").as("v_uid"),
+          size(m).as("n_keys"),
+          concat_ws(",", map_keys(m)).as("keys_csv"))
+        .orderBy($"event_id")
+    },
+
     // Binary encode/decode surface: base64 / hex / md5 / sha2 over payload
     // bytes — the codec layer every content-addressed pipeline leans on.
     Q("fn_encode",

@@ -3,7 +3,7 @@ package graft.sources.shardpack
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming source tailing a shardpack bucket:
@@ -35,13 +35,23 @@ import org.apache.spark.sql.types.StructType
 final class ShardpackMicroBatchStream(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def currentFiles(): Seq[String] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(HadoopConfs.session())
     ShardpackDataSource.listShards(fs, dir).map(_.getPath.toString)
   }
+
+  /** Trigger.AvailableNow: the backlog end is frozen at query start, so the
+    * query drains exactly the shards visible NOW — still in
+    * maxFilesPerTrigger-bounded batches — then terminates; files landing
+    * mid-drain wait for the next run (exactly Spark's file-source contract).
+    */
+  private var availableNowCap: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentFiles().toSet)
 
   override def initialOffset(): Offset = ShardpackOffset(Seq.empty)
 
@@ -55,7 +65,9 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[ShardpackOffset].files
     val seenSet = seen.toSet
-    val fresh = currentFiles().filterNot(seenSet).sorted
+    val fresh = currentFiles()
+      .filter(f => availableNowCap.forall(_.contains(f)))
+      .filterNot(seenSet).sorted
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh

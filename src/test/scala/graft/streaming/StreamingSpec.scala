@@ -243,6 +243,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches then stops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shardpack-avnow").toString
+    val ckpt = Files.createTempDirectory("shardpack-avnow-ckpt").toString
+    for (batch <- 0 until 3) {
+      (batch * 10 until batch * 10 + 10).toDF("i").repartition(1).select(
+        format_string("doc_%05d", $"i").as("key"),
+        lit(Array.empty[Byte]).as("metadata"),
+        array(struct(
+          lit("b.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"i".cast("string").cast("binary").as("data")))
+          .as("entries"))
+        .write.format("shardpack").mode("append").save(dir)
+    }
+    // the batch-backfill mode: process everything available (respecting
+    // admission control), then terminate — no manual stop
+    val q = spark.readStream.format("shardpack")
+      .option("maxFilesPerTrigger", 1).load(dir)
+      .select($"key")
+      .writeStream.format("memory").queryName("sp_avnow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.table("sp_avnow").count() == 30)
+    // admission control still applies during the drain: 3 one-shard batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 bounded batches, got ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("windowed aggregation runs on the RocksDB state store provider") {
     // DESIGN.md claims RocksDB-backed state at production scale — prove the
     // provider actually serves this pipeline (state survives across batches)
