@@ -141,6 +141,30 @@ object ScalarFnQueries {
         .orderBy($"event_id")
     },
 
+    // Higher-order array lambdas as a DECLARED surface (they back half the
+    // LLM pipeline internally): transform / filter / aggregate(reduce) /
+    // exists / forall, mirrored by DuckDB's list_* family.
+    Q("fn_lambda",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> length(w) > 5)) AS INT) AS n_long,
+        |  array_to_string(list_transform(ws[1:3], w -> upper(w)), ',') AS upper3,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+        |    (a, x) -> a + x) AS INT) AS total_chars,
+        |  len(list_filter(ws, w -> w = 'the')) > 0 AS has_the,
+        |  len(list_filter(ws, w -> w <> lower(w))) = 0 AS all_lower
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = split($"text", " ")
+      documents(s, d).select($"doc_id",
+          size(filter(ws, w => length(w) > 5)).as("n_long"),
+          concat_ws(",", transform(slice(ws, 1, 3), w => upper(w))).as("upper3"),
+          aggregate(ws, lit(0), (a, w) => a + length(w)).as("total_chars"),
+          exists(ws, w => w === "the").as("has_the"),
+          forall(ws, w => w === lower(w)).as("all_lower"))
+        .orderBy($"doc_id")
+    },
+
     // Native MAP column construction and access (distinct from the JSON
     // string path in fn_map_json). DuckDB map extraction returns a LIST, so
     // the oracle takes `[1]` to get the scalar; both engines preserve the
