@@ -17,8 +17,10 @@ object SparkEntry {
       operators.ExtendedQueries.queries ++
       operators.ScalarFnQueries.queries ++
       operators.StreamShapeQueries.queries ++
+      operators.AnalyticsQueries.queries ++
       sources.ShardpackQueries.queries ++
-      llm.LlmQueries.queries
+      llm.LlmQueries.queries ++
+      llm.ScaleDedup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -85,7 +85,7 @@ object LlmQueries {
     *
     * Returns (a_id, b_id, inter, jac) for pairs with jac ≥ t.
     */
-  private def jaccardPairs(docs: DataFrame, t: Double): DataFrame = {
+  private[llm] def jaccardPairs(docs: DataFrame, t: Double): DataFrame = {
     val tok = shingleTok(docs)
     val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pair = tok.as("a").join(tok.as("b"),
@@ -138,6 +138,31 @@ object LlmQueries {
       .select($"a_id", $"b_id", $"inter", jac.as("jac"))
   }
 
+  /** Shared oracle for dedup_cluster AND its distributed twin
+    * [[ScaleDedup]].dedup_cluster_dist: recursive-CTE transitive closure of
+    * the exact-Jaccard ≥ 0.5 pair graph, min label per component.
+    */
+  private[llm] lazy val ClusterOracleSql: String =
+    s"""WITH RECURSIVE tok AS (
+       |  ${sqlShingleTok("documents")}),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |pair AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |good AS (
+       |  SELECT a_id, b_id FROM pair
+       |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM good
+       |          UNION ALL SELECT b_id, a_id FROM good),
+       |reach(u, label) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, min(label) AS cluster FROM reach
+       |GROUP BY u ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────── deduplication ─────────────────────
@@ -178,26 +203,7 @@ object LlmQueries {
     // graph diameter (tiny for near-dup cliques); the same loop is how
     // GraphX computes components, no driver-side graph. Oracle: recursive
     // CTE transitive closure.
-    Q("dedup_cluster",
-      s"""WITH RECURSIVE tok AS (
-         |  ${sqlShingleTok("documents")}),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |pair AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |good AS (
-         |  SELECT a_id, b_id FROM pair
-         |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-         |edges AS (SELECT a_id AS u, b_id AS v FROM good
-         |          UNION ALL SELECT b_id, a_id FROM good),
-         |reach(u, label) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
-         |SELECT u AS doc_id, min(label) AS cluster FROM reach
-         |GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("dedup_cluster", ClusterOracleSql) { (s, d) =>
       val good = jaccardPairs(documents(s, d), 0.5).select($"a_id", $"b_id")
       // The pair graph is the LSH/Jaccard CANDIDATE output — orders of
       // magnitude smaller than the corpus (477 nodes for 5000 docs at

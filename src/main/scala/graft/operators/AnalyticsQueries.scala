@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Round-3 analytics surface: the operator families a production pipeline
+  * layers on top of the relational core — runtime bloom filtering, exact
+  * stratified sampling, frequency sketches, histograms, regular-expression
+  * extraction, semi-structured (VARIANT) access, time-series resampling with
+  * gap fill, and funnel analysis.
+  *
+  * The reference stores datasets but has no analytics surface
+  * (`/root/reference/src/lib.rs:1-7`); these extend SURVEY.md §2B with
+  * shapes that matter at 100 TB: every query here is one or two shuffles,
+  * and the scale notes on each entry say what changes at 1000 executors.
+  */
+object AnalyticsQueries {
+  import Tables._
+  import graft.functions.{CrossHash => H}
+
+  val queries: Seq[Q] = Seq(
+
+    // Bloom-filter semi-join — the runtime-filter pattern made explicit.
+    // Build side: a 1 MiB bloom over the selective dim keys, collected once
+    // (exactly what Catalyst's InjectRuntimeFilter does via a scalar
+    // subquery). Probe side: `might_contain` runs INSIDE the fact scan,
+    // before the shuffle, so at 100 TB the exchange only carries the ~10%
+    // of lineitem that can match; the exact join afterwards removes bloom
+    // false positives, which is why the oracle is the plain join.
+    Q("join_bloom",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 480000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val dim = orders(s, d).filter($"o_totalprice" > 480000)
+      val bloomAgg = Bridge.column(
+        new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression($"o_orderkey"))))
+          .toAggregateExpression())
+      val bf = dim.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+      val might = Bridge.column(BloomFilterMightContain(
+        Literal(bf, BinaryType),
+        new XxHash64(Seq(Bridge.expression($"l_orderkey")))))
+      lineitem(s, d).filter(might)
+        .join(dim.select($"o_orderkey", $"o_totalprice"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber", $"o_totalprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // Exact stratified sampling: 20% per stratum, deterministic. Rows are
+    // ordered inside each stratum by a seeded hash (CrossHash affine) and
+    // the first ⌈n/5⌉ kept — reproducible across runs and engines, unlike
+    // Bernoulli `sample()`. One window shuffle on the stratum key; at
+    // 100 TB with exact quotas unneeded, the no-shuffle variant is
+    // `WHERE hash % 5 = 0` on the same seeded hash (≈20% without the
+    // window), or `df.stat.sampleBy` for approximate fractions.
+    Q("sample_stratified", {
+      val hv = H.sqlAffine(0, "c_custkey")
+      s"""WITH r AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY $hv, c_custkey) AS rn,
+         |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+         |  FROM customer)
+         |SELECT c_custkey, c_mktsegment, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= (n + 4) // 5
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy(H.affine(0, $"c_custkey"), $"c_custkey")
+      val wn = Window.partitionBy($"c_mktsegment")
+      customer(s, d)
+        .select($"c_custkey", $"c_mktsegment",
+          row_number().over(w).cast(LongType).as("rn"),
+          count(lit(1)).over(wn).as("n"))
+        .filter($"rn" <= expr("(n + 4) div 5")) // integral div, both sides BIGINT
+        .select($"c_custkey", $"c_mktsegment", $"rn")
+        .orderBy($"c_custkey")
+    },
+
+    // Count-min sketch (depth 4 × width 64) over supplier keys, with the
+    // estimate replayed against exact counts for a probe set. The sketch is
+    // a pure groupBy on (row, cell) — fully map-side combinable, fixed
+    // 4×64-cell output regardless of input size, which is the whole point
+    // at 100 TB: frequency estimation with O(1) state per partition. The
+    // hash rows are the cross-engine affine family, so DuckDB rebuilds the
+    // identical sketch and the estimates hash-match exactly.
+    Q("agg_count_min", {
+      def cellSql(key: String, i: String) =
+        s"(($key * (((2*$i+1)*1103515245 + 12345) % ${H.P1}) + " +
+          s"(($i*777767777 + 131071) % ${H.P1})) % ${H.P1}) % 64"
+      s"""WITH cells AS (
+         |  SELECT i, ${cellSql("l_suppkey", "i")} AS cell, count(*) AS c
+         |  FROM lineitem, range(4) t(i) GROUP BY i, cell),
+         |probe AS (
+         |  SELECT l_suppkey, count(*) AS exact_cnt
+         |  FROM lineitem WHERE l_suppkey <= 10 GROUP BY l_suppkey),
+         |pc AS (
+         |  SELECT p.l_suppkey, p.exact_cnt, t.i,
+         |    ${cellSql("p.l_suppkey", "t.i")} AS cell
+         |  FROM probe p, range(4) t(i))
+         |SELECT pc.l_suppkey, pc.exact_cnt, min(c.c) AS est
+         |FROM pc JOIN cells c ON c.i = pc.i AND c.cell = pc.cell
+         |GROUP BY pc.l_suppkey, pc.exact_cnt
+         |ORDER BY l_suppkey""".stripMargin
+    }) { (s, d) =>
+      // cell_i(x) = affine_i(x) mod 64 with i as a COLUMN (the seeded
+      // coefficients are computed in-row; same formula as CrossHash.affine)
+      def cell(key: Column, i: Column) = {
+        val a = ((i * 2 + 1).cast(LongType) * 1103515245L + 12345L) % H.P1
+        val b = (i.cast(LongType) * 777767777L + 131071L) % H.P1
+        ((key * a + b) % H.P1) % 64
+      }
+      val li = lineitem(s, d).select($"l_suppkey")
+      val cells = li.select($"l_suppkey", explode(sequence(lit(0), lit(3))).as("i"))
+        .groupBy($"i", cell($"l_suppkey", $"i").as("cell"))
+        .agg(count(lit(1)).as("c"))
+      val probe = li.filter($"l_suppkey" <= 10)
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+      probe.select($"l_suppkey", $"exact_cnt", explode(sequence(lit(0), lit(3))).as("i"))
+        .withColumn("cell", cell($"l_suppkey", $"i"))
+        .join(cells, Seq("i", "cell"))
+        .groupBy($"l_suppkey", $"exact_cnt").agg(min($"c").as("est"))
+        .orderBy($"l_suppkey")
+    },
+
+    // Equi-width histogram in exact integer space: bucket on cents div
+    // 5 000 000 (= $50k buckets) so the bucketing is integer arithmetic,
+    // never float-edge-sensitive. One map-side-combinable groupBy; the
+    // standard first step of any distribution profile over 100 TB.
+    Q("agg_histogram",
+      """SELECT CAST(round(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy(expr("CAST(round(o_totalprice*100) AS BIGINT) div 5000000")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min($"o_totalprice").cast(DoubleType).as("lo"),
+          max($"o_totalprice").cast(DoubleType).as("hi"))
+        .orderBy($"bucket")
+    },
+
+    // Regular-expression extraction family: extract-all + count + replace
+    // + match test. Pure codegen'd string expressions — scales linearly,
+    // no shuffle until the final sort. DuckDB needs the 'g' flag to match
+    // Spark's replace-all default.
+    Q("fn_regex",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS INT) AS n_s_words,
+        |  coalesce(regexp_extract_all(text, '(s[a-z]{3,})', 1)[1], '') AS first_s_word,
+        |  CAST(regexp_matches(text, 'spark') AS INT) AS has_spark,
+        |  CAST(length(regexp_replace(text, 'table', 'TBL', 'g')) AS BIGINT) AS rep_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select($"doc_id",
+          size(regexp_extract_all($"text", lit("(s[a-z]{3,})"), lit(1))).as("n_s_words"),
+          coalesce(try_element_at(regexp_extract_all($"text", lit("(s[a-z]{3,})"), lit(1)),
+            lit(1)), lit("")).as("first_s_word"),
+          $"text".rlike("spark").cast(IntegerType).as("has_spark"),
+          length(regexp_replace($"text", "table", "TBL")).cast(LongType).as("rep_len"))
+        .orderBy($"doc_id")
+    },
+
+    // Semi-structured access through Spark 4 VARIANT: parse once, then
+    // typed path extraction (`variant_get`) — the shredded-at-read scale
+    // path for JSON event payloads, vs per-access string parsing
+    // (fn_map_json covers the classic get_json_object route). A missing
+    // path through try_variant_get yields NULL, as does the oracle's
+    // json_extract on the same path.
+    Q("fn_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.missing') AS INT) AS miss
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val v = parse_json($"props")
+      events(s, d).select($"event_id",
+          variant_get(v, "$.k", "int").as("k"),
+          variant_get(v, "$.k", "string").as("k_str"),
+          try_variant_get(v, "$.missing", "int").as("miss"))
+        .orderBy($"event_id")
+    },
+
+    // Time-series resample: sparse per-user events onto a dense hourly
+    // grid (Jan 2024), forward-filling the last observed hourly sum.
+    // Aggregate first (events → one row per user×hour), THEN join the
+    // grid — so the expensive side is one groupBy at full scale and the
+    // grid join is bounded by users × hours, not by events. The fill is a
+    // running `last(ignoreNulls)` window per user — one shuffle, ordered
+    // within user. Leading hours before a user's first event stay NULL in
+    // both engines.
+    Q("ts_resample",
+      """WITH base AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+        |    count(*) AS n
+        |  FROM events WHERE user_id < 3 GROUP BY user_id, hr),
+        |grid AS (
+        |  SELECT CAST(u.user_id AS BIGINT) AS user_id, g.hr
+        |  FROM (SELECT unnest([0,1,2]) AS user_id) u,
+        |    (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |       TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr) g)
+        |SELECT g.user_id, g.hr, coalesce(b.n, 0) AS n,
+        |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM grid g LEFT JOIN base b ON b.user_id = g.user_id AND b.hr = g.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin) { (s, d) =>
+      val base = events(s, d).filter($"user_id" < 3)
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hr"))
+        .agg(dsum($"value").as("v"), count(lit(1)).as("n"))
+      val grid = s.range(3).select($"id".as("user_id"))
+        .crossJoin(s.range(1).select(explode(expr(
+          "sequence(timestamp'2024-01-01 00:00:00', " +
+            "timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("hr")))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(base, Seq("user_id", "hr"), "left")
+        .select($"user_id", $"hr", coalesce($"n", lit(0L)).as("n"),
+          last($"v", ignoreNulls = true).over(w).as("v_fill"))
+        .orderBy($"user_id", $"hr")
+    },
+
+    // Conversion funnel: views that lead to a purchase by the same user
+    // within 30 minutes, aggregated per day. The view→purchase pairing is
+    // a per-user interval join (the batch shape of the stream-stream
+    // interval join in graft.streaming.StreamingOps): both sides shuffle
+    // once on user_id and the time band bounds the per-user pair count, so
+    // the join never goes quadratic in total events — only within a
+    // (user, 30 min) neighborhood.
+    Q("events_funnel",
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |cv AS (SELECT DISTINCT v.event_id
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n_views,
+        |  CAST(sum(CASE WHEN event_id IN (SELECT event_id FROM cv)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        |FROM v GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val v = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"))
+      val converted = v.join(p,
+          $"pu" === $"user_id" && $"pts" > $"ts" &&
+            $"pts" <= $"ts" + expr("interval 30 minutes"), "left_semi")
+        .select($"event_id", lit(1).as("c"))
+      v.join(converted, Seq("event_id"), "left")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(coalesce($"c", lit(0))).cast(LongType).as("n_conv"))
+        .orderBy($"day")
+    }
+  )
+
+  // $"…" sugar without a SparkSession-bound `implicits` import.
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
