@@ -215,10 +215,11 @@ object AnalyticsQueries {
       val base = events(s, d).filter($"user_id" < 3)
         .groupBy($"user_id", date_trunc("hour", $"ts").as("hr"))
         .agg(dsum($"value").as("v"), count(lit(1)).as("n"))
-      val grid = s.range(3).select($"id".as("user_id"))
-        .crossJoin(s.range(1).select(explode(expr(
-          "sequence(timestamp'2024-01-01 00:00:00', " +
-            "timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("hr")))
+      // grid = per-user explode of the hour sequence (no cross join — the
+      // sequence literal is generated inside each user row)
+      val grid = s.range(3).select($"id".as("user_id"), explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', " +
+          "timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("hr"))
       val w = Window.partitionBy($"user_id").orderBy($"hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(base, Seq("user_id", "hr"), "left")
