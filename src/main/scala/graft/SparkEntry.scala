@@ -20,7 +20,8 @@ object SparkEntry {
       operators.AnalyticsQueries.queries ++
       sources.ShardpackQueries.queries ++
       llm.LlmQueries.queries ++
-      llm.ScaleDedup.queries
+      llm.ScaleDedup.queries ++
+      llm.CompositeQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
