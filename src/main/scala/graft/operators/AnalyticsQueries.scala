@@ -83,6 +83,39 @@ object AnalyticsQueries {
         .orderBy($"c_custkey")
     },
 
+    // Global deterministic k-sample: bottom-100 by seeded hash. Spark plans
+    // orderBy+limit as TakeOrderedAndProject — per-partition bounded heaps,
+    // then a driver merge of 100-row heads; NO global sort shuffle, so the
+    // same plan samples 100 rows from 100 TB with one pass. Membership is a
+    // pure function of the key (hash order), so reruns and engines agree —
+    // the deterministic stand-in for reservoir sampling.
+    Q("sample_bottomk", {
+      val hv = H.sqlAffine(1, "c_custkey")
+      s"""SELECT c_custkey, c_mktsegment, $hv AS hv
+         |FROM customer ORDER BY hv, c_custkey LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", H.affine(1, $"c_custkey").as("hv"))
+        .orderBy($"hv", $"c_custkey")
+        .limit(100)
+    },
+
+    // Approximate percentiles (t-digest-family sketch): mergeable map-side
+    // state like the count-min sketch, the quantile path at 100 TB where
+    // exact `percentile` would shuffle whole value sets per group. Sketch
+    // internals are engine-specific, so — like agg_approx_distinct — this
+    // is rows-only for the driver; AnalyticsSpec bounds it against the
+    // exact percentiles.
+    Q.noOracle("agg_approx_percentile") { (s, d) =>
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx($"l_quantity", lit(0.9), lit(1000)).as("p90_approx"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
     // Count-min sketch (depth 4 × width 64) over supplier keys, with the
     // estimate replayed against exact counts for a probe set. The sketch is
     // a pure groupBy on (row, cell) — fully map-side combinable, fixed

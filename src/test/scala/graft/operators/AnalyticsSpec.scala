@@ -91,6 +91,69 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("bottom-k sample is deterministic, k-sized, and hash-ordered") {
+    val a = run("sample_bottomk").collect()
+    val b = run("sample_bottomk").collect()
+    assert(a.length == 100 && a.toSeq == b.toSeq)
+    val hvs = a.map(_.getAs[Long]("hv"))
+    assert(hvs.sameElements(hvs.sorted))
+  }
+
+  test("approx percentiles stay within the exact p25..p100 band per group") {
+    val approx = run("agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("min(l_quantity)").as("lo"), expr("max(l_quantity)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90, lo, hi) = exact(k)
+      assert(a50 >= lo && a50 <= hi && a90 >= lo && a90 <= hi)
+      // accuracy=1000 on ≤50-value domains is near-exact; allow a loose band
+      assert(math.abs(a50 - e50) <= 5.0, s"$k p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 5.0, s"$k p90 $a90 vs $e90")
+    }
+  }
+
+  test("knn join: each query gets 3 neighbors matching a brute-force rescore") {
+    val got = run("sim_knn_join").collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n_id")).toSeq).toMap
+    got.values.foreach(ns => assert(ns.length == 3))
+    // brute-force reference on the collected vectors (double cosine ranking
+    // agrees with the fixed-point ranking at these magnitudes)
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    got.foreach { case (q, ns) =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(ns == expected, s"query $q")
+    }
+  }
+
+  test("keep-set is the canonical-copy subset passing every quality gate") {
+    val kept = run("pipeline_keepset").collect().map(_.getLong(0)).toSet
+    val quality = run("quality_score").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_words"), r.getAs[Double]("punct_ratio"),
+        r.getAs[Double]("stop_ratio"))).toMap
+    val canon = run("dedup_exact").collect().map(_.getAs[Long]("keep_id")).toSet
+    val expected = quality.collect {
+      case (id, (w, p, st)) if canon(id) && w >= 20 && w <= 400 && p <= 0.1 && st >= 0.02 => id
+    }.toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty)
+  }
+
   test("decontaminate_spans finds every doc sharing a 5-token span with the benchmark set") {
     // brute-force reference: materialize raw 5-token spans as STRINGS (not
     // hashes) and intersect — catches both hash-formula drift and misses
