@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   - [[overlay]] — the spec's read-time update overlay
   *     (`docs/draft.md:207-211`): a small shardpack of updated records
   *     combined with the base at read time, overlay winning per key.
+  *   - [[compact]] — small-shard compaction, the maintenance counterpart
+  *     of the streaming sink's per-epoch appends.
   *
   * Scale notes: deleteKeys broadcast the (small) key list; alignedJoin and
   * overlay are key-equi joins that Catalyst shuffles on `key` — bucketed
@@ -111,6 +113,49 @@ object ShardpackOps {
     }
     affected.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(staging), true)
+  }
+
+  /** Compact undersized shards into full-cap ones: the maintenance op for
+    * the small-file backlog a streaming sink accumulates (one+ shard per
+    * epoch×partition). Only shards below `minFill`·cap are read and
+    * rewritten — cost scales with the backlog, not the bucket — and the
+    * swap follows deleteKeys' crash-safe order (new generation renamed IN
+    * before old shards are dropped; a crash mid-swap leaves transient
+    * duplicates, never data loss). Readers are unaffected throughout:
+    * shards are immutable and appear/disappear atomically via rename.
+    *
+    * The reference lists compaction-adjacent work (chunked writing, file
+    * locking) as open roadmap items (`/root/reference/src/lib.rs:16-26`);
+    * this is the immutable-storage formulation.
+    *
+    * Returns the number of small shards compacted away (0 = nothing to do).
+    */
+  def compact(spark: SparkSession, dir: String, minFill: Double = 0.5,
+      shardCap: Long = ShardpackFormat.DefaultShardCap,
+      compression: String = ShardpackFormat.Codec.None): Int = {
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val threshold = math.max(1L, (shardCap * minFill).toLong)
+    val small = ShardpackDataSource.listShards(fs, new Path(dir))
+      .filter(_.getLen < threshold)
+    if (small.length < 2) return 0 // one small shard compacts to itself
+    val staging = s"$dir-compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    // target partition count so each writer task fills ~one cap-sized shard
+    val parts = math.max(1, (small.map(_.getLen).sum / shardCap).toInt + 1)
+    small.map(st => spark.read.format("shardpack").load(st.getPath.toString))
+      .reduce(_ union _)
+      .coalesce(parts)
+      .write.format("shardpack")
+      .option("compression", compression)
+      .option("shardCapBytes", shardCap)
+      .mode("append").save(staging)
+    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
+      val dst = new Path(dir, st.getPath.getName)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"compact: rename ${st.getPath} -> $dst failed")
+    }
+    small.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(new Path(staging), true)
+    small.length
   }
 
   /** Join per-column shardpack tables on key, concatenating their entry

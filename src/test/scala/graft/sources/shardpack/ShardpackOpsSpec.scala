@@ -89,6 +89,34 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(left.toSeq == Seq("a1", "z1", "z2"))
   }
 
+  test("compact merges small shards, preserves records, leaves full shards alone") {
+    val dir = tmp() + "/docs"
+    // 6 separate appends → ≥6 small shard files (streaming-epoch shape)
+    (1 to 6).foreach(i => writeDocs(dir, (s"k$i", s"body-$i"), (s"k$i-b", s"extra-$i")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(HadoopConfs.session())
+    val before = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(before.length >= 6)
+    val expect = spark.read.format("shardpack").load(dir)
+      .select(col("key"), col("entries").getItem(0).getField("data").as("d"))
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1)))).sorted
+    val compacted = ShardpackOps.compact(spark, dir, minFill = 0.5)
+    assert(compacted == before.length)
+    val after = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(after.length < before.length)
+    val back = spark.read.format("shardpack").load(dir)
+      .select(col("key"), col("entries").getItem(0).getField("data").as("d"))
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1)))).sorted
+    assert(back.toSeq == expect.toSeq)
+    // an already-full shard (above minFill·cap) must not be touched: compact
+    // again with a tiny cap so every existing shard counts as "full"
+    val untouched = after.map(_.getPath.getName).toSet
+    assert(ShardpackOps.compact(spark, dir, minFill = 0.5, shardCap = 16) == 0)
+    val names2 = ShardpackDataSource
+      .listShards(fs, new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName).toSet
+    assert(names2 == untouched)
+  }
+
   test("alignedJoin merges per-column shardpacks into one entry list") {
     val leftDir = tmp() + "/left"
     val rightDir = tmp() + "/right"
