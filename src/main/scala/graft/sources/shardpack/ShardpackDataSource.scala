@@ -319,19 +319,42 @@ final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
-    private def batchWrite = {
-      val opts = info.options()
-      new ShardpackBatchWrite(path, info.schema(), truncateFirst,
-        opts.getOrDefault("compression", Codec.None),
-        opts.getLong("shardCapBytes", DefaultShardCap),
-        Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+  /** `.option("sortedWrite", true)`: ask Spark for a GLOBAL key ordering
+    * before the writers run ([[RequiresDistributionAndOrdering]] with an
+    * ordered distribution = range partitioning + in-partition sort). Every
+    * shard then covers a contiguous, pairwise-disjoint key range, so the
+    * footer [minKey,maxKey] stats prune a point lookup to exactly ONE shard
+    * — the layout that makes keyed access on a 100 TB bucket O(1) shards
+    * instead of O(all). `targetShards=N` fixes the partition (≈shard)
+    * count; 0 lets AQE pick from advisory sizing.
+    */
+  override def build(): Write = {
+    val opts = info.options()
+    val sortedWrite = opts.getBoolean("sortedWrite", false)
+    val targetShards = opts.getInt("targetShards", 0)
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      private val keyAsc: SortOrder =
+        Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
+      override def requiredDistribution(): Distribution =
+        if (sortedWrite) Distributions.ordered(Array(keyAsc))
+        else Distributions.unspecified()
+      override def requiredOrdering(): Array[SortOrder] =
+        if (sortedWrite) Array(keyAsc) else Array.empty
+      override def requiredNumPartitions(): Int = targetShards
+      private def batchWrite = {
+        new ShardpackBatchWrite(path, info.schema(), truncateFirst,
+          opts.getOrDefault("compression", Codec.None),
+          opts.getLong("shardCapBytes", DefaultShardCap),
+          Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+      }
+      override def toBatch: BatchWrite = batchWrite
+      // Structured Streaming sink: each micro-batch appends its own shard
+      // files (reusing the batch writer/commit machinery keyed by epoch).
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ShardpackStreamingWrite(batchWrite)
     }
-    override def toBatch: BatchWrite = batchWrite
-    // Structured Streaming sink: each micro-batch appends its own shard
-    // files (reusing the batch writer/commit machinery keyed by epoch).
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new ShardpackStreamingWrite(batchWrite)
   }
 }
 

@@ -58,6 +58,38 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(back.filter(col("key") === "key00031").count() == 1)
   }
 
+  test("sortedWrite yields disjoint shard key ranges; a point lookup hits one shard") {
+    val dir = tmpDir()
+    // deliberately scrambled input: sortedWrite must range-partition + sort
+    sampleDf(200).orderBy(expr("reverse(key)"))
+      .write.format("shardpack")
+      .option("sortedWrite", true).option("targetShards", 4)
+      .mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val shards = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(shards.length == 4)
+    val ranges = shards.map { st =>
+      val in = fs.open(st.getPath)
+      val footer = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+        val b = new Array[Byte](len); in.readFully(pos, b); b
+      }) finally in.close()
+      ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1.get
+    }.sortBy(_._1)
+    // contiguous global order ⇒ pairwise-disjoint ranges
+    ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, s"overlapping shard ranges: $ranges")
+    }
+    // every key is claimed by exactly one shard's envelope
+    (0 until 200).foreach { i =>
+      val k = f"key$i%05d"
+      assert(ranges.count { case (lo, hi) => lo <= k && k <= hi } == 1, k)
+    }
+    // and the data still round-trips completely
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() == 200)
+    assert(back.filter(col("key") === "key00123").count() == 1)
+  }
+
   test("shardMetadata option survives inside the stats envelope") {
     val dir = tmpDir()
     sampleDf(3).coalesce(1).write.format("shardpack")
