@@ -261,6 +261,32 @@ object AnalyticsQueries {
         .orderBy($"user_id", $"hr")
     },
 
+    // Cohort retention: users grouped by first-active day, counted on each
+    // later active day (bounded to a 7-day window). Two combinable
+    // aggregations and one join on user_id — the cohort side is one row
+    // per user, broadcast-sized relative to the activity table, so the
+    // shape is one shuffle of the distinct (user, day) activity set no
+    // matter how many raw events back it.
+    Q("events_retention",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT c.cohort, CAST(datediff('day', c.cohort, a.day) AS INT) AS offset_days,
+        |  count(*) AS n_users
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |WHERE datediff('day', c.cohort, a.day) <= 7
+        |GROUP BY c.cohort, offset_days
+        |ORDER BY cohort, offset_days""".stripMargin) { (s, d) =>
+      val act = events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val coh = act.groupBy($"user_id").agg(min($"day").as("cohort"))
+      act.join(coh, Seq("user_id"))
+        .select($"cohort", datediff($"day", $"cohort").as("offset_days"))
+        .filter($"offset_days" <= 7)
+        .groupBy($"cohort", $"offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"offset_days")
+    },
+
     // Conversion funnel: views that lead to a purchase by the same user
     // within 30 minutes, aggregated per day. The view→purchase pairing is
     // a per-user interval join (the batch shape of the stream-stream
