@@ -76,6 +76,9 @@ object ShardpackDataSource {
 
   val FileSuffix = ".shardpack"
 
+  /** Bucketed writers name shards `…-b<bucket>-<seq>.shardpack`. */
+  val BucketedName = """-b(\d+)-\d+\.shardpack$""".r
+
   def listShards(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -84,7 +87,8 @@ object ShardpackDataSource {
       .sortBy(_.getPath.getName)
 }
 
-final class ShardpackTable(path: String) extends Table with SupportsRead with SupportsWrite {
+final class ShardpackTable(path: String, bucketN: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite {
   import ShardpackDataSource._
 
   override def name(): String = s"shardpack:$path"
@@ -94,16 +98,22 @@ final class ShardpackTable(path: String) extends Table with SupportsRead with Su
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
+  /** Catalog tables bucketed by key advertise it (SPJ matching). */
+  override def partitioning(): Array[Transform] =
+    bucketN.map(n => org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(n, "key")).toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardpackScanBuilder(path, options)
+    new ShardpackScanBuilder(path, options, bucketN)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ShardpackWriteBuilder(path, info)
+    new ShardpackWriteBuilder(path, info, bucketN)
 }
 
 // ─────────────────────────── read path ───────────────────────────
 
-final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap)
+final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap,
+    bucketN: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import ShardpackDataSource._
 
@@ -135,14 +145,16 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
   override def build(): Scan =
     new ShardpackScan(path, required, keyFilter,
       options.getBoolean("verifyChecksums", true),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN)
 }
 
 final class ShardpackScan(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
+    maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import ShardpackDataSource._
 
   /** Compile-time keys ∩ any runtime (join-driven) key filter. */
@@ -201,13 +213,52 @@ final class ShardpackScan(path: String, required: StructType,
   override def description(): String =
     s"shardpack $path keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one listing shared by planInputPartitions + outputPartitioning
+  private lazy val shardList: Seq[org.apache.hadoop.fs.FileStatus] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(HadoopConfs.session())
     listShards(fs, dir)
+  }
+
+  /** bucket id parsed from the writer's `-b<id>-<seq>.shardpack` suffix;
+    * None for shards from unbucketed writers (foreign/compacted files).
+    */
+  private def bucketIdOf(name: String): Option[Int] =
+    ShardpackDataSource.BucketedName.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  private lazy val bucketed: Option[Seq[(org.apache.hadoop.fs.FileStatus, Int)]] =
+    bucketN.flatMap { _ =>
+      val ids = shardList.map(st => bucketIdOf(st.getPath.getName))
+      if (ids.nonEmpty && ids.forall(_.isDefined))
+        Some(shardList.zip(ids.map(_.get)))
+      else None // mixed/foreign layout: fall back to unknown partitioning
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = bucketed match {
+    case Some(withIds) => withIds.map { case (st, b) =>
+      BucketedShardInputPartition(st.getPath.toString, st.getLen, b): InputPartition
+    }.toArray
+    case None => shardList
       .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
       .toArray
   }
+
+  /** Storage-partitioned joins: when every shard carries its bucket id, the
+    * scan reports `KeyGroupedPartitioning(bucket(N, key))`; two shardpack
+    * tables bucketed with the same N then join with ZERO shuffle exchanges
+    * (`spark.sql.sources.v2.bucketing.enabled`), because Spark matches the
+    * transform through the catalog's shared [[BucketBound]] function.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (bucketN, bucketed) match {
+      case (Some(n), Some(withIds)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, "key")),
+          withIds.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          shardList.size)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ShardpackReaderFactory(required, effectiveKeys, verify, HadoopConfs.serializable())
@@ -215,12 +266,24 @@ final class ShardpackScan(path: String, required: StructType,
 
 final case class ShardInputPartition(file: String, length: Long) extends InputPartition
 
+/** A shard known to hold exactly one key bucket (sorted-by-bucket writer);
+  * the partition key feeds Spark's KeyGroupedPartitioning grouping.
+  */
+final case class BucketedShardInputPartition(file: String, length: Long, bucket: Int)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 final case class ShardpackReaderFactory(required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[ShardInputPartition]
-    new ShardpackPartitionReader(sp.file, sp.length, required, keyFilter, verify,
+    val (file, length) = p match {
+      case ShardInputPartition(f, l) => (f, l)
+      case BucketedShardInputPartition(f, l, _) => (f, l)
+    }
+    new ShardpackPartitionReader(file, length, required, keyFilter, verify,
       hconf.value)
   }
 }
@@ -313,20 +376,25 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
 
 // ─────────────────────────── write path ───────────────────────────
 
-final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
+final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo,
+    bucketN: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  /** `.option("sortedWrite", true)`: ask Spark for a GLOBAL key ordering
-    * before the writers run ([[RequiresDistributionAndOrdering]] with an
-    * ordered distribution = range partitioning + in-partition sort). Every
-    * shard then covers a contiguous, pairwise-disjoint key range, so the
-    * footer [minKey,maxKey] stats prune a point lookup to exactly ONE shard
-    * — the layout that makes keyed access on a 100 TB bucket O(1) shards
-    * instead of O(all). `targetShards=N` fixes the partition (≈shard)
-    * count; 0 lets AQE pick from advisory sizing.
+  /** Layout-directing writes ([[RequiresDistributionAndOrdering]]):
+    *
+    *   - Bucketed catalog tables (`PARTITIONED BY (bucket(N, key))`): rows
+    *     are CLUSTERED by `bucket(N, key)` (resolved to [[BucketBound]]
+    *     through the catalog) and sorted by it within each task, so the
+    *     writer emits one shard per bucket — the layout scans report for
+    *     storage-partitioned joins.
+    *   - `.option("sortedWrite", true)`: a GLOBAL key ordering (range
+    *     partitioning + in-partition sort). Every shard then covers a
+    *     contiguous, pairwise-disjoint key range, so the footer
+    *     [minKey,maxKey] stats prune a point lookup to exactly ONE shard.
+    *     `targetShards=N` fixes the partition (≈shard) count.
     */
   override def build(): Write = {
     val opts = info.options()
@@ -337,17 +405,25 @@ final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       private val keyAsc: SortOrder =
         Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
-      override def requiredDistribution(): Distribution =
-        if (sortedWrite) Distributions.ordered(Array(keyAsc))
-        else Distributions.unspecified()
-      override def requiredOrdering(): Array[SortOrder] =
-        if (sortedWrite) Array(keyAsc) else Array.empty
+      private def bucketAsc(n: Int): SortOrder =
+        Expressions.sort(Expressions.bucket(n, "key"), SortDirection.ASCENDING)
+      override def requiredDistribution(): Distribution = bucketN match {
+        case Some(n) => Distributions.clustered(Array(Expressions.bucket(n, "key")))
+        case None if sortedWrite => Distributions.ordered(Array(keyAsc))
+        case None => Distributions.unspecified()
+      }
+      override def requiredOrdering(): Array[SortOrder] = bucketN match {
+        case Some(n) => Array(bucketAsc(n))
+        case None if sortedWrite => Array(keyAsc)
+        case None => Array.empty
+      }
       override def requiredNumPartitions(): Int = targetShards
       private def batchWrite = {
         new ShardpackBatchWrite(path, info.schema(), truncateFirst,
           opts.getOrDefault("compression", Codec.None),
           opts.getLong("shardCapBytes", DefaultShardCap),
-          Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+          Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray),
+          bucketN)
       }
       override def toBatch: BatchWrite = batchWrite
       // Structured Streaming sink: each micro-batch appends its own shard
@@ -386,7 +462,8 @@ final case class ShardpackEpochWriterFactory(f: ShardpackWriterFactory)
 final case class ShardpackCommit(files: Seq[(String, String)]) extends WriterCommitMessage
 
 final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
-    codec: String, shardCap: Long, shardMeta: Array[Byte]) extends BatchWrite {
+    codec: String, shardCap: Long, shardMeta: Array[Byte],
+    bucketN: Option[Int] = None) extends BatchWrite {
 
   // Validate the incoming schema up front (positions may differ; names must match).
   private val keyIdx = schema.fieldIndex("key")
@@ -401,7 +478,8 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
 
   private[shardpack] def writerFactory: ShardpackWriterFactory =
     ShardpackWriterFactory(path, jobUuid, keyIdx, metaIdx, entriesIdx,
-      entryFieldIndexes(), codec, shardCap, shardMeta, HadoopConfs.serializable())
+      entryFieldIndexes(), codec, shardCap, shardMeta, HadoopConfs.serializable(),
+      bucketN)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
@@ -472,15 +550,15 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
 final case class ShardpackWriterFactory(path: String, jobUuid: String, keyIdx: Int,
     metaIdx: Int, entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
     shardCap: Long, shardMeta: Array[Byte],
-    hconf: SerializableHadoopConf) extends DataWriterFactory {
+    hconf: SerializableHadoopConf, bucketN: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardpackDataWriter(path, jobUuid, partitionId, taskId, None, keyIdx, metaIdx,
-      entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
+      entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN)
 
   /** Streaming variant: epoch-deterministic final shard names. */
   def createEpochWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ShardpackDataWriter(path, jobUuid, partitionId, taskId, Some(epochId), keyIdx,
-      metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value)
+      metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN)
 }
 
 /** Task-local shard writer: encodes rows to record blocks, rolls a new shard
@@ -492,7 +570,8 @@ final case class ShardpackWriterFactory(path: String, jobUuid: String, keyIdx: I
 final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     taskId: Long, epochId: Option[Long], keyIdx: Int, metaIdx: Int, entriesIdx: Int,
     entryIdxs: (Int, Int, Int, Int), codec: String, shardCap: Long,
-    shardMeta: Array[Byte], hadoopConf: Configuration = new Configuration())
+    shardMeta: Array[Byte], hadoopConf: Configuration = new Configuration(),
+    bucketN: Option[Int] = None)
     extends DataWriter[InternalRow] {
 
   private val (fnIdx, ctIdx, encIdx, dataIdx) = entryIdxs
@@ -506,6 +585,9 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   // readers can prune whole shards on pushed key filters
   private var minKey: String = _
   private var maxKey: String = _
+  // bucketed layout: the bucket the open shard belongs to (input arrives
+  // bucket-sorted per the write's required ordering, so a change rolls)
+  private var currentBucket: Int = -1
 
   /** Close the open shard, stamping its key-range stats envelope. */
   private def finishShard(): Unit = {
@@ -525,11 +607,13 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     // on create; FINAL names are attempt-independent for streaming epochs so
     // a replayed epoch is idempotent at commit (batch keeps the uuid — names
     // only need job-uniqueness there).
+    // bucketed shards carry their bucket id in the name (read-side grouping)
+    val bTag = if (bucketN.isDefined) f"-b$currentBucket%d" else ""
     val finalName = epochId match {
       case Some(e) =>
-        f"epoch-$e%06d-part-$partitionId%05d-$seq%04d${ShardpackDataSource.FileSuffix}"
+        f"epoch-$e%06d-part-$partitionId%05d$bTag-$seq%04d${ShardpackDataSource.FileSuffix}"
       case None =>
-        f"part-$partitionId%05d-$taskId-$uuid-$seq%04d${ShardpackDataSource.FileSuffix}"
+        f"part-$partitionId%05d-$taskId-$uuid$bTag-$seq%04d${ShardpackDataSource.FileSuffix}"
     }
     val tempName = s".graft-tmp-$jobUuid-$uuid-$finalName"
     seq += 1
@@ -542,7 +626,13 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   override def write(row: InternalRow): Unit = {
     val rec = toRecord(row)
     val encoded = ShardpackFormat.encodeRecord(rec, codec)
-    if (writer == null || (writer.bytesWritten > 0 &&
+    val bucketChanged = bucketN.exists { n =>
+      val b = BucketKey.bucketOf(row.getUTF8String(keyIdx), n)
+      val changed = b != currentBucket
+      currentBucket = b
+      changed
+    }
+    if (writer == null || bucketChanged || (writer.bytesWritten > 0 &&
         writer.bytesWritten + encoded.length > shardCap)) roll()
     if (minKey == null || rec.key < minKey) minKey = rec.key
     if (maxKey == null || rec.key > maxKey) maxKey = rec.key

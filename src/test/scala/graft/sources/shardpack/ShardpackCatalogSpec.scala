@@ -1,0 +1,112 @@
+package graft.sources.shardpack
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The shardpack TableCatalog/FunctionCatalog: catalog DDL, bucketed layout
+  * writes (one shard per bucket per task), and storage-partitioned joins —
+  * two tables bucketed by the same `bucket(N, key)` join with ZERO shuffle
+  * exchanges on either side.
+  */
+class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("spk-catalog").toString
+    spark.conf.set("spark.sql.catalog.spk", classOf[ShardpackCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spk.root", r)
+    r
+  }
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      format_string("key%05d", $"id").as("key"),
+      lit(null).cast("binary").as("metadata"),
+      array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"),
+        encode(format_string("payload-%05d", $"id"), "UTF-8").as("data"))).as("entries"))
+  }
+
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+    case other => other +: other.children.flatMap(collectPlans)
+  }
+
+  private def createBucketed(name: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE spk.$name (
+         |  key STRING NOT NULL, metadata BINARY,
+         |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+         |                       encoding: STRING, data: BINARY>> NOT NULL)
+         |USING shardpack PARTITIONED BY (bucket($buckets, key))""".stripMargin)
+
+  test("bucketed write produces one-bucket shards tagged in the file name") {
+    root // force catalog registration
+    createBucketed("wtag", 4)
+    sampleDf(100).writeTo("spk.wtag").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$root/wtag")
+    val fs = dir.getFileSystem(HadoopConfs.session())
+    val shards = ShardpackDataSource.listShards(fs, dir)
+    assert(shards.nonEmpty)
+    shards.foreach { st =>
+      val m = ShardpackDataSource.BucketedName.findFirstMatchIn(st.getPath.getName)
+      assert(m.isDefined, s"unbucketed shard name: ${st.getPath.getName}")
+      val b = m.get.group(1).toInt
+      // every record in the shard hashes to the shard's named bucket
+      val keys = spark.read.format("shardpack").load(st.getPath.toString)
+        .select("key").collect().map(_.getString(0))
+      keys.foreach { k =>
+        assert(BucketKey.bucketOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k), 4) == b, k)
+      }
+    }
+    // all rows, exactly once
+    assert(spark.table("spk.wtag").count() == 100)
+    spark.sql("DROP TABLE spk.wtag")
+  }
+
+  test("storage-partitioned join: co-bucketed tables join with zero shuffles") {
+    root
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      createBucketed("spj_a", 4)
+      createBucketed("spj_b", 4)
+      sampleDf(200).writeTo("spk.spj_a").append()
+      sampleDf(150).writeTo("spk.spj_b").append() // subset of a's keys
+      val joined = spark.table("spk.spj_a").as("a")
+        .join(spark.table("spk.spj_b").as("b"), "key")
+        .select(col("key"))
+      val rows = joined.collect()
+      assert(rows.length == 150)
+      val shuffles = collectPlans(joined.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"expected a storage-partitioned join, found shuffles:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS spk.spj_a")
+      spark.sql("DROP TABLE IF EXISTS spk.spj_b")
+    }
+  }
+
+  test("catalog lifecycle: list, rename, drop") {
+    root
+    createBucketed("life1", 2)
+    sampleDf(10).writeTo("spk.life1").append()
+    assert(spark.sql("SHOW TABLES IN spk").collect()
+      .map(_.getString(1)).contains("life1"))
+    spark.sql("ALTER TABLE spk.life1 RENAME TO life2") // target is catalog-relative
+    assert(spark.table("spk.life2").count() == 10)
+    spark.sql("DROP TABLE spk.life2")
+    assert(!spark.sql("SHOW TABLES IN spk").collect()
+      .map(_.getString(1)).contains("life2"))
+  }
+}
