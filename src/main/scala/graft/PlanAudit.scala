@@ -24,7 +24,8 @@ object PlanAudit {
     * called, so the returned plan covers only the final derived frame —
     * the audit line is annotated rather than silently misleading.
     */
-  private val iterative = Set("dedup_cluster", "dedup_cluster_dist", "join_bloom")
+  private val iterative =
+    Set("dedup_cluster", "dedup_cluster_dist", "join_bloom", "shardpack_spj")
 
   private val allowed: Map[String, Set[String]] = Map(
     "join_cross" -> Set("CARTESIAN", "NESTED_LOOP"), // explicit 25×5 dim product

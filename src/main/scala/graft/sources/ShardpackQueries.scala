@@ -47,6 +47,50 @@ object ShardpackQueries {
   private def readBack(s: SparkSession, d: String): DataFrame =
     s.read.format("shardpack").load(roundtripDir(s, d))
 
+  private val spjReady = scala.collection.mutable.Set.empty[String]
+
+  /** Namespace tag per sfDir (catalog root is shared across SFs). */
+  private def spjTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Create + load two co-bucketed catalog tables from `documents` once per
+    * (JVM, sfDir): text payloads and a doc_id<250 lang overlay, both
+    * `PARTITIONED BY (bucket(8, key))` through [[graft.sources.shardpack.ShardpackCatalog]].
+    */
+  private def spjSetup(s: SparkSession, d: String): String = synchronized {
+    val tag = spjTag(d)
+    if (!spjReady.contains(tag)) {
+      s.conf.set("spark.sql.catalog.graftspj",
+        classOf[graft.sources.shardpack.ShardpackCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftspj.root", "/tmp/graft-shardpack/catalog")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def create(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS graftspj.$tag.$name")
+        s.sql(
+          s"""CREATE TABLE graftspj.$tag.$name (
+             |  key STRING NOT NULL, metadata BINARY,
+             |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+             |                       encoding: STRING, data: BINARY>> NOT NULL)
+             |USING shardpack PARTITIONED BY (bucket(8, key))""".stripMargin)
+      }
+      create("spj_text")
+      create("spj_lang")
+      def entry(name: String, data: Column) = array(struct(
+        lit(name).as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"), data.cast(BinaryType).as("data")))
+      val keyCol = concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0"))
+      documents(s, d)
+        .select(keyCol.as("key"), lit(null).cast(BinaryType).as("metadata"),
+          entry("text.txt", $"text").as("entries"))
+        .writeTo(s"graftspj.$tag.spj_text").append()
+      documents(s, d).filter($"doc_id" < 250)
+        .select(keyCol.as("key"), lit(null).cast(BinaryType).as("metadata"),
+          entry("lang.txt", $"lang").as("entries"))
+        .writeTo(s"graftspj.$tag.spj_lang").append()
+      spjReady += tag
+    }
+    tag
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Full scan through the format: aggregate over round-tripped payloads.
@@ -78,6 +122,30 @@ object ShardpackQueries {
         .select($"key",
           octet_length(element_at($"entries", 1).getField("data")).as("n_bytes"),
           sha2(element_at($"entries", 1).getField("data"), 256).as("content_hash"))
+    },
+
+    // Storage-partitioned join through the catalog: two tables bucketed by
+    // the same bucket(8, key) joined on key — the co-located layout the
+    // spec's columnar convention implies (`docs/draft.md:201-205`), here
+    // with the engine enforcing it end-to-end (clustered+sorted write, one
+    // shard per bucket, KeyGroupedPartitioning scan). The oracle recomputes
+    // the join from the original parquet, so bucketing, per-bucket shard
+    // routing AND the join all have to be right for the hash to match;
+    // the zero-shuffle plan property is asserted in ShardpackCatalogSpec.
+    Q("shardpack_spj",
+      """SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  lang
+        |FROM documents WHERE doc_id < 250 ORDER BY key""".stripMargin) { (s, d) =>
+      val tag = spjSetup(s, d)
+      val a = s.table(s"graftspj.$tag.spj_text")
+        .select($"key", element_at($"entries", 1).getField("data").as("text_data"))
+      val b = s.table(s"graftspj.$tag.spj_lang")
+        .select($"key", element_at($"entries", 1).getField("data").as("lang_data"))
+      a.join(b, "key")
+        .select($"key", octet_length($"text_data").as("n_bytes"),
+          $"lang_data".cast(StringType).as("lang"))
+        .orderBy($"key")
     },
 
     // Metadata / content-type access without touching payload bytes — the
