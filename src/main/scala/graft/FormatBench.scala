@@ -55,7 +55,8 @@ object FormatBench {
       val (_, tpoint) = time {
         read().filter($"key" === "doc_00000042").select($"key").collect()
       }
-      val label = fmt + opts.get("compression").fold("")("/" + _)
+      val label = fmt + opts.get("compression").fold("")("/" + _) +
+        (if (opts.get("sortedWrite").contains("true")) "/sorted" else "")
       println(f"[fmtbench] $label%-18s n=$n write=$tw%6.2fs scan=$tscan%6.2fs " +
         f"metaOnly=$tmeta%6.2fs pointLookup=$tpoint%6.2fs size=${bytesOf(dir) / 1e6}%8.1f MB")
     }
@@ -63,6 +64,10 @@ object FormatBench {
     val base = "/tmp/graft-fmtbench"
     for (codec <- Seq("none", "gzip", "lz4", "zstd", "snappy"))
       measure("shardpack", Map("compression" -> codec), s"$base/sp-$codec")
+    // sorted layout: disjoint shard key ranges → the point lookup prunes
+    // every shard but one from the footer stats alone
+    measure("shardpack", Map("compression" -> "lz4", "sortedWrite" -> "true",
+      "targetShards" -> "8"), s"$base/sp-sorted")
     measure("parquet", Map.empty, s"$base/parquet")
     spark.stop()
   }
