@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,65 @@ object ScaleDedup {
 
   /** Span length for decontamination (tokens per exact-match window). */
   private val SpanLen = 5
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the O(log n)-
+    * round worst-case path that min-label propagation (rounds = diameter)
+    * falls back to on high-diameter graphs. Each half-round is one
+    * aggregation (per-node neighborhood min) + one join, both partitioned
+    * by node id; no neighborhood is ever collected, so hot nodes cost a
+    * shuffle skew, not memory.
+    *
+    * Input: undirected edge pairs (any orientation, self-loops ignored).
+    * Output: (id, cluster) for every node incident to an edge, cluster =
+    * min node id of its component — identical labeling to the union-find
+    * and label-propagation paths (spec-asserted).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("src"), least($"a", $"b").as("dst"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    // per-node m(u) = min(Γ(u) ∪ {u}) over the symmetrized edges
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy($"src").agg(least(min($"dst"), $"src").as("m"))
+    def halfRound(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val withMin = s.join(mins(s), "src")
+      val moved =
+        if (large) withMin.filter($"dst" > $"src").select($"dst".as("a"), $"m".as("b"))
+        else withMin.filter($"dst" <= $"src").select($"dst".as("a"), $"m".as("b"))
+          .union(mins(s).select($"src".as("a"), $"m".as("b")))
+      canon(moved)
+    }
+    // exact fingerprint of the canonical edge set: (count, Σ src·2³² + dst)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum($"src" * 4294967296L + $"dst")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // localCheckpoint (not persist): truncates LINEAGE, not just caches —
+    // without it the logical plan doubles every round and Catalyst
+    // planning time explodes long before the data does
+    var e = canon(pairs.toDF("a", "b")).localCheckpoint()
+    var fp = fingerprint(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = halfRound(halfRound(e, large = true), large = false).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      rounds += 1
+    }
+    // fixpoint is a star forest: src (non-root) → dst (root); roots label
+    // themselves
+    e.select($"src".as("id"), $"dst".as("cluster"))
+      .union(e.select($"dst".as("id"), $"dst".as("cluster")).distinct())
+      .distinct()
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -75,8 +134,11 @@ object ScaleDedup {
         .select($"a_id", $"b_id")
       val edges = good.union(good.select($"b_id", $"a_id"))
         .toDF("src", "dst").persist()
-      var labels = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("label")).persist()
+      // seed with min(self, neighbors) — one aggregation that IS the first
+      // propagation round (saves a distinct + a full round vs identity init)
+      var labels = edges.groupBy($"src")
+        .agg(least(min($"dst"), $"src").as("label"))
+        .select($"src".as("id"), $"label").persist()
       // Labels only ever DECREASE, so Σlabel strictly decreases until the
       // fixpoint — one cheap agg action per round doubles as both the
       // materialization of `next` and the convergence test (no per-round
