@@ -211,17 +211,19 @@ object LlmQueries {
       // min-root determinism, and costs ONE job beyond the pair
       // computation — measured 30+ Spark jobs (one per diameter step,
       // ~13 s) for the distributed min-label-propagation loop on the same
-      // input. The guard below enforces the driver-memory cutover: past
-      // MaxDriverPairs edges (~16 bytes each → ~1.6 GB at the cap), fail
-      // loudly with the redesign instruction (shard the edge list and run
-      // iterative large-star/small-star) instead of OOMing the driver.
+      // input. Past MaxDriverPairs edges (~16 bytes each → ~1.6 GB at the
+      // cap) the driver collect would OOM, so the query CUTS OVER to the
+      // fully distributed star-contraction ([[ScaleDedup.connectedComponents]],
+      // O(log n) rounds) — spec-proven label-identical to the union-find.
       val MaxDriverPairs = 100L * 1000 * 1000
       good.persist()
       val nPairs = good.count()
-      require(nPairs <= MaxDriverPairs,
-        s"dedup_cluster: $nPairs near-dup pairs exceeds the driver union-find " +
-          s"cutover ($MaxDriverPairs); run distributed large-star/small-star " +
-          "label propagation over the sharded edge list instead")
+      if (nPairs > MaxDriverPairs) {
+        // (no `return` — non-local return doesn't work in a lambda body)
+        ScaleDedup.connectedComponents(good)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      } else {
       val pairRows = good.collect()
       good.unpersist(blocking = false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -244,6 +246,7 @@ object LlmQueries {
       val labeled = nodes.map(u => (u, find(u))).sortBy(_._1)
       s.createDataFrame(labeled.toSeq).toDF("doc_id", "cluster")
         .orderBy(col("doc_id"))
+      }
     },
 
     // MinHash + LSH banding (32 hashes, 8 bands × 4 rows). Candidate pairs
