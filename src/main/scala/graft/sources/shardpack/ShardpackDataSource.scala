@@ -278,13 +278,30 @@ final case class BucketedShardInputPartition(file: String, length: Long, bucket:
 final case class ShardpackReaderFactory(required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+  private def fileOf(p: InputPartition): (String, Long) = p match {
+    case ShardInputPartition(f, l) => (f, l)
+    case BucketedShardInputPartition(f, l, _) => (f, l)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (file, length) = p match {
-      case ShardInputPartition(f, l) => (f, l)
-      case BucketedShardInputPartition(f, l, _) => (f, l)
-    }
+    val (file, length) = fileOf(p)
     new ShardpackPartitionReader(file, length, required, keyFilter, verify,
       hconf.value)
+  }
+
+  /** Payload-free scans (no `entries` column requested — counts, metadata
+    * profiles, key listings) go through the VECTORIZED path: record headers
+    * decoded straight into `ColumnarBatch` vectors, no per-row
+    * `InternalRow` allocation, downstream operators stay columnar until
+    * Spark's ColumnarToRow boundary.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !required.fieldNames.contains("entries")
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (file, length) = fileOf(p)
+    new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value)
   }
 }
 
@@ -372,6 +389,77 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (streamOpened) stream.close()
+}
+
+/** Vectorized reader for payload-free scans: fills OnHeap column vectors
+  * with (key, metadata) straight from record-block headers — entry headers
+  * and payload bytes are never parsed, decompressed or checksummed (there
+  * is nothing to verify without payloads). Shard pruning and pushed key
+  * filters apply exactly as in the row reader.
+  */
+final class ShardpackColumnarReader(file: String, fileLen: Long,
+    required: StructType, keyFilter: Option[Set[String]],
+    hadoopConf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val fs = new Path(file).getFileSystem(hadoopConf)
+  private val footer = {
+    val in = fs.open(new Path(file))
+    try ShardpackFormat.readFooter(fileLen, (pos, len) => {
+      val buf = new Array[Byte](len); in.readFully(pos, buf); buf
+    })
+    finally in.close()
+  }
+  private val pruned: Boolean = keyFilter.exists(ks =>
+    !ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, ks))
+
+  private var streamOpened = false
+  private lazy val stream = {
+    streamOpened = true
+    new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+  }
+
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
+  private val batch = new ColumnarBatch(vectors.toArray)
+  private val keyPos = required.fieldNames.indexOf("key")
+  private val metaPos = required.fieldNames.indexOf("metadata")
+
+  private var idx = 0
+
+  override def next(): Boolean = {
+    if (pruned) return false
+    vectors.foreach(_.reset())
+    var rows = 0
+    while (rows < BatchRows && idx < footer.offsets.length) {
+      idx += 1
+      val recLen = stream.readInt()
+      val block = new Array[Byte](recLen)
+      stream.readFully(block)
+      val (key, meta) = ShardpackFormat.decodeKeyMeta(block)
+      if (keyFilter.forall(_.contains(key))) {
+        if (keyPos >= 0)
+          vectors(keyPos).putByteArray(rows, key.getBytes("UTF-8"))
+        if (metaPos >= 0) {
+          if (meta == null) vectors(metaPos).putNull(rows)
+          else vectors(metaPos).putByteArray(rows, meta)
+        }
+        rows += 1
+      }
+    }
+    batch.setNumRows(rows)
+    rows > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    batch.close()
+    if (streamOpened) stream.close()
+  }
 }
 
 // ─────────────────────────── write path ───────────────────────────

@@ -243,6 +243,17 @@ object ShardpackFormat {
     readStr16(in)
   }
 
+  /** Key + record metadata only — the vectorized payload-free scan path.
+    * Entry headers and payload bytes are never touched.
+    */
+  def decodeKeyMeta(block: Array[Byte]): (String, Array[Byte]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(block))
+    val key = readStr16(in)
+    val metaLen = in.readInt()
+    val meta = if (metaLen < 0) null else readFully(in, metaLen)
+    (key, meta)
+  }
+
   /** Parse the EOF index of a shard (`docs/draft.md:100-127`): seek to
     * `fileLen-16`, validate magic, then parse the index block.
     * `readAt(pos, len)` abstracts the underlying storage (Hadoop

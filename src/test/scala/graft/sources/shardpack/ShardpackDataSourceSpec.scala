@@ -238,6 +238,32 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(names.toSeq == Seq("body.txt", "meta.json"))
   }
 
+  test("payload-free scans run vectorized and agree with the row path") {
+    val dir = tmpDir()
+    sampleDf(300).write.format("shardpack").mode("append").save(dir)
+    val metaOnly = spark.read.format("shardpack").load(dir)
+      .select(col("key"), length(col("metadata")).as("mlen"))
+    // the scan emits ColumnarBatches → Spark inserts a ColumnarToRow boundary
+    def plans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        plans(a.executedPlan)
+      case other => other +: other.children.flatMap(plans)
+    }
+    assert(plans(metaOnly.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]),
+      s"expected a columnar scan:\n${metaOnly.queryExecution.executedPlan}")
+    // vectorized values == row-path values (force rows by selecting entries)
+    val viaRows = spark.read.format("shardpack").load(dir)
+      .select(col("key"), length(col("metadata")).as("mlen"), col("entries"))
+      .select("key", "mlen")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val viaCols = metaOnly.collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(viaCols.toSeq == viaRows.toSeq && viaCols.length == 300)
+    // key pushdown still applies on the vectorized path
+    assert(metaOnly.filter(col("key") === "key00007").count() == 1)
+  }
+
   test("empty dataframe write produces readable empty table") {
     val dir = tmpDir()
     sampleDf(0).write.format("shardpack").mode("append").save(dir)
