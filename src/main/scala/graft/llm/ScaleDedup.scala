@@ -120,6 +120,65 @@ object ScaleDedup {
         .orderBy($"doc_id")
     },
 
+    // PageRank centrality over the (bounded) near-dup similarity graph —
+    // rank the canonical representative inside each duplicate cluster.
+    // Five power iterations in EXACT integer arithmetic: mass in 1e-12
+    // units, per-edge contribution = floor(p/deg), damping = (85·Σ)//100 —
+    // so Spark's loop and the oracle's unrolled CTE chain agree
+    // bit-for-bit (no float accumulation order anywhere). Each iteration
+    // is one join + one aggregation partitioned by node; at full scale the
+    // same loop runs over the complete graph with localCheckpoint rounds
+    // like [[connectedComponents]].
+    Q("graph_pagerank", {
+      val tokSub = "(SELECT doc_id, text FROM documents WHERE doc_id < 300)"
+      val tok =
+        s"""SELECT doc_id, unnest(list_distinct(
+           |  [ws[i]||' '||ws[i+1]||' '||ws[i+2] FOR i IN range(1, len(ws)-1)])) AS w
+           |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $tokSub)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""p$k AS (SELECT e.v AS u,
+           |    CAST(150000000000 // n + (85 * sum(p.p // dg.d)) // 100 AS BIGINT) AS p
+           |  FROM edges e JOIN p${k - 1} p ON p.u = e.u JOIN deg dg ON dg.u = e.u, nn
+           |  GROUP BY e.v, n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS ($tok),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |good AS (
+         |  SELECT a_id, b_id FROM pair
+         |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM good
+         |          UNION ALL SELECT b_id, a_id FROM good),
+         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |p0 AS (SELECT u, 1000000000000 // n AS p FROM deg, nn),
+         |$iters
+         |SELECT u AS doc_id, p AS score FROM p5 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val good = LlmQueries.jaccardPairs(
+          documents(s, d).filter($"doc_id" < 300), 0.5)
+        .select($"a_id", $"b_id")
+      val edges = good.union(good.select($"b_id", $"a_id")).toDF("u", "v").persist()
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).persist()
+      val nNodes = deg.count()
+      val base = 150000000000L / nNodes // floor(0.15·S / N), S = 1e12
+      var p = deg.select($"u", lit(1000000000000L / nNodes).as("p"))
+      for (_ <- 1 to 5) {
+        p = edges.join(p, "u").join(deg, "u")
+          .groupBy($"v")
+          .agg((lit(base) + expr("(85 * sum(p div d)) div 100")).as("p"))
+          .select($"v".as("u"), $"p")
+          .localCheckpoint()
+      }
+      edges.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      p.select($"u".as("doc_id"), $"p".as("score")).orderBy($"doc_id")
+    },
+
     // dedup_cluster's 100 TB path: min-label propagation over the near-dup
     // edge list, entirely distributed — no driver materialization of the
     // graph. Each round is one join + one min-aggregate, both partitioned
