@@ -120,7 +120,7 @@ object ScaleDedup {
         .orderBy($"doc_id")
     },
 
-    // PageRank centrality over the (bounded) near-dup similarity graph —
+    // PageRank centrality over the full near-dup similarity graph —
     // rank the canonical representative inside each duplicate cluster.
     // Five power iterations in EXACT integer arithmetic: mass in 1e-12
     // units, per-edge contribution = floor(p/deg), damping = (85·Σ)//100 —
@@ -130,7 +130,7 @@ object ScaleDedup {
     // same loop runs over the complete graph with localCheckpoint rounds
     // like [[connectedComponents]].
     Q("graph_pagerank", {
-      val tokSub = "(SELECT doc_id, text FROM documents WHERE doc_id < 300)"
+      val tokSub = "(SELECT doc_id, text FROM documents)"
       val tok =
         s"""SELECT doc_id, unnest(list_distinct(
            |  [ws[i]||' '||ws[i+1]||' '||ws[i+2] FOR i IN range(1, len(ws)-1)])) AS w
@@ -159,12 +159,11 @@ object ScaleDedup {
          |$iters
          |SELECT u AS doc_id, p AS score FROM p5 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val good = LlmQueries.jaccardPairs(
-          documents(s, d).filter($"doc_id" < 300), 0.5)
+      val good = LlmQueries.jaccardPairs(documents(s, d), 0.5)
         .select($"a_id", $"b_id")
       val edges = good.union(good.select($"b_id", $"a_id")).toDF("u", "v").persist()
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).persist()
-      val nNodes = deg.count()
+      val nNodes = math.max(1L, deg.count()) // guard: empty graph → empty result
       val base = 150000000000L / nNodes // floor(0.15·S / N), S = 1e12
       var p = deg.select($"u", lit(1000000000000L / nNodes).as("p"))
       for (_ <- 1 to 5) {
