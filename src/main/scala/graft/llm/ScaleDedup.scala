@@ -195,8 +195,11 @@ object ScaleDedup {
     Q("dedup_cluster_dist", LlmQueries.ClusterOracleSql) { (s, d) =>
       val good = LlmQueries.jaccardPairs(documents(s, d), 0.5)
         .select($"a_id", $"b_id")
+      // localCheckpoint, not persist: the loop references edges every
+      // round, and persist alone would re-optimize the whole pair
+      // pipeline's logical plan each time (see graph_pagerank)
       val edges = good.union(good.select($"b_id", $"a_id"))
-        .toDF("src", "dst").persist()
+        .toDF("src", "dst").localCheckpoint()
       // seed with min(self, neighbors) — one aggregation that IS the first
       // propagation round (saves a distinct + a full round vs identity init)
       var labels = edges.groupBy($"src")
@@ -220,7 +223,8 @@ object ScaleDedup {
         labels = next
         rounds += 1
       }
-      edges.unpersist(blocking = false)
+      // (edges stays checkpointed: unpersisting a localCheckpoint would
+      // orphan the truncated lineage if the result were recomputed)
       labels.select($"id".as("doc_id"), $"label".as("cluster"))
         .orderBy($"doc_id")
     }
