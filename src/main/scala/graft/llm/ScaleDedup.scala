@@ -159,7 +159,7 @@ object ScaleDedup {
          |$iters
          |SELECT u AS doc_id, p AS score FROM p5 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val good = LlmQueries.jaccardPairs(documents(s, d), 0.5)
+      val good = LlmQueries.goodPairs(s, d, 0.5)
         .select($"a_id", $"b_id")
       // ONE localCheckpoint, on the edge list: truncates the jaccard
       // lineage so the 5 iteration levels below reference a tiny leaf —
@@ -193,7 +193,7 @@ object ScaleDedup {
     // frame). Oracle and output are IDENTICAL to dedup_cluster, proving
     // the scale path computes the same components as the driver union-find.
     Q("dedup_cluster_dist", LlmQueries.ClusterOracleSql) { (s, d) =>
-      val good = LlmQueries.jaccardPairs(documents(s, d), 0.5)
+      val good = LlmQueries.goodPairs(s, d, 0.5)
         .select($"a_id", $"b_id")
       // localCheckpoint, not persist: the loop references edges every
       // round, and persist alone would re-optimize the whole pair
