@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   - [[overlay]] — the spec's read-time update overlay
   *     (`docs/draft.md:207-211`): a small shardpack of updated records
   *     combined with the base at read time, overlay winning per key.
+  *   - [[merge]] — the write-time counterpart of overlay: copy-on-write
+  *     upsert folding updates into the bucket, rewriting only the shards
+  *     whose key envelope is hit.
   *   - [[compact]] — small-shard compaction, the maintenance counterpart
   *     of the streaming sink's per-epoch appends.
   *
@@ -156,6 +159,82 @@ object ShardpackOps {
     small.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(staging), true)
     small.length
+  }
+
+  /** MERGE (upsert): rows of `updates` replace same-key records in the
+    * bucket at `dir`; new keys are appended. The copy-on-write counterpart
+    * of [[overlay]] — overlay resolves updates at read time, merge folds
+    * them into the storage once, completing the mutation surface the
+    * reference sketches (`/root/reference/docs/draft.md:207-211` stops at
+    * the read-time combine).
+    *
+    * Scale: affected-shard selection runs DISTRIBUTED — each shard's footer
+    * [min,max] key envelope (driver probes, shard-count work) is broadcast
+    * against the update keys, and only affected shard NAMES return to the
+    * driver. Bounded by shard count, never by update cardinality, so a merge
+    * batch can be arbitrarily large (unlike [[deleteKeys]]' driver key
+    * list). Shards whose envelope misses every update key are untouched;
+    * the rewrite cost is proportional to the shards actually hit. Stats-less
+    * shards (foreign writers) are conservatively rewritten. The swap follows
+    * deleteKeys' crash-safe order: new generation renamed IN before old
+    * shards are dropped — a crash mid-swap leaves transient duplicates,
+    * never data loss.
+    *
+    * `updates` must be key-unique: with no ordering column there is no
+    * deterministic last-writer-wins, so duplicates are rejected loudly.
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      compression: String = ShardpackFormat.Codec.None): Unit = {
+    import spark.implicits._
+    // materialize once: the plan is scanned three times (uniqueness check,
+    // range probe, staging write), and caching before any swap makes a
+    // self-referential update (CDC derived from this same bucket) safe
+    val up = updates.select(col("key"), col("metadata"), col("entries")).persist()
+    try {
+      require(up.groupBy("key").count().filter(col("count") > lit(1)).isEmpty,
+        "merge: updates must be key-unique — dedupe upstream")
+      val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+      val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
+      val ranges = oldShards.map { st =>
+        val in = fs.open(st.getPath)
+        val footer =
+          try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+            val buf = new Array[Byte](len); in.readFully(pos, buf); buf
+          })
+          finally in.close()
+        st -> ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
+      }
+      val statless = ranges.collect { case (st, None) => st }
+      val rangeDf = ranges
+        .collect { case (st, Some((lo, hi))) => (st.getPath.toString, lo, hi) }
+        .toSeq.toDF("shard", "kmin", "kmax")
+      val hitNames = up.select("key")
+        .join(broadcast(rangeDf), col("key") >= col("kmin") && col("key") <= col("kmax"))
+        .select("shard").distinct().as[String].collect().toSet
+      val affected = statless ++ ranges.collect {
+        case (st, Some(_)) if hitNames.contains(st.getPath.toString) => st
+      }
+      if (affected.isEmpty) {
+        up.write.format("shardpack").option("compression", compression)
+          .mode("append").save(dir)
+      } else {
+        val survivors = affected
+          .map(st => spark.read.format("shardpack").load(st.getPath.toString))
+          .reduce(_ union _)
+          .join(up.select("key"), Seq("key"), "left_anti")
+        val staging = s"$dir-merge-${java.util.UUID.randomUUID().toString.take(8)}"
+        survivors.union(up)
+          .write.format("shardpack").option("compression", compression)
+          .mode("append").save(staging)
+        ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
+          val dst = new Path(dir, st.getPath.getName)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"merge: rename ${st.getPath} -> $dst failed")
+        }
+        affected.foreach(st => fs.delete(st.getPath, false))
+        fs.delete(new Path(staging), true)
+      }
+    } finally up.unpersist(false)
   }
 
   /** Join per-column shardpack tables on key, concatenating their entry

@@ -131,6 +131,56 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq == Seq(("k1", 2, "right-1"), ("k2", 2, "right-2")))
   }
 
+  test("merge upserts: updates replace matched keys, new keys append, unhit shards untouched") {
+    val dir = tmp() + "/merged"
+    // two shards with disjoint key ranges (separate writes → separate files)
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("z1", "three"), ("z2", "four"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val before = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val zShardsBefore = before.keySet.filter { name =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
+      val in = fs.open(st.getPath)
+      val f = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+        val b = new Array[Byte](len); in.readFully(pos, b); b
+      }) finally in.close()
+      ShardpackFormat.ShardStats.unwrap(f.shardMetadata)._1.exists(_._1.startsWith("z"))
+    }
+    import spark.implicits._
+    def updateDf(rows: (String, String)*) = rows.toSeq.toDF("key", "body")
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+    // a2 updated (hits the a-shard), m1 brand new (hits nothing)
+    ShardpackOps.merge(spark, dir, updateDf(("a2", "two-v2"), ("m1", "new")))
+    val back = spark.read.format("shardpack").load(dir)
+      .select(col("key"), col("entries").getItem(0).getField("data").cast("string").as("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq(("a1", "one"), ("a2", "two-v2"), ("m1", "new"),
+      ("z1", "three"), ("z2", "four")))
+    // the z-range shard was never rewritten (same name, same mtime)
+    val after = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    zShardsBefore.foreach { name =>
+      assert(after.contains(name), s"unhit shard $name was rewritten")
+      assert(after(name) == before(name), s"unhit shard $name was modified")
+    }
+    // insert-only merge (no envelope hit) appends without touching anything
+    val namesBefore = after.keySet
+    ShardpackOps.merge(spark, dir, updateDf(("m2", "new-2")))
+    val names2 = ShardpackDataSource
+      .listShards(fs, new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName).toSet
+    assert(namesBefore.subsetOf(names2))
+    assert(spark.read.format("shardpack").load(dir).count() == 6)
+    // duplicate update keys are rejected loudly, bucket unchanged
+    val ex = intercept[IllegalArgumentException] {
+      ShardpackOps.merge(spark, dir, updateDf(("d1", "x"), ("d1", "y")))
+    }
+    assert(ex.getMessage.contains("key-unique"))
+    assert(spark.read.format("shardpack").load(dir).count() == 6)
+  }
+
   test("overlay: updated records win per key, others pass through") {
     val baseDir = tmp() + "/base"
     val overDir = tmp() + "/over"
