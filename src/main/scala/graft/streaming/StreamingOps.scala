@@ -98,6 +98,99 @@ object StreamingOps {
     * (Processing-time timeouts would busy-loop empty micro-batches; event
     * time fires only as the watermark advances.)
     */
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class BandHit(band: Int, sig: Long, doc_id: Long, ts: java.sql.Timestamp)
+  final case class BucketState(firstDoc: Long)
+  final case class DupCandidate(doc_id: Long, dup_of: Long, band: Int)
+
+  /** MinHash signature of `text`: character 5-gram shingles through
+    * `numPerm` affine permutations of a 64-bit char-polynomial hash. Pure
+    * and deterministic (fixed odd multipliers — each permutation is a
+    * bijection on Z/2^64), so every executor and every restart computes the
+    * same signature.
+    */
+  def minhashSig(text: String, numPerm: Int): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i + 5 <= text.length) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + 5) { h = h * 31 + text.charAt(j); j += 1 }
+      var p = 0
+      while (p < numPerm) {
+        val v = h * (2 * p + 1) + p * 0x9E3779B97F4A7C15L
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Streaming near-dup candidate detection — the online counterpart of the
+    * batch MinHash-LSH pair stage (`dedup_minhash`): each incoming
+    * document's signature is split into `bands` LSH bands; the FIRST
+    * document to claim a band bucket registers it, and every later document
+    * hashing into the same bucket emits a `(doc_id, dup_of, band)`
+    * candidate. An ingest pipeline can thus filter near-dups ONLINE against
+    * everything already admitted, instead of re-running batch dedup over
+    * the full corpus per batch of arrivals.
+    *
+    * State is one entry per OCCUPIED bucket (the first claimant's id) —
+    * proportional to distinct admitted content, not to stream length; an
+    * event-time timeout `retentionMs` past a bucket's last hit reclaims
+    * cold buckets, the same way the watermark bounds window state. At
+    * 100 TB/day the buckets shard across executors with the groupByKey
+    * shuffle and live in the RocksDB state store.
+    */
+  def streamNearDupCandidates(docs: Dataset[Doc], numPerm: Int = 16,
+      bands: Int = 4, watermark: String = "10 minutes",
+      retentionMs: Long = 60L * 60 * 1000): Dataset[DupCandidate] = {
+    require(numPerm % bands == 0, s"numPerm=$numPerm not divisible by bands=$bands")
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numPerm / bands
+    // band the signature BEFORE the watermark: typed flatMap re-creates the
+    // ts attribute, so the watermark must be declared on the banded frame
+    // that actually feeds the stateful operator
+    docs.flatMap { d =>
+        val sig = minhashSig(d.text, numPerm)
+        (0 until bands).map { b =>
+          var h = 1125899906842597L
+          var r = b * rowsPerBand
+          while (r < (b + 1) * rowsPerBand) { h = h * 6364136223846793005L + sig(r); r += 1 }
+          BandHit(b, h, d.doc_id, d.ts)
+        }
+      }
+      .withWatermark("ts", watermark)
+      .groupByKey(h => (h.band, h.sig))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandHit], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // retention elapsed with no new hits: reclaim the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+            var cur = state.getOption
+            sorted.foreach { h =>
+              cur match {
+                case Some(st) if st.firstDoc != h.doc_id =>
+                  out += DupCandidate(h.doc_id, st.firstDoc, key._1)
+                case Some(_) => () // same doc re-hit (task replay) — no self-pair
+                case None => cur = Some(BucketState(h.doc_id))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(sorted.last.ts.getTime + retentionMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def sessionizeWithState(events: Dataset[Event], gapMs: Long,
       watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -103,6 +103,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: later near-identical docs report against the first claimant") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Doc]
+    val q = streamNearDupCandidates(in.toDS(), numPerm = 16, bands = 4,
+        watermark = "2 minutes", retentionMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("neardup").outputMode(OutputMode.Append).start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      in.addData(Doc(1, ts(0), base))
+      q.processAllAvailable()
+      // first claimant registers its buckets silently
+      assert(spark.table("neardup").count() == 0)
+      // near-identical doc shares ≥1 band bucket; unrelated doc shares none
+      in.addData(Doc(2, ts(1), base + "!"),
+        Doc(3, ts(1), "completely different content about spark engines and shard files"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+      assert(pairs == Seq((2L, 1L)))
+      // watermark passes retention → buckets reclaimed; the same text then
+      // claims FRESH buckets and reports nothing (state really was removed)
+      in.addData(Doc(8, Timestamp.valueOf("2024-01-01 12:00:00"), "watermark advancer"))
+      q.processAllAvailable()
+      val before = spark.table("neardup").count()
+      in.addData(Doc(9, Timestamp.valueOf("2024-01-01 12:00:30"), base))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == before)
+    } finally q.stop()
+  }
+
   test("shardpack streaming sink appends one batch of shards per epoch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
