@@ -307,17 +307,30 @@ object LlmQueries {
       val sig = tok.groupBy($"doc_id")
         .agg(sigCols.head, sigCols.tail: _*)
         .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      val banded = sig.select($"doc_id", $"sig",
+        // referenced three times below (banding + both sides of the pair
+        // rejoin); persisted so the shingle explode + 32-way min-agg — the
+        // expensive stage — runs once (ReuseExchange does NOT unify the
+        // three consumers' exchanges once AQE broadcasts two of them).
+        // Lazy: nothing runs at plan time; ~8 B + 256 B per doc cached.
+        .persist()
+      // NARROW band join: the bucket shuffle carries only (doc_id, band,
+      // bh) — 24 bytes/row — not the 32-long signature array (which
+      // posexplode would duplicate ×8 bands). Candidates dedupe on the
+      // narrow (a_id, b_id) pair, THEN the signatures rejoin by doc_id:
+      // shuffle volume per candidate is 16 bytes instead of ~520, the
+      // shape that holds when the corpus is 10^9 docs.
+      val banded = sig.select($"doc_id",
           posexplode(array((0 until bands).map(b =>
             H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
       cand
+        .join(sig.select($"doc_id".as("a_id"), $"sig".as("sa")), Seq("a_id"))
+        .join(sig.select($"doc_id".as("b_id"), $"sig".as("sb")), Seq("b_id"))
         .withColumn("est_jac",
           aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
