@@ -238,9 +238,33 @@ final class ShardpackScan(path: String, required: StructType,
     case Some(withIds) => withIds.map { case (st, b) =>
       BucketedShardInputPartition(st.getPath.toString, st.getLen, b): InputPartition
     }.toArray
-    case None => shardList
-      .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
-      .toArray
+    case None =>
+      // Sidecar-assisted planning: with a pushed key filter and a built
+      // [[ShardpackIndex]], shards whose indexed envelope misses every key
+      // are not even SCHEDULED — at 400k shards a point lookup plans a
+      // handful of tasks, not 400k self-pruning ones. Entries are honored
+      // only on a (name, len) match against the fresh listing, so a stale
+      // sidecar never hides a new or rewritten shard; shards without a
+      // valid entry fall back to per-task footer pruning as before.
+      val planned = effectiveKeys match {
+        case Some(ks) =>
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(HadoopConfs.session())
+          ShardpackIndex.load(fs, dir) match {
+            case Some(idx) => shardList.filter { st =>
+              idx.get(st.getPath.getName) match {
+                case Some(e) if e.len == st.getLen =>
+                  e.range.forall { case (lo, hi) => ks.exists(k => k >= lo && k <= hi) }
+                case _ => true
+              }
+            }
+            case None => shardList
+          }
+        case None => shardList
+      }
+      planned
+        .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
+        .toArray
   }
 
   /** Storage-partitioned joins: when every shard carries its bucket id, the

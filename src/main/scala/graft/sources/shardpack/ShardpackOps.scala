@@ -87,16 +87,13 @@ object ShardpackOps {
     val keySet = keys.toSet
     val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
     val fs = new Path(dir).getFileSystem(HadoopConfs.session())
-    // snapshot the old generation BEFORE making the new one visible
+    // snapshot the old generation BEFORE making the new one visible;
+    // envelopes come sidecar-first (one read), footer probes only for
+    // shards the index doesn't cover
     val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
-    val affected = oldShards.filter { st =>
-      val in = fs.open(st.getPath)
-      val footer =
-        try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
-          val buf = new Array[Byte](len); in.readFully(pos, buf); buf
-        })
-        finally in.close()
-      ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, keySet)
+    val affected = ShardpackIndex.envelopes(fs, new Path(dir), oldShards).collect {
+      case (st, None) => st
+      case (st, Some((lo, hi))) if keySet.exists(k => k >= lo && k <= hi) => st
     }
     if (affected.isEmpty) return
     // read ONLY the affected shards (each is a valid single-file table path)
@@ -116,6 +113,7 @@ object ShardpackOps {
     }
     affected.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(staging), true)
+    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
   }
 
   /** Compact undersized shards into full-cap ones: the maintenance op for
@@ -158,6 +156,7 @@ object ShardpackOps {
     }
     small.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(staging), true)
+    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
     small.length
   }
 
@@ -195,15 +194,9 @@ object ShardpackOps {
         "merge: updates must be key-unique — dedupe upstream")
       val fs = new Path(dir).getFileSystem(HadoopConfs.session())
       val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
-      val ranges = oldShards.map { st =>
-        val in = fs.open(st.getPath)
-        val footer =
-          try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
-            val buf = new Array[Byte](len); in.readFully(pos, buf); buf
-          })
-          finally in.close()
-        st -> ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
-      }
+      // sidecar-first envelopes: one index read covers the whole listing,
+      // footer probes only for shards the index doesn't cover
+      val ranges = ShardpackIndex.envelopes(fs, new Path(dir), oldShards)
       val statless = ranges.collect { case (st, None) => st }
       val rangeDf = ranges
         .collect { case (st, Some((lo, hi))) => (st.getPath.toString, lo, hi) }
@@ -233,6 +226,7 @@ object ShardpackOps {
         }
         affected.foreach(st => fs.delete(st.getPath, false))
         fs.delete(new Path(staging), true)
+        ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
       }
     } finally up.unpersist(false)
   }

@@ -1,0 +1,94 @@
+package graft.sources.shardpack
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Sidecar envelope index: distributed build, planning-time shard pruning,
+  * stale-safety against post-build appends, and invalidation by mutating
+  * ops.
+  */
+class ShardpackIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("spidx").toString
+
+  private def writeDocs(dir: String, rows: (String, String)*): Unit = {
+    import spark.implicits._
+    rows.toSeq.toDF("key", "body")
+      .coalesce(1)
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+      .write.format("shardpack").mode("append").save(dir)
+  }
+
+  private def lookupParts(dir: String, key: String): Int = {
+    import spark.implicits._
+    spark.read.format("shardpack").load(dir)
+      .filter($"key" === key).select("key").rdd.getNumPartitions
+  }
+
+  test("build indexes every shard and load round-trips the envelopes") {
+    val dir = tmp() + "/docs"
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("z1", "three"))
+    assert(ShardpackIndex.build(spark, dir) == 2)
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val idx = ShardpackIndex.load(fs, new Path(dir)).get
+    assert(idx.size == 2)
+    val ranges = idx.values.flatMap(_.range).toSeq.sortBy(_._1)
+    assert(ranges == Seq(("a1", "a2"), ("z1", "z1")))
+  }
+
+  test("keyed scan plans only the shards whose envelope may match") {
+    val dir = tmp() + "/pruned"
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("m1", "three"))
+    writeDocs(dir, ("z1", "four"))
+    // without the sidecar every shard self-prunes in its own task
+    assert(lookupParts(dir, "z1") == 3)
+    ShardpackIndex.build(spark, dir)
+    // with it, planning emits exactly the one possibly-matching shard
+    assert(lookupParts(dir, "z1") == 1)
+    assert(spark.read.format("shardpack").load(dir)
+      .filter(col("key") === "z1").count() == 1)
+    // unkeyed scans are unaffected
+    assert(spark.read.format("shardpack").load(dir).count() == 4)
+  }
+
+  test("a stale sidecar never hides shards written after the build") {
+    val dir = tmp() + "/stale"
+    writeDocs(dir, ("a1", "one"))
+    ShardpackIndex.build(spark, dir)
+    writeDocs(dir, ("q1", "late")) // not in the index
+    // the unindexed shard is conservatively planned and found
+    val hit = spark.read.format("shardpack").load(dir)
+      .filter(col("key") === "q1")
+      .select(col("entries").getItem(0).getField("data").cast("string"))
+      .collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("late"))
+  }
+
+  test("mutating ops drop the sidecar; envelopes() falls back to footer probes") {
+    val dir = tmp() + "/inval"
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("z1", "three"))
+    ShardpackIndex.build(spark, dir)
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    ShardpackOps.deleteKeys(spark, dir, Seq("a1"))
+    assert(ShardpackIndex.load(fs, new Path(dir)).isEmpty,
+      "deleteKeys must invalidate the per-generation sidecar")
+    // with no sidecar, envelopes() probes footers and still sees every shard
+    val shards = ShardpackDataSource.listShards(fs, new Path(dir))
+    val envs = ShardpackIndex.envelopes(fs, new Path(dir), shards)
+    assert(envs.size == shards.size)
+    assert(envs.forall(_._2.isDefined))
+    val left = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("a2", "z1"))
+  }
+}
