@@ -68,6 +68,20 @@ object FormatBench {
     // every shard but one from the footer stats alone
     measure("shardpack", Map("compression" -> "lz4", "sortedWrite" -> "true",
       "targetShards" -> "8"), s"$base/sp-sorted")
+    // sidecar index on the sorted layout: the point lookup PLANS one task
+    // (envelope pruning at planning time) instead of one task per shard
+    locally {
+      val dir = s"$base/sp-sorted"
+      graft.sources.shardpack.ShardpackIndex.build(spark, dir)
+      val (_, tpoint) = time {
+        spark.read.format("shardpack").load(dir)
+          .filter($"key" === "doc_00000042").select($"key").collect()
+      }
+      val parts = spark.read.format("shardpack").load(dir)
+        .filter($"key" === "doc_00000042").select($"key").rdd.getNumPartitions
+      println(f"[fmtbench] shardpack/lz4 indexed n=$n pointLookup=$tpoint%6.2fs " +
+        f"plannedTasks=$parts")
+    }
     measure("parquet", Map.empty, s"$base/parquet")
     spark.stop()
   }
