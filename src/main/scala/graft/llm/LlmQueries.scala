@@ -775,6 +775,44 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // Document chunking: sliding token windows (window 64, stride 48 — 16
+    // tokens of overlap) — how long documents become bounded training
+    // samples while dedup/decontamination stay chunk-addressable. One
+    // explode, no shuffle until the final ORDER BY; at 100 TB this is a
+    // pure map stage. Chunk counts/starts are exact integer arithmetic so
+    // the oracle replays them; chunk extents are proven by the sliced
+    // token/char counts.
+    Q("doc_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tokens FROM t),
+        |c AS (SELECT doc_id, words, n_tokens,
+        |  1 + (greatest(0, n_tokens - 64) + 47) // 48 AS n_chunks FROM s),
+        |x AS (SELECT doc_id, words, n_tokens,
+        |  unnest(range(0, n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_token,
+        |  CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+        |  CAST(length(array_to_string(
+        |    list_slice(words, chunk_id * 48 + 1,
+        |               chunk_id * 48 + least(64, n_tokens - chunk_id * 48)),
+        |    ' ')) AS BIGINT) AS n_chunk_chars
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .withColumn("n_tokens", size($"words").cast(LongType))
+        .withColumn("over_", greatest(lit(0L), $"n_tokens" - 64) + 47)
+        .withColumn("n_chunks", expr("1 + (over_ div 48)"))
+        .select($"doc_id", $"words", $"n_tokens",
+          explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_id"))
+        .withColumn("start_token", $"chunk_id" * 48)
+        .withColumn("n_chunk_tokens", least(lit(64L), $"n_tokens" - $"start_token"))
+        .withColumn("n_chunk_chars",
+          length(array_join(
+            slice($"words", ($"start_token" + 1).cast(IntegerType),
+              $"n_chunk_tokens".cast(IntegerType)), " ")).cast(LongType))
+        .select($"doc_id", $"chunk_id", $"start_token", $"n_chunk_tokens", $"n_chunk_chars")
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
     // ─────────────────── multimodal columns ───────────────────
     // Text payload as an opaque binary column with typed metadata — the
     // reference's FileEntry model (file_name/content_type/data,
