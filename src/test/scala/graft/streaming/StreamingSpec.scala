@@ -134,6 +134,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("ingest pipeline end-to-end: shardpack tail → online near-dup filter → shardpack sink") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("pipe-src").toString
+    val dst = Files.createTempDirectory("pipe-dst").toString + "/cands"
+    val ckpt = Files.createTempDirectory("pipe-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def land(rows: (Long, String)*): Unit = rows.toSeq.toDF("id", "text")
+      .select(format_string("doc_%05d", $"id").as("key"),
+        lit(Array.empty[Byte]).as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"text".cast("binary").as("data"))).as("entries"))
+      .coalesce(1).write.format("shardpack").mode("append").save(src)
+    land(1L -> base,
+      2L -> "completely different content about spark engines and shard files")
+    // tail the bucket, reshape records to docs (event time derived from id)
+    val docs = spark.readStream.format("shardpack").load(src)
+      .select(substring($"key", 5, 5).cast("long").as("doc_id"),
+        (lit(1704103200L) + substring($"key", 5, 5).cast("long")).cast("timestamp").as("ts"),
+        $"entries".getItem(0).getField("data").cast("string").as("text"))
+      .as[Doc]
+    val q = streamNearDupCandidates(docs, numPerm = 16, bands = 4,
+        watermark = "10 minutes", retentionMs = 60L * 60 * 1000)
+      .select(format_string("dup_%05d_%05d_b%d", $"doc_id", $"dup_of", $"band").as("key"),
+        lit(Array.empty[Byte]).as("metadata"),
+        array(struct(lit("cand.json").as("file_name"), lit("application/json").as("content_type"),
+          lit("").as("encoding"),
+          to_json(struct($"doc_id", $"dup_of", $"band")).cast("binary").as("data"))).as("entries"))
+      .writeStream.format("shardpack")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      // two dissimilar documents admitted: no candidates published
+      assert(spark.read.format("shardpack").load(dst).count() == 0)
+      land(3L -> (base + "!")) // near-dup of doc 1 arrives later
+      q.processAllAvailable()
+      val out = spark.read.format("shardpack").load(dst)
+        .select($"entries".getItem(0).getField("data").cast("string"))
+        .collect().map(_.getString(0))
+      assert(out.nonEmpty, "the near-dup must be reported")
+      out.foreach { s =>
+        assert(s.contains("\"doc_id\":3") && s.contains("\"dup_of\":1"), s)
+      }
+    } finally q.stop()
+  }
+
   test("shardpack streaming sink appends one batch of shards per epoch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
