@@ -17,6 +17,9 @@ object ScaleDedup {
   /** Span length for decontamination (tokens per exact-match window). */
   private val SpanLen = 5
 
+  /** Span length for corpus-internal exact-substring dedup. */
+  private val SubLen = 8
+
   /** Alternating large-star / small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — the O(log n)-
     * round worst-case path that min-label propagation (rounds = diameter)
@@ -118,6 +121,44 @@ object ScaleDedup {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"), countDistinct($"sp").as("n_uniq"))
         .orderBy($"doc_id")
+    },
+
+    // Exact-substring dedup (the "repeated span" detector of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better"):
+    // every 8-token span appearing in ≥2 DISTINCT documents, with its doc
+    // frequency, total occurrence count and first carrier — the curation
+    // signal for cross-doc boilerplate that MinHash (whole-doc similarity)
+    // cannot see. Same machinery as decontaminate_spans: one posexplode,
+    // one per-doc window pass turning token hashes into rolling span
+    // hashes, then ONE shuffle grouping spans by hash — no suffix array,
+    // no pairwise comparison, scales linearly in corpus tokens.
+    Q("dedup_substring", {
+      def h(x: String) = H.sqlWordHash(x)
+      val spanExpr = H.sqlFoldHash((0 until SubLen).map(k => h(s"ws[i+$k]")))
+      s"""WITH spans AS (
+         |  SELECT doc_id,
+         |    unnest([$spanExpr FOR i IN range(1, len(ws) - ${SubLen - 2})]) AS sp
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |SELECT sp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS min_doc
+         |FROM spans GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY sp""".stripMargin
+    }) { (s, d) =>
+      val toks = documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .withColumnRenamed("col", "w")
+        .withColumn("h", H.wordHash($"w"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val span = H.foldHash((0 until SubLen).map {
+        case 0 => $"h"
+        case k => lead($"h", k).over(w)
+      })
+      toks.select($"doc_id", span.as("sp")).filter($"sp".isNotNull)
+        .groupBy($"sp")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+          min($"doc_id").as("min_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"sp")
     },
 
     // PageRank centrality over the full near-dup similarity graph —
