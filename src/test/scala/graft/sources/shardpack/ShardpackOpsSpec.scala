@@ -181,6 +181,36 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(dir).count() == 6)
   }
 
+  test("merge equals the keep∖updates ∪ updates model on random key sets (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val keyGen = Gen.chooseNum(0, 30).map(i => f"k$i%02d")
+    val gen = for {
+      baseKeys <- Gen.containerOf[Set, String](keyGen)
+      updKeys <- Gen.containerOf[Set, String](keyGen)
+    } yield (baseKeys, updKeys)
+    def df(rows: Seq[(String, String)]) = rows.toDF("key", "body")
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("b.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+    (0 until 8).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (bk, uk) =>
+        val dir = tmp() + s"/m$i"
+        if (bk.nonEmpty)
+          df(bk.toSeq.sorted.map(k => k -> s"base-$k")).coalesce(2)
+            .write.format("shardpack").mode("append").save(dir)
+        ShardpackOps.merge(spark, dir, df(uk.toSeq.sorted.map(k => k -> s"upd-$k")))
+        val expect = ((bk -- uk).map(k => k -> s"base-$k") ++
+          uk.map(k => k -> s"upd-$k")).toSeq.sorted
+        val back = spark.read.format("shardpack").load(dir)
+          .select(col("key"), col("entries").getItem(0).getField("data").cast("string"))
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(back == expect, s"seed=$i base=$bk upd=$uk")
+      }
+    }
+  }
+
   test("overlay: updated records win per key, others pass through") {
     val baseDir = tmp() + "/base"
     val overDir = tmp() + "/over"

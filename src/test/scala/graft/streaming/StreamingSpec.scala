@@ -181,6 +181,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup state survives a query restart: first claimant recovered from checkpoint") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ndr-src").toString
+    val dst = Files.createTempDirectory("ndr-dst").toString + "/cands"
+    val ckpt = Files.createTempDirectory("ndr-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def land(rows: (Long, String)*): Unit = rows.toSeq.toDF("id", "text")
+      .select(format_string("doc_%05d", $"id").as("key"),
+        lit(Array.empty[Byte]).as("metadata"),
+        array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"text".cast("binary").as("data"))).as("entries"))
+      .coalesce(1).write.format("shardpack").mode("append").save(src)
+    def pipeline() = {
+      val docs = spark.readStream.format("shardpack").load(src)
+        .select(substring($"key", 5, 5).cast("long").as("doc_id"),
+          (lit(1704103200L) + substring($"key", 5, 5).cast("long")).cast("timestamp").as("ts"),
+          $"entries".getItem(0).getField("data").cast("string").as("text"))
+        .as[Doc]
+      streamNearDupCandidates(docs, numPerm = 16, bands = 4,
+          watermark = "10 minutes", retentionMs = 60L * 60 * 1000)
+        .select(format_string("dup_%05d_%05d_b%d", $"doc_id", $"dup_of", $"band").as("key"),
+          lit(Array.empty[Byte]).as("metadata"),
+          array(struct(lit("c.json").as("file_name"), lit("application/json").as("content_type"),
+            lit("").as("encoding"),
+            to_json(struct($"doc_id", $"dup_of")).cast("binary").as("data"))).as("entries"))
+        .writeStream.format("shardpack")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start(dst)
+    }
+    // run 1 admits the original document, then stops
+    val q1 = pipeline()
+    land(1L -> base)
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 recovers the bucket-claim state from the checkpoint: a near-dup
+    // landing only AFTER the restart is still reported against doc 1
+    land(2L -> (base + "!"))
+    val q2 = pipeline()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.format("shardpack").load(dst)
+        .select($"entries".getItem(0).getField("data").cast("string"))
+        .collect().map(_.getString(0))
+      assert(out.nonEmpty, "restart must not lose the first claimant's state")
+      out.foreach(s => assert(s.contains("\"doc_id\":2") && s.contains("\"dup_of\":1"), s))
+    } finally q2.stop()
+  }
+
   test("shardpack streaming sink appends one batch of shards per epoch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
