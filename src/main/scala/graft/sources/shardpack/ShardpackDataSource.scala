@@ -145,12 +145,16 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
   override def build(): Scan =
     new ShardpackScan(path, required, keyFilter,
       options.getBoolean("verifyChecksums", true),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN)
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN,
+      // partial read (docs/draft.md:126): only named entries are decoded
+      Option(options.get("entryNames"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
 final class ShardpackScan(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
-    maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None,
+    entryNames: Option[Set[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -209,7 +213,7 @@ final class ShardpackScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ShardpackMicroBatchStream(path, required, effectiveKeys, verify,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, entryNames)
   override def description(): String =
     s"shardpack $path keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 
@@ -285,7 +289,8 @@ final class ShardpackScan(path: String, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, effectiveKeys, verify, HadoopConfs.serializable())
+    ShardpackReaderFactory(required, effectiveKeys, verify,
+      HadoopConfs.serializable(), entryNames)
 }
 
 final case class ShardInputPartition(file: String, length: Long) extends InputPartition
@@ -301,7 +306,8 @@ final case class BucketedShardInputPartition(file: String, length: Long, bucket:
 
 final case class ShardpackReaderFactory(required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
-    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+    hconf: SerializableHadoopConf,
+    entryNames: Option[Set[String]] = None) extends PartitionReaderFactory {
   private def fileOf(p: InputPartition): (String, Long) = p match {
     case ShardInputPartition(f, l) => (f, l)
     case BucketedShardInputPartition(f, l, _) => (f, l)
@@ -310,7 +316,7 @@ final case class ShardpackReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (file, length) = fileOf(p)
     new ShardpackPartitionReader(file, length, required, keyFilter, verify,
-      hconf.value)
+      hconf.value, entryNames)
   }
 
   /** Payload-free scans (no `entries` column requested — counts, metadata
@@ -339,7 +345,8 @@ final case class ShardpackReaderFactory(required: StructType,
   */
 final class ShardpackPartitionReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]], verify: Boolean,
-    hadoopConf: Configuration = new Configuration())
+    hadoopConf: Configuration = new Configuration(),
+    entryNames: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val fs = new Path(file).getFileSystem(hadoopConf)
@@ -382,7 +389,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
       stream.readFully(block)
       val keyOk = keyFilter.forall(_.contains(ShardpackFormat.decodeKey(block)))
       if (keyOk) {
-        val rec = ShardpackFormat.decodeRecordBody(block, wantEntryData, verify)
+        val rec = ShardpackFormat.decodeRecordBody(block, wantEntryData, verify, entryNames)
         current = toRow(rec)
         return true
       }

@@ -201,35 +201,43 @@ object ShardpackFormat {
     * @param verify re-hash uncompressed payloads against the stored SHA-256
     */
   def decodeRecord(in: DataInputStream, wantEntryData: Boolean = true,
-      verify: Boolean = true): Record = {
+      verify: Boolean = true, entryFilter: Option[Set[String]] = None): Record = {
     val recLen = in.readInt()
     val block = readFully(in, recLen)
-    decodeRecordBody(block, wantEntryData, verify)
+    decodeRecordBody(block, wantEntryData, verify, entryFilter)
   }
 
+  /** @param entryFilter partial read (`README.md:3`, `docs/draft.md:126`):
+    *   entries whose `file_name` is not in the set are SKIPPED — bytes
+    *   seeked past, never decompressed or checksummed, absent from the
+    *   output list. None = all entries.
+    */
   def decodeRecordBody(block: Array[Byte], wantEntryData: Boolean,
-      verify: Boolean): Record = {
+      verify: Boolean, entryFilter: Option[Set[String]] = None): Record = {
     val in = new DataInputStream(new ByteArrayInputStream(block))
     val key = readStr16(in)
     val metaLen = in.readInt()
     val meta = if (metaLen < 0) null else readFully(in, metaLen)
     val nEntries = in.readUnsignedShort()
-    val entries = (0 until nEntries).map { _ =>
+    val entries = (0 until nEntries).flatMap { _ =>
       val name = readStr16(in)
       val ctype = readStr16(in)
       val codec = Codec.name(in.readByte())
       val rawLen = in.readInt()
       val storedLen = in.readInt()
       val checksum = readFully(in, 32)
-      if (wantEntryData) {
+      if (!entryFilter.forall(_.contains(name))) {
+        in.skipBytes(storedLen)
+        None
+      } else if (wantEntryData) {
         val stored = readFully(in, storedLen)
         val raw = Codec.decompress(codec, stored, rawLen)
         if (verify && !java.util.Arrays.equals(sha256(raw), checksum))
           throw new ChecksumMismatch(s"checksum mismatch for entry '$name' of record '$key'")
-        Entry(name, ctype, codec, raw)
+        Some(Entry(name, ctype, codec, raw))
       } else {
         in.skipBytes(storedLen)
-        Entry(name, ctype, codec, null)
+        Some(Entry(name, ctype, codec, null))
       }
     }
     Record(key, meta, entries)

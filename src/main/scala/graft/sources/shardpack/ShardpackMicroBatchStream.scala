@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class ShardpackMicroBatchStream(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    entryNames: Option[Set[String]] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -108,7 +109,8 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, keyFilter, verify, HadoopConfs.serializable())
+    ShardpackReaderFactory(required, keyFilter, verify,
+      HadoopConfs.serializable(), entryNames)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -270,6 +270,39 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(dir).count() == 0)
   }
 
+  test("entryNames option: partial read decodes only the named entries") {
+    val dir = tmpDir()
+    sampleDf(4).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    val rows = spark.read.format("shardpack").option("entryNames", "meta.json").load(dir)
+      .select(col("key"), size(col("entries")).as("n"),
+        col("entries").getItem(0).getField("file_name").as("fn"),
+        col("entries").getItem(0).getField("data").cast("string").as("d"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.length == 4)
+    assert(rows.forall(r => r._2 == 1 && r._3 == "meta.json"))
+    assert(rows.head._4 == """{"i":0}""")
+    // behavioral proof of "partial": corrupt body.txt's stored payload on
+    // disk — the meta.json-only read never touches those bytes (no decode,
+    // no checksum), while a full read fails its checksum verification
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".shardpack")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    val needle = "payload-00002-".getBytes("UTF-8").toIndexedSeq
+    val at = bytes.toIndexedSeq.indexOfSlice(needle)
+    assert(at > 0, "uncompressed body payload must be on disk")
+    bytes(at) = (bytes(at) ^ 0x1).toByte
+    Files.write(f.toPath, bytes)
+    // drop Hadoop LocalFS's own .crc sidecar so only OUR record checksum is
+    // in play (the edit invalidated both)
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    assert(spark.read.format("shardpack").option("entryNames", "meta.json").load(dir)
+      .select(col("entries").getField("data")).collect().length == 4)
+    intercept[Exception] {
+      spark.read.format("shardpack").load(dir)
+        .select(col("entries").getField("data")).collect()
+    }
+  }
+
   test("corrupted shard surfaces a checksum error on read") {
     val dir = tmpDir()
     sampleDf(5).coalesce(1).write.format("shardpack").mode("append").save(dir)
