@@ -82,6 +82,29 @@ object FormatBench {
       println(f"[fmtbench] shardpack/lz4 indexed n=$n pointLookup=$tpoint%6.2fs " +
         f"plannedTasks=$parts")
     }
+    // entry-level partial read: records carry a small JSON sidecar next to
+    // a 16 KiB payload blob; reading only the sidecar via entryNames skips
+    // the blob bytes (no decompress, no checksum)
+    locally {
+      val dir = s"$base/sp-multi"
+      val multi = Tables.documents(spark, sfDir).select(
+        concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0")).as("key"),
+        lit(null).cast(BinaryType).as("metadata"),
+        array(
+          struct(lit("meta.json").as("file_name"), lit("application/json").as("content_type"),
+            lit("").as("encoding"), to_json(struct($"lang", $"source")).cast(BinaryType).as("data")),
+          struct(lit("blob.bin").as("file_name"), lit("application/octet-stream").as("content_type"),
+            lit("").as("encoding"), expr("repeat(text, 1 + 16384 div greatest(1, length(text)))")
+              .cast(BinaryType).as("data"))).as("entries"))
+      multi.write.format("shardpack").mode("overwrite").save(dir)
+      def scanLen(df: DataFrame) = df
+        .agg(sum(octet_length(element_at($"entries", 1).getField("data")))).collect()
+      val (_, tfull) = time(scanLen(spark.read.format("shardpack").load(dir)))
+      val (_, tpart) = time(scanLen(
+        spark.read.format("shardpack").option("entryNames", "meta.json").load(dir)))
+      println(f"[fmtbench] shardpack partial-read n=$n fullEntries=$tfull%6.2fs " +
+        f"sidecarOnly=$tpart%6.2fs size=${bytesOf(dir) / 1e6}%8.1f MB")
+    }
     measure("parquet", Map.empty, s"$base/parquet")
     spark.stop()
   }

@@ -384,14 +384,16 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     if (pruned) return false
     while (idx < footer.offsets.length) {
       idx += 1
-      val recLen = stream.readInt()
-      val block = new Array[Byte](recLen)
-      stream.readFully(block)
-      val keyOk = keyFilter.forall(_.contains(ShardpackFormat.decodeKey(block)))
-      if (keyOk) {
-        val rec = ShardpackFormat.decodeRecordBody(block, wantEntryData, verify, entryNames)
-        current = toRow(rec)
-        return true
+      // streaming decode: key-filtered misses and entryNames-filtered
+      // sibling payloads are SKIPPED in the stream (buffer discard, or a
+      // seek when the skip outruns the 1 MiB buffer) — never read, copied,
+      // decompressed or checksummed
+      ShardpackFormat.decodeRecordStreaming(
+          stream, keyFilter, wantEntryData, verify, entryNames) match {
+        case Some(rec) =>
+          current = toRow(rec)
+          return true
+        case None => // key miss — record already skipped
       }
     }
     false

@@ -243,6 +243,64 @@ object ShardpackFormat {
     Record(key, meta, entries)
   }
 
+  /** Streaming record decode: consumes one record from a stream positioned
+    * at its length prefix, SKIPPING unwanted bytes instead of buffering the
+    * record block — a key-filtered miss skips the whole record body, and an
+    * [[decodeRecordBody entryFilter]] miss skips that entry's stored bytes.
+    * Skips larger than the read buffer become SEEKS on the underlying
+    * stream, so a sidecar-only scan of multi-MB multimodal records never
+    * reads the blob bytes at all — the I/O form of the spec's partial
+    * loading (`docs/draft.md:126`), not just the CPU form.
+    *
+    * Returns None for a key-filtered miss (record fully skipped).
+    */
+  def decodeRecordStreaming(in: DataInputStream, keyFilter: Option[Set[String]],
+      wantEntryData: Boolean, verify: Boolean,
+      entryFilter: Option[Set[String]]): Option[Record] = {
+    val recLen = in.readInt()
+    val key = readStr16(in)
+    if (!keyFilter.forall(_.contains(key))) {
+      skipFully(in, recLen - 2 - key.getBytes(StandardCharsets.UTF_8).length)
+      None
+    } else {
+      val metaLen = in.readInt()
+      val meta = if (metaLen < 0) null else readFully(in, metaLen)
+      val nEntries = in.readUnsignedShort()
+      val entries = (0 until nEntries).flatMap { _ =>
+        val name = readStr16(in)
+        val ctype = readStr16(in)
+        val codec = Codec.name(in.readByte())
+        val rawLen = in.readInt()
+        val storedLen = in.readInt()
+        val checksum = readFully(in, 32)
+        if (!entryFilter.forall(_.contains(name))) {
+          skipFully(in, storedLen)
+          None
+        } else if (wantEntryData) {
+          val stored = readFully(in, storedLen)
+          val raw = Codec.decompress(codec, stored, rawLen)
+          if (verify && !java.util.Arrays.equals(sha256(raw), checksum))
+            throw new ChecksumMismatch(s"checksum mismatch for entry '$name' of record '$key'")
+          Some(Entry(name, ctype, codec, raw))
+        } else {
+          skipFully(in, storedLen)
+          Some(Entry(name, ctype, codec, null))
+        }
+      }
+      Some(Record(key, meta, entries))
+    }
+  }
+
+  private def skipFully(in: DataInputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) throw new java.io.EOFException(
+        s"unexpected EOF skipping $left of $n bytes")
+      left -= s
+    }
+  }
+
   /** Read just the key of a record block (for pushed-down key filters) —
     * everything after the key is skipped, nothing is decompressed.
     */
