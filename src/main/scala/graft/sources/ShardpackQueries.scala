@@ -47,6 +47,34 @@ object ShardpackQueries {
   private def readBack(s: SparkSession, d: String): DataFrame =
     s.read.format("shardpack").load(roundtripDir(s, d))
 
+  /** Two-entry bucket (JSON sidecar + text body) once per (JVM, sfDir) —
+    * the multimodal record shape the partial-read path exists for.
+    */
+  private def multiEntryDir(s: SparkSession, d: String): String = synchronized {
+    val dir = s"/tmp/graft-shardpack/${d.replaceAll("[^A-Za-z0-9.]", "_")}/documents2e"
+    if (!written.contains(dir)) {
+      documents(s, d)
+        .select(
+          concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0")).as("key"),
+          lit(null).cast(BinaryType).as("metadata"),
+          array(
+            struct(lit("meta.json").as("file_name"),
+              lit("application/json").as("content_type"),
+              lit("").as("encoding"),
+              to_json(struct($"lang", $"source")).cast(BinaryType).as("data")),
+            struct(lit("body.txt").as("file_name"),
+              lit("text/plain").as("content_type"),
+              lit("").as("encoding"),
+              $"text".cast(BinaryType).as("data"))).as("entries"))
+        .write.format("shardpack")
+        .option("compression", "lz4")
+        .mode("overwrite")
+        .save(dir)
+      written += dir
+    }
+    dir
+  }
+
   private val spjReady = scala.collection.mutable.Set.empty[String]
 
   /** Namespace tag per sfDir (catalog root is shared across SFs). */
@@ -161,6 +189,28 @@ object ShardpackQueries {
           element_at($"entries", 1).getField("file_name").as("file_name"),
           element_at($"entries", 1).getField("content_type").as("content_type"))
         .orderBy($"key")
+    },
+
+    // Entry-level partial read (the spec's partial-loading headline,
+    // `docs/draft.md:126`): records carry a JSON sidecar next to the text
+    // body; the scan reads ONLY the sidecar via entryNames — body bytes are
+    // skipped in-stream — and the sidecar content round-trips exactly
+    // (grouped against the source parquet). max_entries proves the sibling
+    // entry was projected away, not just left undecoded.
+    Q("shardpack_partial",
+      """SELECT lang, source, count(*) AS n, CAST(1 AS INT) AS max_entries
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      s.read.format("shardpack").option("entryNames", "meta.json")
+        .load(multiEntryDir(s, d))
+        .select(
+          get_json_object(element_at($"entries", 1).getField("data").cast(StringType),
+            "$.lang").as("lang"),
+          get_json_object(element_at($"entries", 1).getField("data").cast(StringType),
+            "$.source").as("source"),
+          size($"entries").as("n_entries"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n"), max($"n_entries").as("max_entries"))
+        .orderBy($"lang", $"source")
     }
   )
 
