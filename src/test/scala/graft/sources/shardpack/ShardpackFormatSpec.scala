@@ -192,6 +192,38 @@ class ShardpackFormatSpec extends AnyFunSuite {
       Gen.containerOfN[Array, Byte](16, Gen.choose(Byte.MinValue, Byte.MaxValue)))
   } yield Record(key, meta, entries)
 
+  test("property: streaming decode with key/entry filters equals filtered block decode") {
+    for {
+      records <- samples(Gen.listOfN(5, genRecord), 20)
+      codec <- Seq(Codec.None, Codec.Lz4)
+    } {
+      val bytes = writeShard(records, codec)
+      val allNames = records.flatMap(_.entries.map(_.fileName)).distinct
+      // filter sets: everything, nothing matching, half the names, None
+      val filters: Seq[Option[Set[String]]] = Seq(
+        None, Some(allNames.toSet), Some(Set("no-such-entry")),
+        Some(allNames.take(allNames.size / 2).toSet))
+      val keyFilters: Seq[Option[Set[String]]] =
+        Seq(None, Some(records.map(_.key).take(2).toSet), Some(Set.empty[String]))
+      for (ef <- filters; kf <- keyFilters) {
+        val in = new DataInputStream(new ByteArrayInputStream(bytes))
+        val streamed = (0 until records.size).flatMap(_ =>
+          decodeRecordStreaming(in, kf, wantEntryData = true, verify = true, ef))
+        val expected = records
+          .filter(r => kf.forall(_.contains(r.key)))
+          .map(r => r.copy(entries = r.entries.filter(e => ef.forall(_.contains(e.fileName)))))
+        assert(streamed.size == expected.size, s"ef=$ef kf=$kf")
+        streamed.zip(expected).foreach { case (got, want) =>
+          assert(got.key == want.key)
+          assert(got.entries.map(_.fileName) == want.entries.map(_.fileName))
+          got.entries.zip(want.entries).foreach { case (ge, we) =>
+            assert(ge.data.sameElements(we.data))
+          }
+        }
+      }
+    }
+  }
+
   test("property: arbitrary record lists round-trip identically (every codec)") {
     for {
       records <- samples(Gen.listOfN(5, genRecord), 20)
