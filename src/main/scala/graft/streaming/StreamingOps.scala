@@ -153,12 +153,19 @@ object StreamingOps {
     // ts attribute, so the watermark must be declared on the banded frame
     // that actually feeds the stateful operator
     docs.flatMap { d =>
-        val sig = minhashSig(d.text, numPerm)
-        (0 until bands).map { b =>
-          var h = 1125899906842597L
-          var r = b * rowsPerBand
-          while (r < (b + 1) * rowsPerBand) { h = h * 6364136223846793005L + sig(r); r += 1 }
-          BandHit(b, h, d.doc_id, d.ts)
+        // shingle-less docs (< 1 shingle of text) have no signature and can
+        // never near-dup — emitting their all-sentinel signature would
+        // collapse EVERY tiny doc into one bucket (batch dedup_minhash
+        // likewise drops them: no shingles → no sig row → no pairs)
+        if (d.text.length < 5) Seq.empty
+        else {
+          val sig = minhashSig(d.text, numPerm)
+          (0 until bands).map { b =>
+            var h = 1125899906842597L
+            var r = b * rowsPerBand
+            while (r < (b + 1) * rowsPerBand) { h = h * 6364136223846793005L + sig(r); r += 1 }
+            BandHit(b, h, d.doc_id, d.ts)
+          }
         }
       }
       .withWatermark("ts", watermark)

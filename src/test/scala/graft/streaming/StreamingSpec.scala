@@ -131,6 +131,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       in.addData(Doc(9, Timestamp.valueOf("2024-01-01 12:00:30"), base))
       q.processAllAvailable()
       assert(spark.table("neardup").count() == before)
+      // shingle-less docs never collide (batch semantics: no shingles → no
+      // signature → no pairs)
+      in.addData(Doc(20, Timestamp.valueOf("2024-01-01 12:01:00"), "ab"),
+        Doc(21, Timestamp.valueOf("2024-01-01 12:01:10"), "cd"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == before)
     } finally q.stop()
   }
 
