@@ -56,9 +56,14 @@ class ShardpackDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("shardpack requires a path"))
-    new ShardpackTable(path)
+    // single path via "path"; spark.read…load(dirA, dirB, …) arrives as a
+    // JSON string-array under "paths" (same codec as our offset log)
+    val paths = Option(properties.get("path")).map(Seq(_))
+      .orElse(Option(properties.get("paths"))
+        .map(ShardpackOffset.fromJson(_).files))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException("shardpack requires a path"))
+    new ShardpackTable(paths, None)
   }
 }
 
@@ -87,11 +92,13 @@ object ShardpackDataSource {
       .sortBy(_.getPath.getName)
 }
 
-final class ShardpackTable(path: String, bucketN: Option[Int] = None)
+final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
     extends Table with SupportsRead with SupportsWrite {
   import ShardpackDataSource._
 
-  override def name(): String = s"shardpack:$path"
+  def this(path: String, bucketN: Option[Int] = None) = this(Seq(path), bucketN)
+
+  override def name(): String = s"shardpack:${paths.mkString(",")}"
   override def schema(): StructType = Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -104,15 +111,17 @@ final class ShardpackTable(path: String, bucketN: Option[Int] = None)
       .bucket(n, "key")).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardpackScanBuilder(path, options, bucketN)
+    new ShardpackScanBuilder(paths, options, bucketN)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ShardpackWriteBuilder(path, info, bucketN)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, "shardpack write requires exactly one path")
+    new ShardpackWriteBuilder(paths.head, info, bucketN)
+  }
 }
 
 // ─────────────────────────── read path ───────────────────────────
 
-final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap,
+final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     bucketN: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import ShardpackDataSource._
@@ -143,7 +152,7 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
     required = requiredSchema
 
   override def build(): Scan =
-    new ShardpackScan(path, required, keyFilter,
+    new ShardpackScan(paths, required, keyFilter,
       options.getBoolean("verifyChecksums", true),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN,
       // partial read (docs/draft.md:126): only named entries are decoded
@@ -151,7 +160,7 @@ final class ShardpackScanBuilder(path: String, options: CaseInsensitiveStringMap
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
-final class ShardpackScan(path: String, required: StructType,
+final class ShardpackScan(paths: Seq[String], required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None,
     entryNames: Option[Set[String]] = None)
@@ -195,9 +204,10 @@ final class ShardpackScan(path: String, required: StructType,
     * the broadcast side.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(HadoopConfs.session())
-    val totalBytes = listShards(fs, dir).map(_.getLen).sum
+    val totalBytes = paths.map { p =>
+      val dir = new Path(p)
+      listShards(dir.getFileSystem(HadoopConfs.session()), dir).map(_.getLen).sum
+    }.sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(effectiveKeys match {
@@ -212,17 +222,21 @@ final class ShardpackScan(path: String, required: StructType,
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardpackMicroBatchStream(path, required, effectiveKeys, verify,
-      maxFilesPerTrigger, entryNames)
+    {
+      require(paths.size == 1, "shardpack streaming source requires exactly one path")
+      new ShardpackMicroBatchStream(paths.head, required, effectiveKeys, verify,
+        maxFilesPerTrigger, entryNames)
+    }
   override def description(): String =
-    s"shardpack $path keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
+    s"shardpack ${paths.mkString(",")} keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
 
-  // one listing shared by planInputPartitions + outputPartitioning
-  private lazy val shardList: Seq[org.apache.hadoop.fs.FileStatus] = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(HadoopConfs.session())
-    listShards(fs, dir)
-  }
+  // one listing (across all paths) shared by planInputPartitions +
+  // outputPartitioning
+  private lazy val shardList: Seq[org.apache.hadoop.fs.FileStatus] =
+    paths.flatMap { p =>
+      val dir = new Path(p)
+      listShards(dir.getFileSystem(HadoopConfs.session()), dir)
+    }
 
   /** bucket id parsed from the writer's `-b<id>-<seq>.shardpack` suffix;
     * None for shards from unbucketed writers (foreign/compacted files).
@@ -252,17 +266,22 @@ final class ShardpackScan(path: String, required: StructType,
       // valid entry fall back to per-task footer pruning as before.
       val planned = effectiveKeys match {
         case Some(ks) =>
-          val dir = new Path(path)
-          val fs = dir.getFileSystem(HadoopConfs.session())
-          ShardpackIndex.load(fs, dir) match {
-            case Some(idx) => shardList.filter { st =>
-              idx.get(st.getPath.getName) match {
-                case Some(e) if e.len == st.getLen =>
-                  e.range.forall { case (lo, hi) => ks.exists(k => k >= lo && k <= hi) }
-                case _ => true
-              }
+          // one sidecar per source directory; a shard is matched against
+          // its OWN directory's index
+          val byDir = paths.map { p =>
+            val dir = new Path(p)
+            val fs = dir.getFileSystem(HadoopConfs.session())
+            fs.makeQualified(dir).toString ->
+              ShardpackIndex.load(fs, dir).getOrElse(Map.empty[String, ShardpackIndex.Entry])
+          }.toMap
+          shardList.filter { st =>
+            byDir.getOrElse(st.getPath.getParent.toString,
+                Map.empty[String, ShardpackIndex.Entry])
+              .get(st.getPath.getName) match {
+              case Some(e) if e.len == st.getLen =>
+                e.range.forall { case (lo, hi) => ks.exists(k => k >= lo && k <= hi) }
+              case _ => true
             }
-            case None => shardList
           }
         case None => shardList
       }

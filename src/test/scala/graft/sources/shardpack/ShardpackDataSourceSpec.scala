@@ -135,7 +135,7 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
 
   test("runtime filtering narrows the key set (and intersects with pushdown)") {
     import org.apache.spark.sql.sources.{EqualTo, Filter, In}
-    val scan = new ShardpackScan("/nowhere", ShardpackDataSource.Schema,
+    val scan = new ShardpackScan(Seq("/nowhere"), ShardpackDataSource.Schema,
       keyFilter = Some(Set("k1", "k2", "k3")), verify = true)
     assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("key"))
     scan.filter(Array[Filter](In("key", Array("k2", "k3", "k9"))))
@@ -268,6 +268,20 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     val dir = tmpDir()
     sampleDf(0).write.format("shardpack").mode("append").save(dir)
     assert(spark.read.format("shardpack").load(dir).count() == 0)
+  }
+
+  test("multi-path load unions buckets; key pushdown and stats span all of them") {
+    val a = tmpDir()
+    val b = tmpDir()
+    sampleDf(3).write.format("shardpack").mode("append").save(a)
+    sampleDf(5).limit(5).filter(col("key") > "key00002")
+      .write.format("shardpack").mode("append").save(b)
+    val both = spark.read.format("shardpack").load(a, b)
+    assert(both.count() == 5) // 3 ∪ {key00003, key00004}
+    val keys = both.select("key").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("key00000", "key00001", "key00002", "key00003", "key00004"))
+    // pushdown still reaches every bucket
+    assert(both.filter(col("key") === "key00004").count() == 1)
   }
 
   test("entryNames option: partial read decodes only the named entries") {
