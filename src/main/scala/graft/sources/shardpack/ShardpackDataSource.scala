@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -121,6 +121,54 @@ final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
 
 // ─────────────────────────── read path ───────────────────────────
 
+/** Conjunctive key-range predicate pushed down from `>=`/`>`/`<=`/`<`/
+  * `startsWith` filters on `key` — the range-scan companion of the equality
+  * pushdown. Evaluated per record AND against each shard's footer envelope
+  * (a sorted bucket answers `key BETWEEN a AND b` by opening only the
+  * shards whose [min,max] intersects the range).
+  */
+final case class KeyRange(lo: Option[String], loInc: Boolean,
+    hi: Option[String], hiInc: Boolean, prefix: Option[String])
+    extends Serializable {
+  def contains(k: String): Boolean =
+    prefix.forall(k.startsWith) &&
+    lo.forall(l => if (loInc) k >= l else k > l) &&
+    hi.forall(h => if (hiInc) k <= h else k < h)
+
+  /** Can this range intersect the key envelope [mn, mx]? (conservative) */
+  def intersects(mn: String, mx: String): Boolean =
+    lo.forall(l => if (loInc) mx >= l else mx > l) &&
+    hi.forall(h => if (hiInc) mn <= h else mn < h) &&
+    prefix.forall(p => mx >= p && (mn <= p || mn.startsWith(p)))
+
+  def and(o: KeyRange): KeyRange = {
+    val (nlo, nloInc) = (lo, o.lo) match {
+      case (Some(a), Some(b)) =>
+        if (a > b) (Some(a), loInc)
+        else if (b > a) (Some(b), o.loInc)
+        else (Some(a), loInc && o.loInc)
+      case (Some(a), None) => (Some(a), loInc)
+      case (None, b) => (b, o.loInc)
+    }
+    val (nhi, nhiInc) = (hi, o.hi) match {
+      case (Some(a), Some(b)) =>
+        if (a < b) (Some(a), hiInc)
+        else if (b < a) (Some(b), o.hiInc)
+        else (Some(a), hiInc && o.hiInc)
+      case (Some(a), None) => (Some(a), hiInc)
+      case (None, b) => (b, o.hiInc)
+    }
+    val np = (prefix, o.prefix) match {
+      case (Some(a), Some(b)) =>
+        if (a.startsWith(b)) Some(a)
+        else if (b.startsWith(a)) Some(b)
+        else Some(a + "\u0000" + b) // incompatible prefixes match nothing
+      case (a, b) => a.orElse(b)
+    }
+    KeyRange(nlo, nloInc, nhi, nhiInc, np)
+  }
+}
+
 final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     bucketN: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -129,12 +177,18 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
   private var required: StructType = Schema
   private var pushed: Array[Filter] = Array.empty
   private var keyFilter: Option[Set[String]] = None // None = all keys
+  private var keyRange: Option[KeyRange] = None // None = unbounded
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
       case EqualTo("key", _: String) => true
       case In("key", vs) if vs.forall(_.isInstanceOf[String]) => true
       case IsNotNull("key") => true
+      case GreaterThan("key", _: String) => true
+      case GreaterThanOrEqual("key", _: String) => true
+      case LessThan("key", _: String) => true
+      case LessThanOrEqual("key", _: String) => true
+      case StringStartsWith("key", _) => true
       case _ => false
     }
     pushed = supported
@@ -143,6 +197,14 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
       case In("key", vs) => vs.map(_.asInstanceOf[String]).toSet
     }
     if (keySets.nonEmpty) keyFilter = Some(keySets.reduce(_ intersect _))
+    val ranges = supported.collect {
+      case GreaterThan("key", v: String) => KeyRange(Some(v), false, None, true, None)
+      case GreaterThanOrEqual("key", v: String) => KeyRange(Some(v), true, None, true, None)
+      case LessThan("key", v: String) => KeyRange(None, true, Some(v), false, None)
+      case LessThanOrEqual("key", v: String) => KeyRange(None, true, Some(v), true, None)
+      case StringStartsWith("key", p) => KeyRange(Some(p), true, None, true, Some(p))
+    }
+    keyRange = ranges.reduceOption(_ and _)
     residual
   }
 
@@ -157,13 +219,15 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
       Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN,
       // partial read (docs/draft.md:126): only named entries are decoded
       Option(options.get("entryNames"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      keyRange)
 }
 
 final class ShardpackScan(paths: Seq[String], required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None,
-    entryNames: Option[Set[String]] = None)
+    entryNames: Option[Set[String]] = None,
+    keyRange: Option[KeyRange] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -225,7 +289,7 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     {
       require(paths.size == 1, "shardpack streaming source requires exactly one path")
       new ShardpackMicroBatchStream(paths.head, required, effectiveKeys, verify,
-        maxFilesPerTrigger, entryNames)
+        maxFilesPerTrigger, entryNames, keyRange)
     }
   override def description(): String =
     s"shardpack ${paths.mkString(",")} keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
@@ -264,8 +328,9 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       // only on a (name, len) match against the fresh listing, so a stale
       // sidecar never hides a new or rewritten shard; shards without a
       // valid entry fall back to per-task footer pruning as before.
-      val planned = effectiveKeys match {
-        case Some(ks) =>
+      val planned =
+        if (effectiveKeys.isEmpty && keyRange.isEmpty) shardList
+        else {
           // one sidecar per source directory; a shard is matched against
           // its OWN directory's index
           val byDir = paths.map { p =>
@@ -279,12 +344,14 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
                 Map.empty[String, ShardpackIndex.Entry])
               .get(st.getPath.getName) match {
               case Some(e) if e.len == st.getLen =>
-                e.range.forall { case (lo, hi) => ks.exists(k => k >= lo && k <= hi) }
+                e.range.forall { case (lo, hi) =>
+                  effectiveKeys.forall(_.exists(k => k >= lo && k <= hi)) &&
+                    keyRange.forall(_.intersects(lo, hi))
+                }
               case _ => true
             }
           }
-        case None => shardList
-      }
+        }
       planned
         .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
         .toArray
@@ -309,7 +376,7 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ShardpackReaderFactory(required, effectiveKeys, verify,
-      HadoopConfs.serializable(), entryNames)
+      HadoopConfs.serializable(), entryNames, keyRange)
 }
 
 final case class ShardInputPartition(file: String, length: Long) extends InputPartition
@@ -326,7 +393,8 @@ final case class BucketedShardInputPartition(file: String, length: Long, bucket:
 final case class ShardpackReaderFactory(required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     hconf: SerializableHadoopConf,
-    entryNames: Option[Set[String]] = None) extends PartitionReaderFactory {
+    entryNames: Option[Set[String]] = None,
+    keyRange: Option[KeyRange] = None) extends PartitionReaderFactory {
   private def fileOf(p: InputPartition): (String, Long) = p match {
     case ShardInputPartition(f, l) => (f, l)
     case BucketedShardInputPartition(f, l, _) => (f, l)
@@ -335,7 +403,7 @@ final case class ShardpackReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (file, length) = fileOf(p)
     new ShardpackPartitionReader(file, length, required, keyFilter, verify,
-      hconf.value, entryNames)
+      hconf.value, entryNames, keyRange)
   }
 
   /** Payload-free scans (no `entries` column requested — counts, metadata
@@ -350,7 +418,7 @@ final case class ShardpackReaderFactory(required: StructType,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (file, length) = fileOf(p)
-    new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value)
+    new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value, keyRange)
   }
 }
 
@@ -365,7 +433,8 @@ final case class ShardpackReaderFactory(required: StructType,
 final class ShardpackPartitionReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]], verify: Boolean,
     hadoopConf: Configuration = new Configuration(),
-    entryNames: Option[Set[String]] = None)
+    entryNames: Option[Set[String]] = None,
+    keyRange: Option[KeyRange] = None)
     extends PartitionReader[InternalRow] {
 
   private val fs = new Path(file).getFileSystem(hadoopConf)
@@ -376,10 +445,15 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     })
     finally in.close()
   }
-  // whole-shard pruning: the pushed key set cannot intersect this shard's
-  // stamped [minKey, maxKey] → never open the record region
-  private val pruned: Boolean = keyFilter.exists(ks =>
-    !ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, ks))
+  // whole-shard pruning: the pushed key set / key range cannot intersect
+  // this shard's stamped [minKey, maxKey] → never open the record region
+  private val pruned: Boolean = {
+    val env = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
+    env.exists { case (mn, mx) =>
+      keyFilter.exists(ks => !ks.exists(k => k >= mn && k <= mx)) ||
+        keyRange.exists(r => !r.intersects(mn, mx))
+    }
+  }
 
   private var streamOpened = false
   private lazy val stream = {
@@ -408,7 +482,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
       // seek when the skip outruns the 1 MiB buffer) — never read, copied,
       // decompressed or checksummed
       ShardpackFormat.decodeRecordStreaming(
-          stream, keyFilter, wantEntryData, verify, entryNames) match {
+          stream, keyFilter, wantEntryData, verify, entryNames, keyRange) match {
         case Some(rec) =>
           current = toRow(rec)
           return true
@@ -451,7 +525,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   */
 final class ShardpackColumnarReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]],
-    hadoopConf: Configuration)
+    hadoopConf: Configuration, keyRange: Option[KeyRange] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -465,8 +539,13 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
     })
     finally in.close()
   }
-  private val pruned: Boolean = keyFilter.exists(ks =>
-    !ShardpackFormat.ShardStats.mayContain(footer.shardMetadata, ks))
+  private val pruned: Boolean = {
+    val env = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
+    env.exists { case (mn, mx) =>
+      keyFilter.exists(ks => !ks.exists(k => k >= mn && k <= mx)) ||
+        keyRange.exists(r => !r.intersects(mn, mx))
+    }
+  }
 
   private var streamOpened = false
   private lazy val stream = {
@@ -492,7 +571,7 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
       val block = new Array[Byte](recLen)
       stream.readFully(block)
       val (key, meta) = ShardpackFormat.decodeKeyMeta(block)
-      if (keyFilter.forall(_.contains(key))) {
+      if (keyFilter.forall(_.contains(key)) && keyRange.forall(_.contains(key))) {
         if (keyPos >= 0)
           vectors(keyPos).putByteArray(rows, key.getBytes("UTF-8"))
         if (metaPos >= 0) {

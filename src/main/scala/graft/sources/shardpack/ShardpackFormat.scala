@@ -256,10 +256,11 @@ object ShardpackFormat {
     */
   def decodeRecordStreaming(in: DataInputStream, keyFilter: Option[Set[String]],
       wantEntryData: Boolean, verify: Boolean,
-      entryFilter: Option[Set[String]]): Option[Record] = {
+      entryFilter: Option[Set[String]],
+      keyRange: Option[KeyRange] = None): Option[Record] = {
     val recLen = in.readInt()
     val key = readStr16(in)
-    if (!keyFilter.forall(_.contains(key))) {
+    if (!keyFilter.forall(_.contains(key)) || !keyRange.forall(_.contains(key))) {
       skipFully(in, recLen - 2 - key.getBytes(StandardCharsets.UTF_8).length)
       None
     } else {

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
 final class ShardpackMicroBatchStream(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int],
-    entryNames: Option[Set[String]] = None)
+    entryNames: Option[Set[String]] = None,
+    keyRange: Option[KeyRange] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -110,7 +111,7 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ShardpackReaderFactory(required, keyFilter, verify,
-      HadoopConfs.serializable(), entryNames)
+      HadoopConfs.serializable(), entryNames, keyRange)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

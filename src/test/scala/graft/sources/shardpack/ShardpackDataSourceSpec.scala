@@ -270,6 +270,29 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(dir).count() == 0)
   }
 
+  test("key-range and prefix pushdown: records filter exactly, sorted shards prune at planning") {
+    val dir = tmpDir()
+    sampleDf(200).orderBy(expr("reverse(key)"))
+      .write.format("shardpack")
+      .option("sortedWrite", true).option("targetShards", 4)
+      .mode("append").save(dir)
+    val df = spark.read.format("shardpack").load(dir)
+    val r = df.filter(col("key") >= "key00010" && col("key") < "key00012")
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(r.toSeq == Seq("key00010", "key00011"))
+    assert(df.filter(col("key") > "key00197").count() == 2)
+    assert(df.filter(col("key") <= "key00001").count() == 2)
+    assert(df.filter(col("key").startsWith("key0001")).count() == 10)
+    assert(df.filter(col("key") > "zzz").count() == 0)
+    // with the sidecar built, a bounded range plans ONLY the intersecting
+    // shard of the sorted layout
+    ShardpackIndex.build(spark, dir)
+    val parts = spark.read.format("shardpack").load(dir)
+      .filter(col("key") >= "key00010" && col("key") < "key00012")
+      .select("key").rdd.getNumPartitions
+    assert(parts == 1, s"range scan planned $parts shards, expected 1")
+  }
+
   test("multi-path load unions buckets; key pushdown and stats span all of them") {
     val a = tmpDir()
     val b = tmpDir()
