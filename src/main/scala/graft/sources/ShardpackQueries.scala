@@ -191,6 +191,23 @@ object ShardpackQueries {
         .orderBy($"key")
     },
 
+    // Keyed RANGE scan (sorted-layout companion of the point lookup):
+    // key >= / < bounds push down to the reader, which prunes whole shards
+    // by footer envelope and skips non-matching records in-stream.
+    Q("shardpack_range",
+      """WITH k AS (SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+        |FROM documents)
+        |SELECT key, n_bytes FROM k
+        |WHERE key >= 'doc_00000100' AND key < 'doc_00000120'
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      readBack(s, d)
+        .filter($"key" >= "doc_00000100" && $"key" < "doc_00000120")
+        .select($"key",
+          octet_length(element_at($"entries", 1).getField("data")).as("n_bytes"))
+        .orderBy($"key")
+    },
+
     // Entry-level partial read (the spec's partial-loading headline,
     // `docs/draft.md:126`): records carry a JSON sidecar next to the text
     // body; the scan reads ONLY the sidecar via entryNames — body bytes are
