@@ -160,6 +160,36 @@ object ShardpackOps {
     small.length
   }
 
+  /** Delete every record with `lo <= key < hi` (half-open, the retention
+    * idiom: expire one day/prefix of a sorted bucket). Shard selection is
+    * envelope-vs-range intersection — on a sorted layout exactly the shards
+    * covering the range are rewritten; everything else is untouched. Same
+    * crash-safe swap as [[deleteKeys]].
+    */
+  def deleteRange(spark: SparkSession, dir: String, lo: String, hi: String): Unit = {
+    require(lo < hi, s"deleteRange: empty range [$lo, $hi)")
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
+    val affected = ShardpackIndex.envelopes(fs, new Path(dir), oldShards).collect {
+      case (st, None) => st
+      case (st, Some((mn, mx))) if mx >= lo && mn < hi => st
+    }
+    if (affected.isEmpty) return
+    val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
+    affected.map(st => spark.read.format("shardpack").load(st.getPath.toString))
+      .reduce(_ union _)
+      .filter(col("key") < lo || col("key") >= hi)
+      .write.format("shardpack").mode("append").save(staging)
+    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
+      val dst = new Path(dir, st.getPath.getName)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"deleteRange: rename ${st.getPath} -> $dst failed")
+    }
+    affected.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(new Path(staging), true)
+    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
+  }
+
   /** MERGE (upsert): rows of `updates` replace same-key records in the
     * bucket at `dir`; new keys are appended. The copy-on-write counterpart
     * of [[overlay]] — overlay resolves updates at read time, merge folds

@@ -181,6 +181,38 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(dir).count() == 6)
   }
 
+  test("deleteRange expires exactly the half-open key range, pruning unhit shards") {
+    val dir = tmp() + "/ranged"
+    writeDocs(dir, ("a1", "one"), ("a2", "two"), ("a3", "three"))
+    writeDocs(dir, ("z1", "four"), ("z2", "five"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val before = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val zShards = before.keySet.filter { name =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
+      val in = fs.open(st.getPath)
+      val f = try ShardpackFormat.readFooter(st.getLen, (pos, len) => {
+        val b = new Array[Byte](len); in.readFully(pos, b); b
+      }) finally in.close()
+      ShardpackFormat.ShardStats.unwrap(f.shardMetadata)._1.exists(_._1.startsWith("z"))
+    }
+    ShardpackOps.deleteRange(spark, dir, "a2", "a4") // half-open: a2, a3 out; a1 stays
+    val left = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("a1", "z1", "z2"))
+    val after = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    zShards.foreach { name =>
+      assert(after.contains(name) && after(name) == before(name),
+        s"out-of-range shard $name was rewritten")
+    }
+    // a no-hit range touches nothing
+    val names = after.keySet
+    ShardpackOps.deleteRange(spark, dir, "m0", "m9")
+    assert(ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet == names)
+  }
+
   test("merge equals the keep∖updates ∪ updates model on random key sets (scalacheck)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
