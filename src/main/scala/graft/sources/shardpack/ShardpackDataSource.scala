@@ -220,14 +220,17 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
       // partial read (docs/draft.md:126): only named entries are decoded
       Option(options.get("entryNames"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      keyRange)
+      keyRange,
+      Option(options.get("maxBytesPerPartition")).map(_.toLong)
+        .getOrElse(ShardpackFormat.DefaultShardCap))
 }
 
 final class ShardpackScan(paths: Seq[String], required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None,
     entryNames: Option[Set[String]] = None,
-    keyRange: Option[KeyRange] = None)
+    keyRange: Option[KeyRange] = None,
+    splitBytes: Long = ShardpackFormat.DefaultShardCap)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -328,33 +331,49 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       // only on a (name, len) match against the fresh listing, so a stale
       // sidecar never hides a new or rewritten shard; shards without a
       // valid entry fall back to per-task footer pruning as before.
+      // one sidecar per source directory; a shard is matched against its
+      // OWN directory's index (loaded lazily: only when a filter can prune
+      // or an oversized shard could split)
+      lazy val byDir: Map[String, Map[String, ShardpackIndex.Entry]] = paths.map { p =>
+        val dir = new Path(p)
+        val fs = dir.getFileSystem(HadoopConfs.session())
+        fs.makeQualified(dir).toString ->
+          ShardpackIndex.load(fs, dir).getOrElse(Map.empty[String, ShardpackIndex.Entry])
+      }.toMap
+      def entryOf(st: org.apache.hadoop.fs.FileStatus): Option[ShardpackIndex.Entry] =
+        byDir.getOrElse(st.getPath.getParent.toString,
+          Map.empty[String, ShardpackIndex.Entry])
+          .get(st.getPath.getName).filter(_.len == st.getLen)
       val planned =
         if (effectiveKeys.isEmpty && keyRange.isEmpty) shardList
-        else {
-          // one sidecar per source directory; a shard is matched against
-          // its OWN directory's index
-          val byDir = paths.map { p =>
-            val dir = new Path(p)
-            val fs = dir.getFileSystem(HadoopConfs.session())
-            fs.makeQualified(dir).toString ->
-              ShardpackIndex.load(fs, dir).getOrElse(Map.empty[String, ShardpackIndex.Entry])
-          }.toMap
-          shardList.filter { st =>
-            byDir.getOrElse(st.getPath.getParent.toString,
-                Map.empty[String, ShardpackIndex.Entry])
-              .get(st.getPath.getName) match {
-              case Some(e) if e.len == st.getLen =>
-                e.range.forall { case (lo, hi) =>
-                  effectiveKeys.forall(_.exists(k => k >= lo && k <= hi)) &&
-                    keyRange.forall(_.intersects(lo, hi))
-                }
-              case _ => true
-            }
+        else shardList.filter { st =>
+          entryOf(st) match {
+            case Some(e) =>
+              e.range.forall { case (lo, hi) =>
+                effectiveKeys.forall(_.exists(k => k >= lo && k <= hi)) &&
+                  keyRange.forall(_.intersects(lo, hi))
+              }
+            case None => true
           }
         }
-      planned
-        .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
-        .toArray
+      // Record-range SPLITTING: a shard far above maxBytesPerPartition (a
+      // foreign/compacted giant) fans out into record ranges — each task
+      // seeks straight to its first record via the footer offset index (the
+      // spec's O(1) random access, docs/draft.md:124-127), so scan
+      // parallelism is independent of the shard layout. Needs the sidecar's
+      // record count; unindexed shards stay one-task (status quo).
+      planned.flatMap { st =>
+        val splits = entryOf(st) match {
+          case Some(e) if st.getLen > splitBytes && e.nRecords > 1 =>
+            val k = math.min(((st.getLen + splitBytes - 1) / splitBytes), e.nRecords).toInt
+            val per = (e.nRecords + k - 1) / k
+            (0L until e.nRecords by per).map(start =>
+              ShardInputPartition(st.getPath.toString, st.getLen,
+                start, math.min(start + per, e.nRecords)))
+          case _ => Seq(ShardInputPartition(st.getPath.toString, st.getLen))
+        }
+        splits.map(sp => sp: InputPartition)
+      }.toArray
   }
 
   /** Storage-partitioned joins: when every shard carries its bucket id, the
@@ -379,7 +398,8 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       HadoopConfs.serializable(), entryNames, keyRange)
 }
 
-final case class ShardInputPartition(file: String, length: Long) extends InputPartition
+final case class ShardInputPartition(file: String, length: Long,
+    recStart: Long = 0L, recEnd: Long = -1L) extends InputPartition
 
 /** A shard known to hold exactly one key bucket (sorted-by-bucket writer);
   * the partition key feeds Spark's KeyGroupedPartitioning grouping.
@@ -395,15 +415,15 @@ final case class ShardpackReaderFactory(required: StructType,
     hconf: SerializableHadoopConf,
     entryNames: Option[Set[String]] = None,
     keyRange: Option[KeyRange] = None) extends PartitionReaderFactory {
-  private def fileOf(p: InputPartition): (String, Long) = p match {
-    case ShardInputPartition(f, l) => (f, l)
-    case BucketedShardInputPartition(f, l, _) => (f, l)
+  private def fileOf(p: InputPartition): (String, Long, Long, Long) = p match {
+    case ShardInputPartition(f, l, rs, re) => (f, l, rs, re)
+    case BucketedShardInputPartition(f, l, _) => (f, l, 0L, -1L)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (file, length) = fileOf(p)
+    val (file, length, rs, re) = fileOf(p)
     new ShardpackPartitionReader(file, length, required, keyFilter, verify,
-      hconf.value, entryNames, keyRange)
+      hconf.value, entryNames, keyRange, rs, re)
   }
 
   /** Payload-free scans (no `entries` column requested — counts, metadata
@@ -417,8 +437,9 @@ final case class ShardpackReaderFactory(required: StructType,
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (file, length) = fileOf(p)
-    new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value, keyRange)
+    val (file, length, rs, re) = fileOf(p)
+    new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value,
+      keyRange, rs, re)
   }
 }
 
@@ -434,7 +455,8 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]], verify: Boolean,
     hadoopConf: Configuration = new Configuration(),
     entryNames: Option[Set[String]] = None,
-    keyRange: Option[KeyRange] = None)
+    keyRange: Option[KeyRange] = None,
+    recStart: Long = 0L, recEnd: Long = -1L)
     extends PartitionReader[InternalRow] {
 
   private val fs = new Path(file).getFileSystem(hadoopConf)
@@ -455,11 +477,19 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     }
   }
 
+  private val endRec: Int =
+    if (recEnd < 0) footer.offsets.length
+    else math.min(recEnd, footer.offsets.length.toLong).toInt
+
   private var streamOpened = false
   private lazy val stream = {
     streamOpened = true
-    new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+    val raw = fs.open(new Path(file))
+    // record-range split: seek straight to the first record of this range
+    // via the footer offset index (O(1) random access, docs/draft.md:124)
+    if (recStart > 0 && recStart < footer.offsets.length)
+      raw.seek(footer.offsets(recStart.toInt))
+    new java.io.DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
   }
 
   private val entriesField = required.fields.zipWithIndex
@@ -470,12 +500,12 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     .getOrElse(Array.empty)
   private val wantEntryData = entrySubfields.contains("data")
 
-  private var idx = 0
+  private var idx = math.min(recStart, Int.MaxValue.toLong).toInt
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (pruned) return false
-    while (idx < footer.offsets.length) {
+    while (idx < endRec) {
       idx += 1
       // streaming decode: key-filtered misses and entryNames-filtered
       // sibling payloads are SKIPPED in the stream (buffer discard, or a
@@ -525,7 +555,8 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   */
 final class ShardpackColumnarReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]],
-    hadoopConf: Configuration, keyRange: Option[KeyRange] = None)
+    hadoopConf: Configuration, keyRange: Option[KeyRange] = None,
+    recStart: Long = 0L, recEnd: Long = -1L)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -547,11 +578,17 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
     }
   }
 
+  private val endRec: Int =
+    if (recEnd < 0) footer.offsets.length
+    else math.min(recEnd, footer.offsets.length.toLong).toInt
+
   private var streamOpened = false
   private lazy val stream = {
     streamOpened = true
-    new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(new Path(file)), 1 << 20))
+    val raw = fs.open(new Path(file))
+    if (recStart > 0 && recStart < footer.offsets.length)
+      raw.seek(footer.offsets(recStart.toInt))
+    new java.io.DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
   }
 
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
@@ -559,13 +596,13 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
   private val keyPos = required.fieldNames.indexOf("key")
   private val metaPos = required.fieldNames.indexOf("metadata")
 
-  private var idx = 0
+  private var idx = math.min(recStart, Int.MaxValue.toLong).toInt
 
   override def next(): Boolean = {
     if (pruned) return false
     vectors.foreach(_.reset())
     var rows = 0
-    while (rows < BatchRows && idx < footer.offsets.length) {
+    while (rows < BatchRows && idx < endRec) {
       idx += 1
       val recLen = stream.readInt()
       val block = new Array[Byte](recLen)

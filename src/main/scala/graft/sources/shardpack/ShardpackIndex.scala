@@ -35,9 +35,10 @@ import org.apache.spark.sql.SparkSession
 object ShardpackIndex {
 
   val FileName = "_graft_index"
-  private val Magic = 0x47524649 // "GRFI"
+  private val Magic = 0x4752464a // "GRFJ" (v2: + per-shard record count)
 
-  final case class Entry(name: String, len: Long, range: Option[(String, String)])
+  final case class Entry(name: String, len: Long, range: Option[(String, String)],
+      nRecords: Long)
 
   /** Build (or rebuild) the sidecar with distributed footer reads.
     * Returns the number of shards indexed.
@@ -61,7 +62,9 @@ object ShardpackIndex {
               val b = new Array[Byte](n); in.readFully(pos, b); b
             })
             finally in.close()
-          Entry(path.getName, len, ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1)
+          Entry(path.getName, len,
+            ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1,
+            footer.offsets.length.toLong)
         }
         .collect()
     val sorted = entries.sortBy(_.name)
@@ -72,6 +75,7 @@ object ShardpackIndex {
     sorted.foreach { e =>
       out.writeUTF(e.name)
       out.writeLong(e.len)
+      out.writeLong(e.nRecords)
       out.writeBoolean(e.range.isDefined)
       e.range.foreach { case (lo, hi) => out.writeUTF(lo); out.writeUTF(hi) }
     }
@@ -108,8 +112,9 @@ object ShardpackIndex {
           (0 until n).foreach { _ =>
             val name = din.readUTF()
             val len = din.readLong()
+            val nRecords = din.readLong()
             val range = if (din.readBoolean()) Some((din.readUTF(), din.readUTF())) else None
-            b += name -> Entry(name, len, range)
+            b += name -> Entry(name, len, range, nRecords)
           }
           Some(b.result())
         }

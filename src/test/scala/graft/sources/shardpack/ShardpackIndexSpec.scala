@@ -73,6 +73,38 @@ class ShardpackIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(hit.map(_.getString(0)).toSeq == Seq("late"))
   }
 
+  test("oversized shards split into record-range partitions via the indexed count") {
+    import spark.implicits._
+    val dir = tmp() + "/split"
+    // ONE shard of 500 records (coalesce(1)) — without splitting this is a
+    // single task no matter its size
+    (0 until 500).map(i => (f"k$i%05d", s"body-$i")).toDF("key", "body")
+      .coalesce(1)
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("b.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode($"body", "UTF-8").as("data"))).as("entries"))
+      .write.format("shardpack").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    assert(ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir)).size == 1)
+    assert(spark.read.format("shardpack").load(dir)
+      .select("key").rdd.getNumPartitions == 1)
+    ShardpackIndex.build(spark, dir)
+    // force a tiny per-partition byte budget so the one shard fans out
+    val split = spark.read.format("shardpack")
+      .option("maxBytesPerPartition", 4096).load(dir)
+    assert(split.select("key").rdd.getNumPartitions > 1)
+    // complete and exact under splitting
+    assert(split.count() == 500)
+    val keys = split.select("key").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == (0 until 500).map(i => f"k$i%05d"))
+    val payload = split.filter(col("key") === "k00123")
+      .select(col("entries").getItem(0).getField("data").cast("string"))
+      .collect().map(_.getString(0))
+    assert(payload.toSeq == Seq("body-123"))
+    // range pushdown composes with splitting
+    assert(split.filter(col("key") >= "k00490").count() == 10)
+  }
+
   test("mutating ops drop the sidecar; envelopes() falls back to footer probes") {
     val dir = tmp() + "/inval"
     writeDocs(dir, ("a1", "one"), ("a2", "two"))
