@@ -171,13 +171,35 @@ final case class KeyRange(lo: Option[String], loInc: Boolean,
 
 final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     bucketN: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import ShardpackDataSource._
 
   private var required: StructType = Schema
   private var pushed: Array[Filter] = Array.empty
   private var keyFilter: Option[Set[String]] = None // None = all keys
   private var keyRange: Option[KeyRange] = None // None = unbounded
+  private var countPushed = false
+
+  /** COUNT(*) with no filters is answered from the FOOTERS alone: each
+    * task emits its shard's record count (≈16 bytes read per shard, zero
+    * record bytes) and Spark sums the partials — the O(shards) count the
+    * reference's EOF index was built to make possible
+    * (`docs/draft.md:100-127`). Filtered or grouped aggregates decline the
+    * pushdown and scan as usual.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = keyFilter.isEmpty && keyRange.isEmpty && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countPushed = true
+      required = StructType(Seq(StructField("count", LongType, nullable = false)))
+    }
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
@@ -214,7 +236,8 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
     required = requiredSchema
 
   override def build(): Scan =
-    new ShardpackScan(paths, required, keyFilter,
+    if (countPushed) new ShardpackCountScan(paths, required)
+    else new ShardpackScan(paths, required, keyFilter,
       options.getBoolean("verifyChecksums", true),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN,
       // partial read (docs/draft.md:126): only named entries are decoded
@@ -400,6 +423,63 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
 
 final case class ShardInputPartition(file: String, length: Long,
     recStart: Long = 0L, recEnd: Long = -1L) extends InputPartition
+
+/** Footer-only COUNT(*) scan ([[ShardpackScanBuilder.pushAggregation]]):
+  * one partition per shard, each emitting a single partial-count row read
+  * from ~16 footer bytes. Spark's final aggregate sums the partials.
+  */
+final class ShardpackCountScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  import ShardpackDataSource._
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = paths.flatMap { p =>
+      val dir = new Path(p)
+      listShards(dir.getFileSystem(HadoopConfs.session()), dir)
+        .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
+    }
+    // empty bucket: one synthetic zero-count partition so the final SUM
+    // still sees a row (count of nothing is 0, not NULL)
+    if (parts.isEmpty) Array(ShardInputPartition("", 0L)) else parts.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardpackCountReaderFactory(HadoopConfs.serializable())
+  override def description(): String = s"shardpack footer-count ${paths.mkString(",")}"
+}
+
+final case class ShardpackCountReaderFactory(hconf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (file, len) = p match { case ShardInputPartition(f, l, _, _) => (f, l) }
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (done) false
+        else {
+          val n =
+            if (file.isEmpty) 0L
+            else {
+              val path = new Path(file)
+              val fs = path.getFileSystem(hconf.value)
+              val in = fs.open(path)
+              val footer =
+                try ShardpackFormat.readFooter(len, (pos, k) => {
+                  val b = new Array[Byte](k); in.readFully(pos, b); b
+                })
+                finally in.close()
+              footer.offsets.length.toLong
+            }
+          row = new GenericInternalRow(Array[Any](n))
+          done = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** A shard known to hold exactly one key bucket (sorted-by-bucket writer);
   * the partition key feeds Spark's KeyGroupedPartitioning grouping.

@@ -270,6 +270,23 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(dir).count() == 0)
   }
 
+  test("count(*) pushes down to footers: no record bytes read") {
+    val dir = tmpDir()
+    sampleDf(7).write.format("shardpack").mode("append").save(dir)
+    sampleDf(5).write.format("shardpack").mode("append").save(dir)
+    val df = spark.read.format("shardpack").load(dir)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("footer-count"),
+      s"expected the footer-count scan in:\n${plan.take(600)}")
+    assert(df.count() == 12)
+    // filtered counts decline the pushdown and stay exact
+    assert(df.filter(col("key") === "key00003").count() == 2)
+    // empty bucket counts 0, not NULL
+    val empty = tmpDir()
+    sampleDf(0).write.format("shardpack").mode("append").save(empty)
+    assert(spark.read.format("shardpack").load(empty).count() == 0)
+  }
+
   test("key-range and prefix pushdown: records filter exactly, sorted shards prune at planning") {
     val dir = tmpDir()
     sampleDf(200).orderBy(expr("reverse(key)"))
