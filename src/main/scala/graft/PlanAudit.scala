@@ -25,8 +25,8 @@ object PlanAudit {
     * the audit line is annotated rather than silently misleading.
     */
   private val iterative =
-    Set("dedup_cluster", "dedup_cluster_dist", "join_bloom", "shardpack_spj",
-      "graph_pagerank")
+    Set("dedup_cluster", "dedup_cluster_dist", "dedup_minhash_cluster",
+      "join_bloom", "shardpack_spj", "graph_pagerank")
 
   private val allowed: Map[String, Set[String]] = Map(
     "join_cross" -> Set("CARTESIAN", "NESTED_LOOP"), // explicit 25×5 dim product

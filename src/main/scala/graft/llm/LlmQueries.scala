@@ -185,6 +185,89 @@ object LlmQueries {
        |SELECT u AS doc_id, min(label) AS cluster FROM reach
        |GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** MinHash candidate pairs (est_jac ≥ 0.5), memoized per (session, dir)
+    * — the SAME shared-intermediate contract as [[goodPairs]]: the band
+    * join runs once, dedup_minhash and dedup_minhash_cluster both read the
+    * cached (tiny) pair graph.
+    */
+  private val minhashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashMemo.computeIfAbsent((s, d), _ => {
+      val numHashes = 32
+      val bands = 8
+      val rows = numHashes / bands
+      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
+      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
+      val sig = tok.groupBy($"doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        // referenced three times below (banding + both sides of the pair
+        // rejoin); persisted so the shingle explode + 32-way min-agg — the
+        // expensive stage — runs once (ReuseExchange does NOT unify the
+        // three consumers' exchanges once AQE broadcasts two of them).
+        // Lazy: nothing runs at plan time; ~8 B + 256 B per doc cached.
+        .persist()
+      // NARROW band join: the bucket shuffle carries only (doc_id, band,
+      // bh) — 24 bytes/row — not the 32-long signature array (which
+      // posexplode would duplicate ×8 bands). Candidates dedupe on the
+      // narrow (a_id, b_id) pair, THEN the signatures rejoin by doc_id:
+      // shuffle volume per candidate is 16 bytes instead of ~520, the
+      // shape that holds when the corpus is 10^9 docs.
+      val banded = sig.select($"doc_id",
+          posexplode(array((0 until bands).map(b =>
+            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sig.select($"doc_id".as("a_id"), $"sig".as("sa")), Seq("a_id"))
+        .join(sig.select($"doc_id".as("b_id"), $"sig".as("sb")), Seq("b_id"))
+        .withColumn("est_jac",
+          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+        .filter($"est_jac" >= 0.5)
+        .select($"a_id", $"b_id", $"est_jac")
+        .persist()
+    })
+
+  /** Recursive-CTE oracle for clusters over the MINHASH candidate graph —
+    * the signature/banding SQL of dedup_minhash feeding the same closure
+    * as [[ClusterOracleSql]].
+    */
+  private[llm] lazy val MinhashClusterOracleSql: String = {
+    val sigColsSql = (0 until 32)
+      .map(i => s"min(${H.sqlAffine(i, "x")}) AS h$i").mkString(", ")
+    val bandSql = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, " +
+        s"${H.sqlFoldHash((0 until 4).map(r => s"h${b * 4 + r}"))} AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    val agreeSql = (0 until 32)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE tok AS (
+       |  ${sqlShingleTok("documents")}),
+       |x AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x FROM tok),
+       |sig AS (SELECT doc_id, $sigColsSql FROM x GROUP BY doc_id),
+       |band AS ($bandSql),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM band a JOIN band b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |good AS (SELECT a_id, b_id
+       |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+       |  WHERE CAST(($agreeSql) AS DOUBLE) / 32 >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM good
+       |          UNION ALL SELECT b_id, a_id FROM good),
+       |reach(u, label) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, min(label) AS cluster FROM reach
+       |GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────── deduplication ─────────────────────
@@ -299,44 +382,20 @@ object LlmQueries {
          |WHERE CAST(($agreeSql) AS DOUBLE) / 32 >= 0.5
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      val numHashes = 32
-      val bands = 8
-      val rows = numHashes / bands
-      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
-      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-      val sig = tok.groupBy($"doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        // referenced three times below (banding + both sides of the pair
-        // rejoin); persisted so the shingle explode + 32-way min-agg — the
-        // expensive stage — runs once (ReuseExchange does NOT unify the
-        // three consumers' exchanges once AQE broadcasts two of them).
-        // Lazy: nothing runs at plan time; ~8 B + 256 B per doc cached.
-        .persist()
-      // NARROW band join: the bucket shuffle carries only (doc_id, band,
-      // bh) — 24 bytes/row — not the 32-long signature array (which
-      // posexplode would duplicate ×8 bands). Candidates dedupe on the
-      // narrow (a_id, b_id) pair, THEN the signatures rejoin by doc_id:
-      // shuffle volume per candidate is 16 bytes instead of ~520, the
-      // shape that holds when the corpus is 10^9 docs.
-      val banded = sig.select($"doc_id",
-          posexplode(array((0 until bands).map(b =>
-            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(sig.select($"doc_id".as("a_id"), $"sig".as("sa")), Seq("a_id"))
-        .join(sig.select($"doc_id".as("b_id"), $"sig".as("sb")), Seq("b_id"))
-        .withColumn("est_jac",
-          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
-        .filter($"est_jac" >= 0.5)
-        .select($"a_id", $"b_id", $"est_jac")
-        .orderBy($"a_id", $"b_id")
+      // pair computation lives in [[minhashPairs]] (memo-shared with
+      // dedup_minhash_cluster); this query just orders the pair set
+      minhashPairs(s, d).orderBy($"a_id", $"b_id")
+    },
+
+    // Clusters over the MINHASH candidate graph — the LSH-scale
+    // counterpart of dedup_cluster (whose edges are exact Jaccard):
+    // candidates come only from shared band buckets (never all-pairs) and
+    // components from the distributed star contraction, so BOTH stages
+    // hold at 10^9 docs. Shares the cached pair graph with dedup_minhash.
+    Q("dedup_minhash_cluster", MinhashClusterOracleSql) { (s, d) =>
+      ScaleDedup.connectedComponents(minhashPairs(s, d).select($"a_id", $"b_id"))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
     },
 
     // 62-bit SimHash over tokens (31 bits from each of two independent
