@@ -66,7 +66,7 @@ object BucketBound extends ScalarFunction[Integer] {
   * storage-partitioned joins (no shuffle on either side) between tables
   * bucketed the same way, with `spark.sql.sources.v2.bucketing.enabled`.
   */
-class ShardpackCatalog extends TableCatalog with FunctionCatalog {
+class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -83,6 +83,81 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog {
 
   private def dirFor(ident: Identifier): Path =
     (ident.namespace() :+ ident.name()).foldLeft(root)(new Path(_, _))
+
+  // ── stored procedures: SQL-first maintenance (Iceberg-style CALL) ──
+  //   CALL <cat>.system.build_index('ns.tbl')   → shards_indexed
+  //   CALL <cat>.system.compact('ns.tbl', 0.5)  → shards_compacted
+  //   CALL <cat>.system.expire_range('ns.tbl', lo, hi)
+  // The ops themselves are ShardpackIndex/ShardpackOps; the procedure layer
+  // just resolves the table ident to its directory, so every maintenance
+  // op is reachable from pure SQL with no Scala in sight.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  private def tableDir(spec: String): String = {
+    val parts = spec.split("\\.").toSeq
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = dirFor(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
+  private def oneRowScan(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(values))
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class Proc(procName: String,
+      params: Seq[(String, DataType)]) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+    override def isDeterministic: Boolean = false // mutates storage
+  }
+
+  private lazy val procedures: Map[String, Proc] = Map(
+    "build_index" -> new Proc("build_index", Seq("table" -> StringType)) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val n = ShardpackIndex.build(
+          org.apache.spark.sql.SparkSession.active, tableDir(input.getUTF8String(0).toString))
+        oneRowScan(StructType(Seq(StructField("shards_indexed", IntegerType))), Array(n))
+      }
+    },
+    "compact" -> new Proc("compact",
+        Seq("table" -> StringType, "min_fill" -> DoubleType)) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val n = ShardpackOps.compact(
+          org.apache.spark.sql.SparkSession.active,
+          tableDir(input.getUTF8String(0).toString), minFill = input.getDouble(1))
+        oneRowScan(StructType(Seq(StructField("shards_compacted", IntegerType))), Array(n))
+      }
+    },
+    "expire_range" -> new Proc("expire_range",
+        Seq("table" -> StringType, "lo" -> StringType, "hi" -> StringType)) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        ShardpackOps.deleteRange(
+          org.apache.spark.sql.SparkSession.active,
+          tableDir(input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        oneRowScan(StructType(Seq(StructField("done", BooleanType))), Array(true))
+      }
+    })
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().toSeq == Seq("system")
+    procedures.get(ident.name()).filter(_ => ok).getOrElse(
+      throw new RuntimeException(s"no such procedure: $ident"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      procedures.keys.toArray.sorted.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 
   private def metaFile(dir: Path): Path = new Path(dir, "_table.json")
 

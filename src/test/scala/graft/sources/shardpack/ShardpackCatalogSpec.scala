@@ -97,6 +97,36 @@ class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stored procedures: CALL system.build_index / compact / expire_range") {
+    root
+    spark.sql(
+      """CREATE TABLE spk.proc1 (
+        |  key STRING NOT NULL, metadata BINARY,
+        |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+        |                       encoding: STRING, data: BINARY>> NOT NULL)
+        |USING shardpack""".stripMargin)
+    try {
+      // several appends → several small shards
+      (0 until 3).foreach(_ => sampleDf(5).writeTo("spk.proc1").append())
+      val idx = spark.sql("CALL spk.system.build_index('proc1')").collect()
+      assert(idx.length == 1 && idx.head.getInt(0) >= 3)
+      val compacted = spark.sql("CALL spk.system.compact('proc1', 0.5)").collect()
+      assert(compacted.head.getInt(0) >= 3)
+      assert(spark.table("spk.proc1").count() == 15)
+      val done = spark.sql(
+        "CALL spk.system.expire_range('proc1', 'key00002', 'key00004')").collect()
+      assert(done.head.getBoolean(0))
+      // keys 2,3 expired (3 copies each)
+      assert(spark.table("spk.proc1").count() == 9)
+      assert(spark.table("spk.proc1")
+        .filter(col("key") === "key00002").count() == 0)
+      // procedures are discoverable
+      val listed = spark.sql("SHOW PROCEDURES IN spk.system").collect()
+        .map(_.mkString).mkString(",")
+      assert(listed.contains("build_index") && listed.contains("compact"))
+    } finally spark.sql("DROP TABLE IF EXISTS spk.proc1")
+  }
+
   test("catalog lifecycle: list, rename, drop") {
     root
     createBucketed("life1", 2)
