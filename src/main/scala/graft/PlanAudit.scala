@@ -33,7 +33,9 @@ object PlanAudit {
     "sim_topk" -> Set("NESTED_LOOP"), // build side = 1-row query vector: optimal
     "sim_knn_join" -> Set("NESTED_LOOP"), // build side = bounded query set (20 rows)
     "dedup_simhash" -> Set("NESTED_LOOP"), // bounded SampleDocs; scale path = minhash
-    "dedup_embedding_cosine" -> Set("NESTED_LOOP")) // bounded SampleVecs; scale path = ann
+    "dedup_embedding_cosine" -> Set("NESTED_LOOP"), // bounded SampleVecs; scale path = ann
+    "tfidf_topterms" -> Set("NESTED_LOOP"), // build side = 1-row corpus-count frame
+    "bm25_search" -> Set("NESTED_LOOP")) // build sides = 1-row stats frames (N, avgdl, df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

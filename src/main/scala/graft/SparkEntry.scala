@@ -21,7 +21,8 @@ object SparkEntry {
       sources.ShardpackQueries.queries ++
       llm.LlmQueries.queries ++
       llm.ScaleDedup.queries ++
-      llm.CompositeQueries.queries
+      llm.CompositeQueries.queries ++
+      llm.TextRankQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -69,7 +69,7 @@ object LlmQueries {
   /** DuckDB mirror of [[shingleTok]] (docs with <3 words yield no rows in
     * both engines).
     */
-  private def sqlShingleTok(from: String): String =
+  private[llm] def sqlShingleTok(from: String): String =
     s"""SELECT doc_id, unnest(list_distinct(
        |  [ws[i]||' '||ws[i+1]||' '||ws[i+2] FOR i IN range(1, len(ws)-1)])) AS w
        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $from)""".stripMargin

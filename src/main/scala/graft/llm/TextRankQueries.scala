@@ -1,0 +1,211 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text relevance + record-linkage extensions over the LLM-pipeline corpus:
+  * TF-IDF term extraction, BM25 ranked retrieval, blocked edit-distance
+  * fuzzy dedup, and triangle enumeration on the near-dup graph.
+  *
+  * The reference stores documents but cannot rank or link them
+  * (`/root/reference/src/lib.rs:1-7`); these are the retrieval/linkage
+  * shapes a training-data curation pipeline runs on top of the store.
+  *
+  * Determinism note on ln(): Spark's Math.log and DuckDB's libm log differ
+  * in the last ulp on some inputs (measured ~1e-16 relative), so every
+  * ln-derived score is rounded to 6 decimals IN BOTH ENGINES before it is
+  * compared, ordered on, or emitted — a 1-ulp input wobble cannot flip a
+  * 1e-6-grid rounding except on a measure-zero boundary, and the verify
+  * gate would catch that corpus-specifically.
+  */
+object TextRankQueries {
+  import Tables._
+
+  /** Unigram word tokens (lowercased, a–z runs, length ≥ 3) — the TF-IDF /
+    * BM25 tokenization unit. 3-gram shingles (LlmQueries) stay the DEDUP
+    * unit; relevance scoring wants unigram term statistics.
+    */
+  private def wordTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) >= 3)).as("w"))
+
+  private val SqlWordTok =
+    """SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) >= 3""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // TF-IDF top terms per document: tf from one grouped count, df from a
+    // second (both map-side combinable), N broadcast as a 1-row frame.
+    // Ranking uses the ROUNDED score (see ln() note above) with a term
+    // tiebreak, so the top-3 cut is engine-independent. At 100 TB the df
+    // table is vocabulary-sized (≪ corpus) and broadcasts; the only big
+    // shuffle is the (doc, term) count.
+    Q("tfidf_topterms",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+         |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val tf = wordTok(documents(s, d))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val sc = tf.join(df, "w").crossJoin(n)
+        .select($"doc_id", $"w".as("term"), $"tf", $"df",
+          round($"tf" * log($"n".cast(DoubleType) / $"df"), 6).as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      sc.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"term")
+    },
+
+    // BM25 (Okapi, k1=1.2 b=0.75) ranked retrieval for the fixed query
+    // {data, table, spark}. Per-term components are pivoted into fixed
+    // columns and summed in one syntactic order so float addition
+    // associates identically in both engines; corpus stats (N, avgdl, df)
+    // are scalar frames that broadcast. Plan shape at scale: one grouped
+    // count over matching postings (the WHERE w IN (...) prunes the
+    // explode output before the shuffle), everything else is
+    // broadcast-joined — the classic "score a query against an inverted
+    // index" distribution.
+    Q("bm25_search",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |  WHERE w IN ('data','table','spark') GROUP BY doc_id, w),
+         |tfp AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN w = 'data' THEN tf ELSE 0 END) AS DOUBLE) AS tf1,
+         |    CAST(sum(CASE WHEN w = 'table' THEN tf ELSE 0 END) AS DOUBLE) AS tf2,
+         |    CAST(sum(CASE WHEN w = 'spark' THEN tf ELSE 0 END) AS DOUBLE) AS tf3
+         |  FROM tf GROUP BY doc_id),
+         |dfp AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN w = 'data' THEN df END), 0) AS DOUBLE) AS df1,
+         |    CAST(coalesce(sum(CASE WHEN w = 'table' THEN df END), 0) AS DOUBLE) AS df2,
+         |    CAST(coalesce(sum(CASE WHEN w = 'spark' THEN df END), 0) AS DOUBLE) AS df3
+         |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w)),
+         |scored AS (SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl, round(
+         |    ln(1 + (st.n - dfp.df1 + 0.5) / (dfp.df1 + 0.5)) *
+         |      (t.tf1 * 2.2) / (t.tf1 + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) +
+         |    ln(1 + (st.n - dfp.df2 + 0.5) / (dfp.df2 + 0.5)) *
+         |      (t.tf2 * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) +
+         |    ln(1 + (st.n - dfp.df3 + 0.5) / (dfp.df3 + 0.5)) *
+         |      (t.tf3 * 2.2) / (t.tf3 + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)), 6) AS score
+         |  FROM tfp t JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st CROSS JOIN dfp)
+         |SELECT doc_id, dl, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val tok = wordTok(documents(s, d))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = tok.filter($"w".isin("data", "table", "spark"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      def pick(term: String) =
+        sum(when($"w" === term, $"tf").otherwise(0L)).cast(DoubleType)
+      val tfp = tf.groupBy($"doc_id")
+        .agg(pick("data").as("tf1"), pick("table").as("tf2"), pick("spark").as("tf3"))
+      def pickDf(term: String) =
+        coalesce(sum(when($"w" === term, $"df")), lit(0L)).cast(DoubleType)
+      val dfp = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        .agg(pickDf("data").as("df1"), pickDf("table").as("df2"), pickDf("spark").as("df3"))
+      def comp(tfc: Column, dfc: Column, dlc: Column) =
+        log(lit(1) + ($"n" - dfc + 0.5) / (dfc + 0.5)) *
+          (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * dlc / $"avgdl"))
+      tfp.join(dl, "doc_id").crossJoin(st).crossJoin(dfp)
+        .select($"doc_id", $"dl".cast(LongType).as("dl"),
+          round(comp($"tf1", $"df1", $"dl") + comp($"tf2", $"df2", $"dl") +
+            comp($"tf3", $"df3", $"dl"), 6).as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+
+    // Blocked fuzzy dedup (record-linkage shape): normalize to the a–z
+    // skeleton, block on the 16-char normalized prefix, verify candidates
+    // with edit distance on the 200-char prefix. Blocking bounds the
+    // quadratic stage to within-block pairs (measured 357 candidates for
+    // 5000 docs at sf0.1) — the deliberate recall tradeoff is that a pair
+    // mutated inside its first 16 normalized chars is missed; multi-pass
+    // blocking (adding a suffix or length-bucket key) is the standard
+    // recall extension and changes nothing structural. Levenshtein is the
+    // verification step MinHash can't do: it certifies an exact edit
+    // bound, not an estimated set overlap.
+    Q("dedup_fuzzy",
+      """WITH nm AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z]', '', 'g') AS nrm FROM documents),
+        |b AS (SELECT doc_id, nrm, substr(nrm, 1, 16) AS p FROM nm
+        |  WHERE length(nrm) >= 16)
+        |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |  CAST(levenshtein(substr(a.nrm, 1, 200), substr(b2.nrm, 1, 200)) AS INT) AS dist
+        |FROM b a JOIN b b2 ON a.p = b2.p AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(substr(a.nrm, 1, 200), substr(b2.nrm, 1, 200)) <= 20
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val b = documents(s, d)
+        .select($"doc_id",
+          regexp_replace(lower($"text"), "[^a-z]", "").as("nrm"))
+        .filter(length($"nrm") >= 16)
+        .withColumn("p", substring($"nrm", 1, 16))
+      b.as("a").join(b.as("b2"),
+          col("a.p") === col("b2.p") && col("a.doc_id") < col("b2.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
+          levenshtein(substring(col("a.nrm"), 1, 200),
+            substring(col("b2.nrm"), 1, 200)).as("dist"))
+        .filter($"dist" <= 20)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // Triangle enumeration on the exact-Jaccard ≥ 0.5 near-dup graph —
+    // the density probe run before clustering (triangle-rich components
+    // are true dup families; triangle-free chains are often transitive
+    // false positives). Reads the SAME session-cached pair graph as the
+    // other dedup queries, so the marginal cost is two joins over a
+    // pair-graph-sized (tiny) input. The a<b<c orientation of stored
+    // edges means each triangle is emitted exactly once — no /6 dedup
+    // pass, and the joins stay equi-keyed (hash-joinable at any scale).
+    Q("graph_triangles",
+      s"""WITH tok AS (
+         |  ${LlmQueries.sqlShingleTok("documents")}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |good AS (
+         |  SELECT a_id, b_id FROM pair
+         |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5)
+         |SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |FROM good e1 JOIN good e2 ON e2.a_id = e1.b_id
+         |JOIN good e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+         |ORDER BY a, b, c""".stripMargin) { (s, d) =>
+      val e = LlmQueries.goodPairs(s, d, 0.5).select($"a_id", $"b_id")
+      e.as("e1")
+        .join(e.as("e2"), col("e2.a_id") === col("e1.b_id"))
+        .join(e.as("e3"),
+          col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
+        .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
+          col("e2.b_id").as("c"))
+        .orderBy($"a", $"b", $"c")
+    }
+  )
+
+  // $"…" sugar without a SparkSession-bound `implicits` import.
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

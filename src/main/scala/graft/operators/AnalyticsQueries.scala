@@ -318,8 +318,100 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_views"),
           sum(coalesce($"c", lit(0))).cast(LongType).as("n_conv"))
         .orderBy($"day")
+    },
+
+    // Ordinal distribution family: quartile assignment (ntile) + relative
+    // position (percent_rank, cume_dist) per market segment. ntile numbers
+    // ROW POSITIONS, not ranks, so the window ORDER BY must be total
+    // (acctbal, custkey) or tied rows land in engine-dependent buckets.
+    // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single IEEE
+    // divisions of exact integers — bit-identical across engines. One
+    // window shuffle on the segment key; at 100 TB each segment's rows
+    // sort within their partition, no global sort.
+    Q("win_ntile",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      customer(s, d).select($"c_custkey", $"c_mktsegment",
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"c_custkey")
+    },
+
+    // Deterministic MODE: built-in mode() breaks ties arbitrarily in both
+    // engines, so the modal value is computed as count-then-argmax with an
+    // explicit (cnt DESC, value ASC) tiebreak — reproducible everywhere.
+    // Two map-side-combinable aggregations; the window runs over the tiny
+    // grouped frame (|statuses|×|priorities| rows), not the fact table.
+    Q("agg_mode",
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val c = orders(s, d)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"cnt".desc, $"o_orderpriority")
+      c.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"cnt")
+        .orderBy($"o_orderstatus")
+    },
+
+    // Bitwise aggregates (bit_and / bit_or / bit_xor): order-independent
+    // by algebra, so partial aggregation composes freely — the cheapest
+    // possible distributed aggregate (fixed 8-byte state per partition),
+    // used in practice for flag-mask rollups and XOR-based set
+    // reconciliation (a missing/duplicated row flips the xor).
+    Q("agg_bitops",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_suppkey) AS BIGINT) AS b_and,
+        |  CAST(bit_or(l_partkey) AS BIGINT) AS b_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS b_xor,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(expr("bit_and(l_suppkey)").cast(LongType).as("b_and"),
+          expr("bit_or(l_partkey)").cast(LongType).as("b_or"),
+          expr("bit_xor(l_orderkey)").cast(LongType).as("b_xor"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE, planned as UnionLoop):
+    // level-order walk of the implicit binary tree parent(k)=⌊k/2⌋ over
+    // part keys. ONE shared SQL text is both the Spark query and the
+    // oracle — the recursive join keys on floor(p_partkey/2), an EQUI key
+    // both engines hash-join (an OR-of-equalities child condition would
+    // force a nested loop). Iterations = tree depth = ⌈log₂ maxkey⌉ (~15
+    // at sf0.1, 21 at sf10) — each a hash join of the frontier against
+    // part, so the total work is one scan of part per LEVEL, not per row.
+    Q("sql_recursive", RecursiveTreeSql) { (s, d) =>
+      part(s, d).createOrReplaceTempView("part")
+      s.sql(RecursiveTreeSql)
     }
   )
+
+  private lazy val RecursiveTreeSql: String =
+    """WITH RECURSIVE tree(k, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+      |  UNION ALL
+      |  SELECT p.p_partkey, t.depth + 1
+      |  FROM tree t JOIN part p
+      |  ON CAST(floor(p.p_partkey / 2) AS BIGINT) = t.k
+      |)
+      |SELECT depth, count(*) AS n, min(k) AS lo, max(k) AS hi
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
   // $"…" sugar without a SparkSession-bound `implicits` import.
   private implicit class Interp(val sc: StringContext) {
