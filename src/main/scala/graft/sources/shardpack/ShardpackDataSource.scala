@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -93,10 +93,68 @@ object ShardpackDataSource {
 }
 
 final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import ShardpackDataSource._
 
   def this(path: String, bucketN: Option[Int] = None) = this(Seq(path), bucketN)
+
+  /** SQL `DELETE FROM cat.t WHERE …` without a rewrite plan: conditions
+    * that resolve to key sets, a half-open key range, or the whole table
+    * route to the envelope-pruned generation-swap rewrites in
+    * [[ShardpackOps]] (the reference's `Bucket::delete`,
+    * `/root/reference/src/bucket.rs:171-183`, as an immutable-storage
+    * operation). Anything else — predicates on payload columns, exclusive
+    * bounds — is declined here so Spark raises a clear unsupported error
+    * instead of this table guessing.
+    */
+  private sealed trait DeleteShape
+  private case object Truncate extends DeleteShape
+  private final case class Keys(ks: Set[String]) extends DeleteShape
+  private final case class Range(lo: String, hi: String) extends DeleteShape
+
+  private def classify(filters: Array[Filter]): Option[DeleteShape] = {
+    val meaningful = filters.filterNot {
+      case IsNotNull("key") => true
+      case AlwaysTrue() => true
+      case _ => false
+    }
+    val keySets = meaningful.collect {
+      case EqualTo("key", v: String) => Set(v)
+      case In("key", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    val los = meaningful.collect { case GreaterThanOrEqual("key", v: String) => v }
+    val his = meaningful.collect { case LessThan("key", v: String) => v }
+    if (meaningful.isEmpty) Some(Truncate)
+    else if (keySets.length == meaningful.length)
+      Some(Keys(keySets.reduce(_ intersect _)))
+    else if (los.length == 1 && his.length == 1 &&
+        los.length + his.length == meaningful.length && los.head < his.head)
+      Some(Range(los.head, his.head))
+    else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    paths.size == 1 && classify(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(paths.size == 1, "shardpack delete requires exactly one path")
+    val spark = org.apache.spark.sql.SparkSession.active
+    classify(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported delete condition: ${filters.mkString(" AND ")}")) match {
+      case Truncate =>
+        val dir = new Path(paths.head)
+        val fs = dir.getFileSystem(HadoopConfs.session())
+        listShards(fs, dir).foreach(st => fs.delete(st.getPath, false))
+        ShardpackIndex.invalidate(fs, dir)
+      case Keys(ks) =>
+        if (ks.nonEmpty) ShardpackOps.deleteKeys(spark, paths.head, ks.toSeq.sorted)
+      case Range(lo, hi) =>
+        ShardpackOps.deleteRange(spark, paths.head, lo, hi)
+    }
+  }
 
   override def name(): String = s"shardpack:${paths.mkString(",")}"
   override def schema(): StructType = Schema
@@ -172,7 +230,8 @@ final case class KeyRange(lo: Option[String], loInc: Boolean,
 final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     bucketN: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import ShardpackDataSource._
 
   private var required: StructType = Schema
@@ -180,6 +239,16 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
   private var keyFilter: Option[Set[String]] = None // None = all keys
   private var keyRange: Option[KeyRange] = None // None = unbounded
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT n reaches planning: with a built sidecar index, only the prefix
+    * of shards whose cumulative record count covers n is SCHEDULED — `LIMIT
+    * 10` against a 400k-shard bucket plans one task, not 400k. Partial push
+    * (`isPartiallyPushed` stays true): Spark keeps its own global limit, so
+    * correctness never depends on the cap — unindexed shards just disable
+    * the early stop.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** COUNT(*) with no filters is answered from the FOOTERS alone: each
     * task emits its shard's record count (≈16 bytes read per shard, zero
@@ -245,7 +314,8 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
       keyRange,
       Option(options.get("maxBytesPerPartition")).map(_.toLong)
-        .getOrElse(ShardpackFormat.DefaultShardCap))
+        .getOrElse(ShardpackFormat.DefaultShardCap),
+      limit)
 }
 
 final class ShardpackScan(paths: Seq[String], required: StructType,
@@ -253,7 +323,8 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     maxFilesPerTrigger: Option[Int] = None, bucketN: Option[Int] = None,
     entryNames: Option[Set[String]] = None,
     keyRange: Option[KeyRange] = None,
-    splitBytes: Long = ShardpackFormat.DefaultShardCap)
+    splitBytes: Long = ShardpackFormat.DefaultShardCap,
+    limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -318,7 +389,8 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
         maxFilesPerTrigger, entryNames, keyRange)
     }
   override def description(): String =
-    s"shardpack ${paths.mkString(",")} keys=${effectiveKeys.fold("*")(_.mkString(","))} cols=${required.fieldNames.mkString(",")}"
+    s"shardpack ${paths.mkString(",")} keys=${effectiveKeys.fold("*")(_.mkString(","))} " +
+      s"cols=${required.fieldNames.mkString(",")}${limit.fold("")(l => s" limit=$l")}"
 
   // one listing (across all paths) shared by planInputPartitions +
   // outputPartitioning
@@ -379,13 +451,28 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
             case None => true
           }
         }
+      // Pushed LIMIT with no key predicates: schedule only the prefix of
+      // shards whose cumulative INDEXED record count reaches the limit.
+      // Shards without a sidecar entry contribute an unknown (treated-as-0)
+      // count, so the prefix only ever stops early on certainty — Spark's
+      // retained global limit does the final trim either way.
+      val capped = limit match {
+        case Some(lim) if effectiveKeys.isEmpty && keyRange.isEmpty =>
+          var acc = 0L
+          planned.takeWhile { st =>
+            val take = acc < lim
+            acc += entryOf(st).map(_.nRecords).getOrElse(0L)
+            take
+          }
+        case _ => planned
+      }
       // Record-range SPLITTING: a shard far above maxBytesPerPartition (a
       // foreign/compacted giant) fans out into record ranges — each task
       // seeks straight to its first record via the footer offset index (the
       // spec's O(1) random access, docs/draft.md:124-127), so scan
       // parallelism is independent of the shard layout. Needs the sidecar's
       // record count; unindexed shards stay one-task (status quo).
-      planned.flatMap { st =>
+      capped.flatMap { st =>
         val splits = entryOf(st) match {
           case Some(e) if st.getLen > splitBytes && e.nRecords > 1 =>
             val k = math.min(((st.getLen + splitBytes - 1) / splitBytes), e.nRecords).toInt

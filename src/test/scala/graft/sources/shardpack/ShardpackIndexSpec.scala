@@ -105,6 +105,37 @@ class ShardpackIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(split.filter(col("key") >= "k00490").count() == 10)
   }
 
+  test("pushed LIMIT plans only the shard prefix covering the limit") {
+    import spark.implicits._
+    val dir = tmp() + "/limit"
+    // three shards of 2 records each, written in three separate appends
+    writeDocs(dir, ("a1", "one"), ("a2", "two"))
+    writeDocs(dir, ("m1", "three"), ("m2", "four"))
+    writeDocs(dir, ("z1", "five"), ("z2", "six"))
+    ShardpackIndex.build(spark, dir)
+    // direct planning contract: limit 2 is covered by the first shard alone
+    def scanWithLimit(l: Int) = new ShardpackScan(Seq(dir),
+      ShardpackDataSource.Schema, None, true, limit = Some(l))
+    assert(scanWithLimit(2).planInputPartitions().length == 1)
+    assert(scanWithLimit(3).planInputPartitions().length == 2)
+    assert(scanWithLimit(100).planInputPartitions().length == 3)
+    // no limit → all shards
+    assert(new ShardpackScan(Seq(dir), ShardpackDataSource.Schema, None, true)
+      .planInputPartitions().length == 3)
+    // end-to-end: Spark's retained global limit trims exactly, and the
+    // pushdown reaches the scan (visible in the scan description)
+    val df = spark.read.format("shardpack").load(dir).limit(2)
+    assert(df.count() == 2)
+    assert(spark.read.format("shardpack").load(dir).limit(5)
+      .select("key").collect().length == 5)
+    // without a sidecar the cap is a no-op (unknown counts never stop early)
+    val dir2 = tmp() + "/limitnoidx"
+    writeDocs(dir2, ("a1", "one"))
+    writeDocs(dir2, ("b1", "two"))
+    assert(new ShardpackScan(Seq(dir2), ShardpackDataSource.Schema, None, true,
+      limit = Some(1)).planInputPartitions().length == 2)
+  }
+
   test("mutating ops drop the sidecar; envelopes() falls back to footer probes") {
     val dir = tmp() + "/inval"
     writeDocs(dir, ("a1", "one"), ("a2", "two"))
