@@ -127,6 +127,38 @@ class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS spk.proc1")
   }
 
+  test("SQL DELETE FROM: key set, key range, and full truncate") {
+    root
+    spark.sql(
+      """CREATE TABLE spk.del1 (
+        |  key STRING NOT NULL, metadata BINARY,
+        |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+        |                       encoding: STRING, data: BINARY>> NOT NULL)
+        |USING shardpack""".stripMargin)
+    try {
+      sampleDf(20).writeTo("spk.del1").append()
+      // equality / IN → deleteKeys generation swap
+      spark.sql("DELETE FROM spk.del1 WHERE key = 'key00003'")
+      assert(spark.table("spk.del1").count() == 19)
+      spark.sql("DELETE FROM spk.del1 WHERE key IN ('key00004', 'key00005')")
+      assert(spark.table("spk.del1").count() == 17)
+      assert(spark.table("spk.del1")
+        .filter(col("key").isin("key00003", "key00004", "key00005")).count() == 0)
+      // half-open range [lo, hi) → deleteRange
+      spark.sql("DELETE FROM spk.del1 WHERE key >= 'key00010' AND key < 'key00015'")
+      assert(spark.table("spk.del1").count() == 12)
+      assert(spark.table("spk.del1").filter(col("key") === "key00015").count() == 1)
+      // a condition on a payload column has no metadata-only path → clear error
+      val err = intercept[Exception] {
+        spark.sql("DELETE FROM spk.del1 WHERE metadata IS NOT NULL")
+      }
+      assert(err.getMessage.toLowerCase.contains("delete"))
+      // unconditional delete → truncate
+      spark.sql("DELETE FROM spk.del1")
+      assert(spark.table("spk.del1").count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS spk.del1")
+  }
+
   test("catalog lifecycle: list, rename, drop") {
     root
     createBucketed("life1", 2)
