@@ -18,6 +18,7 @@ object SparkEntry {
       operators.ScalarFnQueries.queries ++
       operators.StreamShapeQueries.queries ++
       operators.AnalyticsQueries.queries ++
+      operators.StatQueries.queries ++
       sources.ShardpackQueries.queries ++
       llm.LlmQueries.queries ++
       llm.ScaleDedup.queries ++

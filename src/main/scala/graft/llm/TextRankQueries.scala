@@ -201,6 +201,30 @@ object TextRankQueries {
         .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
           col("e2.b_id").as("c"))
         .orderBy($"a", $"b", $"c")
+    },
+
+    // Word-rarity quality signal: a document's mean corpus document
+    // frequency over its tokens — low mean_df flags rare-vocabulary docs
+    // (OCR noise, codey junk, genuinely novel text) for curation review.
+    // All-integer until the final division (exact BIGINT df sums), so no
+    // rounding grid is needed. At 100 TB the df table is vocabulary-sized
+    // (≪ corpus, broadcastable) and the only big shuffle is the token
+    // explode's grouped count — the same inverted-index shape as tf-idf.
+    Q("quality_rarity",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w)
+         |SELECT t.doc_id, count(*) AS n_words,
+         |  CAST(SUM(df.df) AS DOUBLE) / count(*) AS mean_df
+         |FROM tok t JOIN df ON t.w = df.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val tok = wordTok(documents(s, d))
+      val df = tok.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+      tok.join(df, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          (sum($"df").cast(DoubleType) / count(lit(1))).as("mean_df"))
+        .orderBy($"doc_id")
     }
   )
 

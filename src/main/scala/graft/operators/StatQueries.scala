@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical aggregates and ordered-sequence analytics: correlation /
+  * covariance / least-squares regression, higher central moments (skewness,
+  * kurtosis), gap-based sessionization, event-transition counts, and linear
+  * time-series interpolation.
+  *
+  * The reference has no analytics surface (`/root/reference/src/lib.rs:1-7`);
+  * these extend SURVEY.md §2B with the descriptive-statistics and
+  * sequence-shape families a dataset-curation pipeline runs over event and
+  * measurement tables.
+  *
+  * Float determinism (the hash-match contract): every statistic is derived
+  * from EXACT sums — decimal sums of 2-decimal columns, or BIGINT power sums
+  * of integer-scaled values — cast to DOUBLE once, then combined with an
+  * expression tree written ONCE as SQL text and evaluated verbatim by both
+  * engines (`selectExpr(frag)` here, the same `frag` spliced into the DuckDB
+  * oracle). IEEE ops on identical inputs in identical order give identical
+  * bits; the only residual wobble is the decimal→double cast of >2^53 sums,
+  * absorbed by snapping outputs to a 1e-6 grid (`round(x, 6)` — the
+  * TextRankQueries ln() precedent).
+  *
+  * Scale shape: every aggregate here is partial-aggregable (one shuffle of
+  * group keys, map-side combine carries six doubles per group); the window
+  * queries shuffle once on their partition key. Nothing collects to the
+  * driver.
+  */
+object StatQueries {
+  import Tables._
+
+  // ── shared Spark/DuckDB expression fragments (see determinism note) ──
+
+  /** Exact decimal sums powering the bivariate statistics, cast to DOUBLE. */
+  private val corrBase = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx",
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx",
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy")
+
+  /** Bivariate statistics from the raw sums — covariance, Pearson r, OLS
+    * slope/intercept. sqrt (correctly rounded IEEE) instead of pow (libm,
+    * engine-variant); `(n - 1)` is double arithmetic since n is DOUBLE.
+    */
+  private val corrOut = Seq(
+    "l_returnflag",
+    "CAST(n AS BIGINT) AS cnt",
+    "round((sxy - sx * sy / n) / n, 6) AS covar_pop",
+    "round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp",
+    "round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr",
+    "round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope",
+    "round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS intercept")
+
+  /** Integer-scaled value (cents) whose BIGINT powers are exact: q ≤ 5000 so
+    * q⁴ ≤ 6.25e14 < 2^63; the SUM goes through DECIMAL(38,0) because the
+    * power sums exceed int64 at scale (Spark would wrap, DuckDB widens).
+    */
+  private val momentsQ = "CAST(round(l_quantity * 100) AS BIGINT) AS q"
+  private val momentsBase = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1",
+    "CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2",
+    "CAST(SUM(CAST(q * q * q AS DECIMAL(38,0))) AS DOUBLE) AS s3",
+    "CAST(SUM(CAST(q * q * q * q AS DECIMAL(38,0))) AS DOUBLE) AS s4")
+  /** Raw moments r_k = s_k/n, then central moments by the binomial
+    * expansion — skew/kurtosis are scale-invariant so the ×100 never needs
+    * undoing (mean does: /100 back to quantity units).
+    */
+  private val momentsMid = Seq(
+    "l_returnflag", "n", "s1 / n AS m", "s2 / n AS r2", "s3 / n AS r3", "s4 / n AS r4")
+  private val momentsCentral = Seq(
+    "l_returnflag", "n", "m",
+    "r2 - m * m AS m2",
+    "r3 - 3 * m * r2 + 2 * m * m * m AS m3",
+    "r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m AS m4")
+  private val momentsOut = Seq(
+    "l_returnflag",
+    "CAST(n AS BIGINT) AS cnt",
+    "round(m / 100, 6) AS mean_qty",
+    "round(m3 / (m2 * sqrt(m2)), 6) AS skew",
+    "round(m4 / (m2 * m2) - 3, 6) AS kurt")
+
+  /** Linear interpolation between bracketing observations: exact integer
+    * epoch-µs differences, cast to DOUBLE for one division, one multiply,
+    * one add. `EPOCH_US` is spliced per engine (unix_micros / epoch_us) —
+    * the arithmetic tree is shared.
+    */
+  private def interpCase(epochUs: String => String): String = {
+    val frac = s"CAST(${epochUs("hr")} - ${epochUs("phr")} AS DOUBLE) / " +
+      s"CAST(${epochUs("nhr")} - ${epochUs("phr")} AS DOUBLE)"
+    s"""CASE WHEN v IS NOT NULL THEN v
+       |     WHEN pv IS NULL THEN nv
+       |     WHEN nv IS NULL THEN pv
+       |     ELSE round(pv + (nv - pv) * ($frac), 6) END""".stripMargin
+  }
+
+  /** 30-minute inactivity gap, in exact epoch-µs integer arithmetic. */
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  val queries: Seq[Q] = Seq(
+
+    // Correlation / covariance / OLS regression of extendedprice on
+    // quantity per returnflag. Map-side state is six exact decimal sums per
+    // group — the classic "moments, not values" shuffle: at 100 TB the
+    // exchange carries O(groups) rows of fixed width, never the data.
+    Q("agg_corr",
+      s"""WITH b AS (
+         |  SELECT l_returnflag, ${corrBase.mkString(",\n    ")}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT ${corrOut.mkString(",\n  ")}
+         |FROM b ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(expr(corrBase.head), corrBase.tail.map(expr): _*)
+        .selectExpr(corrOut: _*)
+        .orderBy($"l_returnflag")
+    },
+
+    // Skewness and excess kurtosis per returnflag from exact BIGINT→decimal
+    // power sums of integer cents. Same one-shuffle moments shape as
+    // agg_corr; the binomial recombination runs on the handful of group
+    // rows after the aggregate.
+    Q("agg_moments",
+      s"""WITH q AS (SELECT l_returnflag, $momentsQ FROM lineitem),
+         |b AS (
+         |  SELECT l_returnflag, ${momentsBase.mkString(",\n    ")}
+         |  FROM q GROUP BY l_returnflag),
+         |mid AS (SELECT ${momentsMid.mkString(", ")} FROM b),
+         |c AS (SELECT ${momentsCentral.mkString(",\n  ")} FROM mid)
+         |SELECT ${momentsOut.mkString(",\n  ")}
+         |FROM c ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .selectExpr("l_returnflag", momentsQ)
+        .groupBy($"l_returnflag")
+        .agg(expr(momentsBase.head), momentsBase.tail.map(expr): _*)
+        .selectExpr(momentsMid: _*)
+        .selectExpr(momentsCentral: _*)
+        .selectExpr(momentsOut: _*)
+        .orderBy($"l_returnflag")
+    },
+
+    // Gap-based sessionization: a session break wherever a user is idle
+    // > 30 min; session id = running count of breaks. One shuffle on
+    // user_id serves both windows and the final per-session rollup
+    // (Catalyst reuses the partitioning); the 100 TB shape — state per
+    // user, never cross-user — is exactly what the streaming
+    // session_window does incrementally (stream_session).
+    Q("sessionize",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         |              > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM e)
+         |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, sess""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag($"ts", 1).over(w)
+      events(s, d)
+        .select($"user_id", $"event_id", $"ts",
+          when(prev.isNull ||
+            unix_micros($"ts") - unix_micros(prev) > SessionGapUs, 1)
+            .otherwise(0).as("brk"))
+        .select($"user_id", $"event_id", $"ts",
+          sum($"brk").over(run).cast(LongType).as("sess"))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_end"))
+        .orderBy($"user_id", $"sess")
+    },
+
+    // First-order event-type transition counts (the Markov-chain adjacency
+    // a sequence-modeling pipeline starts from). One window shuffle on
+    // user_id, then a tiny |types|² grouped count.
+    Q("events_transitions",
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, count(*) AS n
+        |FROM x WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("prev"))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev", $"next")
+    },
+
+    // Linear interpolation over an hourly grid (ts_resample is the LOCF
+    // twin): per hour keep the LAST observed value (selection, no float
+    // arithmetic), then fill each gap from its bracketing observations at
+    // the exact integer time fraction. Two window passes over the same
+    // user_id partitioning; the grid join is per-user sequence explosion,
+    // no cross join.
+    Q("ts_interpolate",
+      s"""WITH base AS (
+         |  SELECT user_id, hr, v FROM (
+         |    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr, value AS v,
+         |      row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE user_id < 3) WHERE rn = 1),
+         |grid AS (
+         |  SELECT CAST(u.user_id AS BIGINT) AS user_id, g.hr
+         |  FROM (SELECT unnest([0,1,2]) AS user_id) u,
+         |    (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |       TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr) g),
+         |j AS (
+         |  SELECT g.user_id, g.hr, b.v,
+         |    CASE WHEN b.v IS NOT NULL THEN g.hr END AS ohr
+         |  FROM grid g LEFT JOIN base b ON b.user_id = g.user_id AND b.hr = g.hr),
+         |f AS (
+         |  SELECT user_id, hr, v,
+         |    last_value(v IGNORE NULLS) OVER wp AS pv,
+         |    last_value(ohr IGNORE NULLS) OVER wp AS phr,
+         |    first_value(v IGNORE NULLS) OVER wf AS nv,
+         |    first_value(ohr IGNORE NULLS) OVER wf AS nhr
+         |  FROM j WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY hr
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY user_id ORDER BY hr
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, hr,
+         |  ${interpCase(c => s"epoch_us($c)")} AS v_interp
+         |FROM f ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      val hr = date_trunc("hour", $"ts")
+      val pick = Window.partitionBy($"user_id", $"hr")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val base = events(s, d).filter($"user_id" < 3)
+        .select($"user_id", hr.as("hr"), $"value".as("v"), $"ts", $"event_id")
+        .withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1).select($"user_id", $"hr", $"v")
+      val grid = s.range(3).select($"id".as("user_id"), explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', " +
+          "timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("hr"))
+      val wp = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(base, Seq("user_id", "hr"), "left")
+        .withColumn("ohr", when($"v".isNotNull, $"hr"))
+        .select($"user_id", $"hr", $"v",
+          last($"v", ignoreNulls = true).over(wp).as("pv"),
+          last($"ohr", ignoreNulls = true).over(wp).as("phr"),
+          first($"v", ignoreNulls = true).over(wf).as("nv"),
+          first($"ohr", ignoreNulls = true).over(wf).as("nhr"))
+        .selectExpr("user_id", "hr",
+          interpCase(c => s"unix_micros($c)") + " AS v_interp")
+        .orderBy($"user_id", $"hr")
+    })
+
+  // $"…" sugar without a SparkSession-bound `implicits` import.
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}
