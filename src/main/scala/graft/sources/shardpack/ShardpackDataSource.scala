@@ -94,7 +94,9 @@ object ShardpackDataSource {
 
 final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import ShardpackDataSource._
 
   def this(path: String, bucketN: Option[Int] = None) = this(Seq(path), bucketN)
@@ -168,12 +170,41 @@ final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
     bucketN.map(n => org.apache.spark.sql.connector.expressions.Expressions
       .bucket(n, "key")).toArray
 
+  /** File-provenance metadata column (`SELECT _shard, key FROM t`): the
+    * source shard file of each record. Also the GROUP identity of row-level
+    * rewrites — Spark's runtime group filter feeds matched `_shard` values
+    * back to the scan, so an UPDATE rewrites exactly the shards containing
+    * matches (the Iceberg `_file` pattern).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source shard file path"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardpackScanBuilder(paths, options, bucketN)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "shardpack write requires exactly one path")
     new ShardpackWriteBuilder(paths.head, info, bucketN)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with predicates the
+    * metadata path declines) via group-based copy-on-write: Spark rewrites
+    * every shard containing a match — reading full shards, recombining
+    * rows, writing replacement shards — and commit swaps them atomically
+    * per file. The unit of rewrite is the shard, the same granularity the
+    * reference's immutable-shard model implies for any mutation
+    * (`/root/reference/docs/draft.md:207-211`).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(paths.size == 1, "shardpack row-level operations require exactly one path")
+    () => new ShardpackRowLevelOperation(paths.head, info.command(), bucketN)
   }
 }
 
@@ -324,7 +355,8 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     entryNames: Option[Set[String]] = None,
     keyRange: Option[KeyRange] = None,
     splitBytes: Long = ShardpackFormat.DefaultShardCap,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    rewriteOp: Option[ShardpackRowLevelOperation] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -340,8 +372,17 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     * twin of the static pushdown, crucial when the probe side is a 100 TB
     * bucket and the build side names a few thousand keys.
     */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val col = org.apache.spark.sql.connector.expressions.Expressions.column _
+    // ONE attribute only: with several, Spark wraps them in a named_struct
+    // IN-subquery no V1 filter can express and the runtime filter is lost.
+    // Rewrite scans take exact group identity (_shard); everything else
+    // keeps key (DPP joins, keyed enrichment).
+    if (rewriteOp.isDefined) Array(col("_shard")) else Array(col("key"))
+  }
+
+  /** Exact shard-file runtime filter (row-level group filtering). */
+  private[shardpack] var effectiveShards: Option[Set[String]] = None
 
   override def filter(filters: Array[Filter]): Unit = {
     val keySets = filters.collect {
@@ -352,6 +393,15 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     if (keySets.nonEmpty) {
       val runtime = keySets.reduce(_ intersect _)
       effectiveKeys = Some(effectiveKeys.fold(runtime)(_ intersect runtime))
+    }
+    val shardSets = filters.collect {
+      case In("_shard", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+      case EqualTo("_shard", v: String) => Set(v)
+    }
+    if (shardSets.nonEmpty) {
+      val runtime = shardSets.reduce(_ intersect _)
+      effectiveShards = Some(effectiveShards.fold(runtime)(_ intersect runtime))
     }
   }
 
@@ -414,8 +464,26 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       else None // mixed/foreign layout: fall back to unknown partitioning
     }
 
-  override def planInputPartitions(): Array[InputPartition] = bucketed match {
-    case Some(withIds) => withIds.map { case (st, b) =>
+  /** Group-based row-level rewrites replace exactly the shards the rewrite
+    * scan planned: the LATEST planning result is snapshotted onto the
+    * operation (replace, not accumulate — an earlier pre-runtime-filter
+    * planning must not inflate the replaced set beyond what the execution
+    * actually rewrote).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = planPartitions0()
+    rewriteOp.foreach(_.setPlanned(parts.collect {
+      case ShardInputPartition(f, _, _, _) => f
+      case BucketedShardInputPartition(f, _, _) => f
+    }.toSet))
+    parts
+  }
+
+  private def shardAllowed(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    effectiveShards.forall(_.contains(st.getPath.toString))
+
+  private def planPartitions0(): Array[InputPartition] = bucketed match {
+    case Some(withIds) => withIds.filter(p => shardAllowed(p._1)).map { case (st, b) =>
       BucketedShardInputPartition(st.getPath.toString, st.getLen, b): InputPartition
     }.toArray
     case None =>
@@ -439,9 +507,10 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
         byDir.getOrElse(st.getPath.getParent.toString,
           Map.empty[String, ShardpackIndex.Entry])
           .get(st.getPath.getName).filter(_.len == st.getLen)
+      val allowed = shardList.filter(shardAllowed)
       val planned =
-        if (effectiveKeys.isEmpty && keyRange.isEmpty) shardList
-        else shardList.filter { st =>
+        if (effectiveKeys.isEmpty && keyRange.isEmpty) allowed
+        else allowed.filter { st =>
           entryOf(st) match {
             case Some(e) =>
               e.range.forall { case (lo, hi) =>
@@ -503,9 +572,17 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
           shardList.size)
     }
 
+  /** Rewrite scans read at GROUP granularity: key predicates (static or
+    * runtime) prune which SHARDS are planned above, but every record of a
+    * planned shard must flow through — unmatched rows in an affected shard
+    * are written back unchanged by the ReplaceData query, so record-level
+    * skipping here would silently drop them.
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackReaderFactory(required, effectiveKeys, verify,
-      HadoopConfs.serializable(), entryNames, keyRange)
+    ShardpackReaderFactory(required,
+      if (rewriteOp.isDefined) None else effectiveKeys, verify,
+      HadoopConfs.serializable(), entryNames,
+      if (rewriteOp.isDefined) None else keyRange)
 }
 
 final case class ShardInputPartition(file: String, length: Long,
@@ -704,6 +781,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
             }
             new GenericInternalRow(ev): Any
           }.toArray)
+        case "_shard" => UTF8String.fromString(file)
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
     }
@@ -762,6 +840,8 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
   private val batch = new ColumnarBatch(vectors.toArray)
   private val keyPos = required.fieldNames.indexOf("key")
   private val metaPos = required.fieldNames.indexOf("metadata")
+  private val shardPos = required.fieldNames.indexOf("_shard")
+  private val fileUtf8 = file.getBytes("UTF-8")
 
   private var idx = math.min(recStart, Int.MaxValue.toLong).toInt
 
@@ -782,6 +862,7 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
           if (meta == null) vectors(metaPos).putNull(rows)
           else vectors(metaPos).putByteArray(rows, meta)
         }
+        if (shardPos >= 0) vectors(shardPos).putByteArray(rows, fileUtf8)
         rows += 1
       }
     }
@@ -794,6 +875,154 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
   override def close(): Unit = {
     batch.close()
     if (streamOpened) stream.close()
+  }
+}
+
+// ──────────────── row-level operations (UPDATE / MERGE / DELETE) ────────────────
+
+/** One SQL row-level command (group-based copy-on-write). Spark drives the
+  * lifecycle: a rewrite SCAN over the table (this operation's scan builder)
+  * feeds the recombined rows into this operation's WRITE; at commit the
+  * write publishes the replacement shards and drops exactly the shards the
+  * scan planned — the "groups" of the rewrite.
+  *
+  * Group selection is two-stage, both at SHARD granularity only:
+  * static key predicates prune via sidecar/footer envelopes at planning,
+  * and Spark's runtime group filtering (a matching-rows subquery over the
+  * ORIGINAL table) hands the matched key set to [[ShardpackScan.filter]]
+  * — so `UPDATE … WHERE key = 'k'` rewrites the one shard whose envelope
+  * covers 'k', not the bucket. At 100 TB that bounds the rewrite I/O to
+  * the shards actually touched, the same cost model as
+  * [[ShardpackOps.merge]].
+  */
+final class ShardpackRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    bucketN: Option[Int])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import ShardpackDataSource._
+
+  /** Shards the rewrite scan planned LAST (volatile snapshot, not an
+    * accumulator — see [[ShardpackScan.planInputPartitions]]).
+    */
+  @volatile private var planned: Set[String] = Set.empty
+  private[shardpack] def setPlanned(files: Set[String]): Unit = planned = files
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardpackRewriteScanBuilder(Seq(path), options, this, bucketN)
+
+  /** `_shard` rides along with every rewrite: it IS the group identity.
+    * Spark's runtime group filter projects it from the matched rows, and
+    * carried-over rows are written through the metadata-projecting task —
+    * which is also the path that strips Spark's internal row-operation
+    * column before rows reach the data writer.
+    */
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_shard"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val base = new ShardpackWriteBuilder(path, info, bucketN).build()
+        new ShardpackReplaceWrite(base, path, () => planned)
+      }
+    }
+
+  override def description(): String = s"shardpack $cmd $path"
+}
+
+/** Scan builder for the rewrite side of a row-level command. Filters are
+  * accepted for shard-envelope pruning but ALL stay residual (returned
+  * unhandled): the group-based contract requires every row of a planned
+  * shard to reach the rewrite query, which re-applies the command's own
+  * predicates. No aggregate/limit pushdown — a rewrite is a full read of
+  * the affected groups by definition.
+  */
+final class ShardpackRewriteScanBuilder(paths: Seq[String],
+    options: CaseInsensitiveStringMap, op: ShardpackRowLevelOperation,
+    bucketN: Option[Int])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import ShardpackDataSource._
+
+  private var required: StructType = Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private var pushed: Array[Filter] = Array.empty
+  private var keyFilter: Option[Set[String]] = None
+  private var keyRange: Option[KeyRange] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("key", _: String) | In("key", _) => true
+      case GreaterThan("key", _: String) | GreaterThanOrEqual("key", _: String) => true
+      case LessThan("key", _: String) | LessThanOrEqual("key", _: String) => true
+      case StringStartsWith("key", _) => true
+      case _ => false
+    }
+    val keySets = pushed.collect {
+      case EqualTo("key", v: String) => Set(v)
+      case In("key", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (keySets.nonEmpty) keyFilter = Some(keySets.reduce(_ intersect _))
+    val ranges = pushed.collect {
+      case GreaterThan("key", v: String) => KeyRange(Some(v), false, None, true, None)
+      case GreaterThanOrEqual("key", v: String) => KeyRange(Some(v), true, None, true, None)
+      case LessThan("key", v: String) => KeyRange(None, true, Some(v), false, None)
+      case LessThanOrEqual("key", v: String) => KeyRange(None, true, Some(v), true, None)
+      case StringStartsWith("key", p) => KeyRange(Some(p), true, None, true, Some(p))
+    }
+    keyRange = ranges.reduceOption(_ and _)
+    filters // everything residual: group pruning only, no row skipping
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ShardpackScan(paths, required, keyFilter,
+      options.getBoolean("verifyChecksums", true), None, bucketN, None,
+      keyRange,
+      Option(options.get("maxBytesPerPartition")).map(_.toLong)
+        .getOrElse(ShardpackFormat.DefaultShardCap),
+      None, Some(op))
+}
+
+/** Write side of a row-level command: the normal append write (staged
+  * temps, checked renames, distribution/ordering preserved for bucketed
+  * tables), plus — after the new generation is visible — deletion of the
+  * replaced shards and sidecar invalidation. Same crash-safe order as
+  * [[ShardpackOps.deleteKeys]]: a crash mid-commit leaves transient
+  * duplicates (old + new visible), never a window with neither.
+  */
+final class ShardpackReplaceWrite(base: Write, path: String,
+    replaced: () => Set[String]) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  private def rdo = base.asInstanceOf[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    rdo.requiredDistribution()
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    rdo.requiredOrdering()
+  override def requiredNumPartitions(): Int = rdo.requiredNumPartitions()
+  override def description(): String = s"shardpack replace-groups $path"
+
+  override def toBatch: BatchWrite = {
+    val inner = base.toBatch
+    new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        inner.createBatchWriterFactory(info)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages) // replacement shards renamed IN first
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(HadoopConfs.session())
+        replaced().foreach(f => fs.delete(new Path(f), false))
+        ShardpackIndex.invalidate(fs, dir) // sidecar is per-generation
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        inner.abort(messages)
+    }
   }
 }
 

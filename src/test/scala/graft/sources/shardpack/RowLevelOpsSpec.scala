@@ -1,0 +1,173 @@
+package graft.sources.shardpack
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** SQL row-level DML on shardpack tables (group-based copy-on-write):
+  * UPDATE, MERGE INTO, and rewrite-path DELETE. The group contract under
+  * test: every row of an affected shard survives the rewrite (unmatched
+  * rows pass through unchanged), untouched shards are not rewritten when
+  * the sidecar index can prune them, and the replaced generation swaps
+  * atomically per file.
+  */
+class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("spk-rowlevel").toString
+    spark.conf.set("spark.sql.catalog.spkrl", classOf[ShardpackCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spkrl.root", r)
+    r
+  }
+
+  private def createTable(name: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE spkrl.$name (
+         |  key STRING NOT NULL, metadata BINARY,
+         |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+         |                       encoding: STRING, data: BINARY>> NOT NULL)
+         |USING shardpack""".stripMargin)
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      format_string("key%05d", $"id").as("key"),
+      encode(format_string("meta-%05d", $"id"), "UTF-8").as("metadata"),
+      array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"),
+        encode(format_string("payload-%05d", $"id"), "UTF-8").as("data"))).as("entries"))
+  }
+
+  private def shardNames(name: String): Set[String] = {
+    val dir = new Path(s"$root/$name")
+    val fs = dir.getFileSystem(HadoopConfs.session())
+    ShardpackDataSource.listShards(fs, dir).map(_.getPath.getName).toSet
+  }
+
+  test("UPDATE by key rewrites only the shard covering the key (sidecar-pruned)") {
+    root
+    createTable("upd1")
+    sampleDf(100).repartitionByRange(4, col("key")).sortWithinPartitions("key")
+      .writeTo("spkrl.upd1").append()
+    spark.sql("CALL spkrl.system.build_index('upd1')")
+    val before = shardNames("upd1")
+    assert(before.size >= 4, s"want >=4 shards, got $before")
+
+    spark.sql("UPDATE spkrl.upd1 SET metadata = CAST('updated' AS BINARY) " +
+      "WHERE key = 'key00042'")
+
+    val rows = spark.table("spkrl.upd1").select("key", "metadata").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rows.size == 100)
+    assert(rows("key00042") == "updated")
+    assert(rows("key00041") == "meta-00041")
+    assert(rows("key00099") == "meta-00099")
+
+    // group granularity: exactly one shard replaced, the rest untouched
+    val after = shardNames("upd1")
+    val kept = before intersect after
+    assert((before -- after).size == 1,
+      s"expected exactly one replaced shard, before=$before after=$after")
+    assert(kept.size == before.size - 1)
+    spark.sql("DROP TABLE spkrl.upd1")
+  }
+
+  test("UPDATE on a payload predicate rewrites and preserves unmatched rows") {
+    root
+    createTable("upd2")
+    sampleDf(60).writeTo("spkrl.upd2").append()
+    // predicate on the entry payload — not expressible as a key filter
+    spark.sql("UPDATE spkrl.upd2 SET metadata = CAST('big' AS BINARY) " +
+      "WHERE decode(element_at(entries, 1).data, 'UTF-8') > 'payload-00049'")
+    val rows = spark.table("spkrl.upd2").select("key", "metadata").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rows.size == 60)
+    (0 until 60).foreach { i =>
+      val k = f"key$i%05d"
+      if (i > 49) assert(rows(k) == "big", k)
+      else assert(rows(k) == f"meta-$i%05d", k)
+    }
+    spark.sql("DROP TABLE spkrl.upd2")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert") {
+    root
+    createTable("mrg")
+    sampleDf(10).writeTo("spkrl.mrg").append()
+    sampleDf(14).filter(col("key") >= "key00008")
+      .withColumn("metadata", lit("merged").cast("binary"))
+      .createOrReplaceTempView("mrg_src")
+
+    spark.sql(
+      """MERGE INTO spkrl.mrg t USING mrg_src s ON t.key = s.key
+        |WHEN MATCHED THEN UPDATE SET t.metadata = s.metadata
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val rows = spark.table("spkrl.mrg").select("key", "metadata").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rows.size == 14)
+    assert(rows("key00007") == "meta-00007") // untouched
+    assert(rows("key00008") == "merged")     // matched update
+    assert(rows("key00009") == "merged")
+    assert(rows("key00013") == "merged")     // not-matched insert
+    // payload of pre-existing unmatched rows survived the group rewrite
+    val payload = spark.table("spkrl.mrg").filter(col("key") === "key00003")
+      .select(decode(element_at(col("entries"), 1).getField("data"), "UTF-8"))
+      .collect()(0).getString(0)
+    assert(payload == "payload-00003")
+    spark.sql("DROP TABLE spkrl.mrg")
+  }
+
+  test("DELETE with a non-key predicate takes the rewrite path") {
+    root
+    createTable("del1")
+    sampleDf(40).writeTo("spkrl.del1").append()
+    // metadata delete declines this (payload predicate) — rewrite handles it
+    spark.sql("DELETE FROM spkrl.del1 " +
+      "WHERE decode(element_at(entries, 1).data, 'UTF-8') LIKE '%0003_'")
+    val keys = spark.table("spkrl.del1").select("key").collect().map(_.getString(0)).toSet
+    assert(keys.size == 30)
+    (30 until 40).foreach(i => assert(!keys.contains(f"key$i%05d")))
+    assert(keys.contains("key00029"))
+    spark.sql("DROP TABLE spkrl.del1")
+  }
+
+  test("_shard metadata column reports each record's source shard file") {
+    root
+    createTable("prov")
+    sampleDf(50).repartition(3).writeTo("spkrl.prov").append()
+    val byShard = spark.sql("SELECT _shard, key FROM spkrl.prov").collect()
+      .groupBy(_.getString(0))
+    val dir = new Path(s"$root/prov")
+    val listed = ShardpackDataSource
+      .listShards(dir.getFileSystem(HadoopConfs.session()), dir)
+      .map(_.getPath.toString).toSet
+    assert(byShard.keySet == listed)
+    assert(byShard.values.map(_.length).sum == 50)
+    // vectorized path (no entries column) and row path agree
+    val viaRow = spark.sql("SELECT _shard, key, entries FROM spkrl.prov")
+      .select("_shard", "key").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaCol = byShard.toSeq.flatMap { case (s, rs) =>
+      rs.toSeq.map(r => (s, r.getString(1))) }.toSet
+    assert(viaRow == viaCol)
+    spark.sql("DROP TABLE spkrl.prov")
+  }
+
+  test("UPDATE with zero matches leaves every shard in place") {
+    root
+    createTable("upd0")
+    sampleDf(20).repartitionByRange(2, col("key")).sortWithinPartitions("key")
+      .writeTo("spkrl.upd0").append()
+    spark.sql("CALL spkrl.system.build_index('upd0')")
+    val before = shardNames("upd0")
+    spark.sql("UPDATE spkrl.upd0 SET metadata = CAST('x' AS BINARY) " +
+      "WHERE key = 'nope'")
+    assert(shardNames("upd0") == before)
+    assert(spark.table("spkrl.upd0").count() == 20)
+    spark.sql("DROP TABLE spkrl.upd0")
+  }
+}
