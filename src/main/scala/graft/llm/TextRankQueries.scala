@@ -33,6 +33,16 @@ object TextRankQueries {
       explode(filter(split(lower(col("text")), "[^a-z]+"),
         w => length(w) >= 3)).as("w"))
 
+  /** Session-cached token table shared by tfidf_topterms, bm25_search and
+    * quality_rarity — the same shared-intermediate contract as
+    * [[LlmQueries.goodPairs]]: the explode runs once, the other relevance
+    * queries reuse the persisted (doc_id, w) frame.
+    */
+  private val tokMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def tok(s: SparkSession, d: String): DataFrame =
+    tokMemo.computeIfAbsent((s, d), _ => wordTok(documents(s, d)).persist())
+
   private val SqlWordTok =
     """SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
@@ -59,7 +69,7 @@ object TextRankQueries {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, term) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-      val tf = wordTok(documents(s, d))
+      val tf = tok(s, d)
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
       val n = documents(s, d).agg(count(lit(1)).as("n"))
@@ -109,11 +119,11 @@ object TextRankQueries {
          |  FROM tfp t JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st CROSS JOIN dfp)
          |SELECT doc_id, dl, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      val tok = wordTok(documents(s, d))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val tk = tok(s, d)
+      val dl = tk.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
       val st = dl.agg(count(lit(1)).as("n"),
         (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val tf = tok.filter($"w".isin("data", "table", "spark"))
+      val tf = tk.filter($"w".isin("data", "table", "spark"))
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
       def pick(term: String) =
         sum(when($"w" === term, $"tf").otherwise(0L)).cast(DoubleType)
@@ -218,9 +228,9 @@ object TextRankQueries {
          |  CAST(SUM(df.df) AS DOUBLE) / count(*) AS mean_df
          |FROM tok t JOIN df ON t.w = df.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val tok = wordTok(documents(s, d))
-      val df = tok.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
-      tok.join(df, "w")
+      val tk = tok(s, d)
+      val df = tk.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+      tk.join(df, "w")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"),
           (sum($"df").cast(DoubleType) / count(lit(1))).as("mean_df"))
