@@ -203,6 +203,38 @@ object StatQueries {
         .orderBy($"prev", $"next")
     },
 
+    // Shannon entropy of each user's event-type distribution — the
+    // behavioral-diversity signal (low entropy = single-action users).
+    // Each -p·ln(p) term is snapped onto a 1e-6 integer grid and summed as
+    // BIGINT, so the sum is exact and ORDER-INDEPENDENT — float addition
+    // order across partial aggregates can never wobble the hash (ln() is
+    // engine-variant in the last ulp; the per-term rounding absorbs it
+    // before any accumulation). Two partial-aggregable shuffles on
+    // user_id-rooted keys.
+    Q("events_entropy",
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id),
+        |terms AS (
+        |  SELECT c.user_id,
+        |    CAST(round((CAST(c.n AS DOUBLE) / t.tot) *
+        |      ln(CAST(c.n AS DOUBLE) / t.tot) * -1000000) AS BIGINT) AS g
+        |  FROM c JOIN t ON c.user_id = t.user_id)
+        |SELECT user_id, CAST(SUM(g) AS DOUBLE) / 1000000 AS entropy
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val c = events(s, d).groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy($"user_id").agg(sum($"n").as("tot"))
+      val p = $"n".cast(DoubleType) / $"tot"
+      c.join(t, "user_id")
+        .select($"user_id",
+          round(p * log(p) * -1000000L, 0).cast(LongType).as("g"))
+        .groupBy($"user_id")
+        .agg((sum($"g").cast(DoubleType) / 1000000L).as("entropy"))
+        .orderBy($"user_id")
+    },
+
     // Linear interpolation over an hourly grid (ts_resample is the LOCF
     // twin): per hour keep the LAST observed value (selection, no float
     // arithmetic), then fill each gap from its bracketing observations at

@@ -97,6 +97,18 @@ class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE TABLE AS SELECT materializes a query into a new shardpack table") {
+    root
+    try {
+      sampleDf(30).createOrReplaceTempView("ctas_src")
+      spark.sql(
+        """CREATE TABLE spk.ctas USING shardpack AS
+          |SELECT key, metadata, entries FROM ctas_src WHERE key < 'key00020'""".stripMargin)
+      assert(spark.table("spk.ctas").count() == 20)
+      assert(spark.table("spk.ctas").filter(col("key") === "key00019").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS spk.ctas")
+  }
+
   test("stored procedures: CALL system.build_index / compact / expire_range") {
     root
     spark.sql(
