@@ -281,22 +281,42 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  /** COUNT(*) with no filters is answered from the FOOTERS alone: each
-    * task emits its shard's record count (≈16 bytes read per shard, zero
-    * record bytes) and Spark sums the partials — the O(shards) count the
-    * reference's EOF index was built to make possible
-    * (`docs/draft.md:100-127`). Filtered or grouped aggregates decline the
-    * pushdown and scan as usual.
+  /** COUNT(*) / MIN(key) / MAX(key) with no filters are answered from the
+    * FOOTERS alone: each task emits one partial row — record count from the
+    * EOF index, key envelope from the writer's [[ShardpackFormat.ShardStats]]
+    * (≈ tens of bytes read per shard, zero record bytes) — and Spark
+    * combines the partials (SUM / MIN / MAX). This is exactly the O(shards)
+    * metadata profile the reference's EOF index exists for
+    * (`docs/draft.md:100-127`); a stats-less foreign shard falls back to a
+    * header-only key scan inside its own task. Filtered or grouped
+    * aggregates decline the pushdown and scan as usual.
     */
+  private var aggKinds: Seq[Char] = Seq.empty
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+        case _ => false
+      }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => 'c'
+      case m: Min if isKey(m.column) => 'n'
+      case m: Max if isKey(m.column) => 'x'
+      case _ => '?'
+    }
     val ok = keyFilter.isEmpty && keyRange.isEmpty && pushed.isEmpty &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      agg.groupByExpressions.isEmpty && kinds.nonEmpty && !kinds.contains('?')
     if (ok) {
       countPushed = true
-      required = StructType(Seq(StructField("count", LongType, nullable = false)))
+      aggKinds = kinds
+      required = StructType(kinds.map {
+        case 'c' => StructField("count", LongType, nullable = false)
+        case 'n' => StructField("min_key", StringType, nullable = true)
+        case 'x' => StructField("max_key", StringType, nullable = true)
+      })
     }
     ok
   }
@@ -336,7 +356,7 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
     required = requiredSchema
 
   override def build(): Scan =
-    if (countPushed) new ShardpackCountScan(paths, required)
+    if (countPushed) new ShardpackFooterAggScan(paths, required, aggKinds)
     else new ShardpackScan(paths, required, keyFilter,
       options.getBoolean("verifyChecksums", true),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt), bucketN,
@@ -588,12 +608,16 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
 final case class ShardInputPartition(file: String, length: Long,
     recStart: Long = 0L, recEnd: Long = -1L) extends InputPartition
 
-/** Footer-only COUNT(*) scan ([[ShardpackScanBuilder.pushAggregation]]):
-  * one partition per shard, each emitting a single partial-count row read
-  * from ~16 footer bytes. Spark's final aggregate sums the partials.
+/** Footer-only aggregate scan ([[ShardpackScanBuilder.pushAggregation]]):
+  * one partition per shard, each emitting a single partial row — record
+  * count from the EOF index, key envelope from the footer's ShardStats.
+  * Spark's final aggregate combines the partials (SUM / MIN / MAX). A
+  * shard without stamped stats (foreign writer) scans its record HEADERS
+  * for the key extremes — still no entry decode, decompression or
+  * checksum work.
   */
-final class ShardpackCountScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+final class ShardpackFooterAggScan(paths: Seq[String], required: StructType,
+    kinds: Seq[Char]) extends Scan with Batch {
   import ShardpackDataSource._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -603,39 +627,68 @@ final class ShardpackCountScan(paths: Seq[String], required: StructType)
       listShards(dir.getFileSystem(HadoopConfs.session()), dir)
         .map(st => ShardInputPartition(st.getPath.toString, st.getLen): InputPartition)
     }
-    // empty bucket: one synthetic zero-count partition so the final SUM
-    // still sees a row (count of nothing is 0, not NULL)
+    // empty bucket: one synthetic partition (count 0, null extremes) so the
+    // final aggregate still sees a row
     if (parts.isEmpty) Array(ShardInputPartition("", 0L)) else parts.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardpackCountReaderFactory(HadoopConfs.serializable())
-  override def description(): String = s"shardpack footer-count ${paths.mkString(",")}"
+    ShardpackFooterAggReaderFactory(HadoopConfs.serializable(), kinds)
+  override def description(): String =
+    s"shardpack footer-count ${paths.mkString(",")} aggs=${kinds.mkString}"
 }
 
-final case class ShardpackCountReaderFactory(hconf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
+final case class ShardpackFooterAggReaderFactory(hconf: SerializableHadoopConf,
+    kinds: Seq[Char]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (file, len) = p match { case ShardInputPartition(f, l, _, _) => (f, l) }
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
+
+      private def partial(): (Long, String, String) = {
+        if (file.isEmpty) return (0L, null, null)
+        val path = new Path(file)
+        val fs = path.getFileSystem(hconf.value)
+        val in = fs.open(path)
+        try {
+          val footer = ShardpackFormat.readFooter(len, (pos, k) => {
+            val b = new Array[Byte](k); in.readFully(pos, b); b
+          })
+          val n = footer.offsets.length.toLong
+          if (!kinds.exists(k => k == 'n' || k == 'x')) return (n, null, null)
+          ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1 match {
+            case Some((lo, hi)) => (n, lo, hi)
+            case None if n == 0 => (n, null, null)
+            case None =>
+              // stats-less shard: header-only key sweep (no entry decode)
+              in.seek(0)
+              val ds = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(in, 1 << 20))
+              var lo: String = null; var hi: String = null
+              var i = 0L
+              while (i < n) {
+                val recLen = ds.readInt()
+                val block = new Array[Byte](recLen)
+                ds.readFully(block)
+                val (key, _) = ShardpackFormat.decodeKeyMeta(block)
+                if (lo == null || key < lo) lo = key
+                if (hi == null || key > hi) hi = key
+                i += 1
+              }
+              (n, lo, hi)
+          }
+        } finally in.close()
+      }
+
       override def next(): Boolean =
         if (done) false
         else {
-          val n =
-            if (file.isEmpty) 0L
-            else {
-              val path = new Path(file)
-              val fs = path.getFileSystem(hconf.value)
-              val in = fs.open(path)
-              val footer =
-                try ShardpackFormat.readFooter(len, (pos, k) => {
-                  val b = new Array[Byte](k); in.readFully(pos, b); b
-                })
-                finally in.close()
-              footer.offsets.length.toLong
-            }
-          row = new GenericInternalRow(Array[Any](n))
+          val (n, lo, hi) = partial()
+          row = new GenericInternalRow(kinds.map {
+            case 'c' => n: Any
+            case 'n' => if (lo == null) null else UTF8String.fromString(lo)
+            case 'x' => if (hi == null) null else UTF8String.fromString(hi)
+          }.toArray)
           done = true
           true
         }

@@ -287,6 +287,27 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(empty).count() == 0)
   }
 
+  test("min/max(key) push down to footer stats alongside count(*)") {
+    val dir = tmpDir()
+    sampleDf(7).write.format("shardpack").mode("append").save(dir)
+    sampleDf(5).write.format("shardpack").mode("append").save(dir)
+    val df = spark.read.format("shardpack").load(dir)
+    val profile = df.agg(count(lit(1)).as("n"),
+      min(col("key")).as("lo"), max(col("key")).as("hi"))
+    val plan = profile.queryExecution.executedPlan.toString
+    assert(plan.contains("footer-count"),
+      s"expected the footer aggregate scan in:\n${plan.take(600)}")
+    val r = profile.collect()(0)
+    assert(r.getLong(0) == 12 && r.getString(1) == "key00000" &&
+      r.getString(2) == "key00006")
+    // empty bucket: count 0, null extremes
+    val empty = tmpDir()
+    sampleDf(0).write.format("shardpack").mode("append").save(empty)
+    val er = spark.read.format("shardpack").load(empty)
+      .agg(count(lit(1)), min(col("key")), max(col("key"))).collect()(0)
+    assert(er.getLong(0) == 0 && er.isNullAt(1) && er.isNullAt(2))
+  }
+
   test("key-range and prefix pushdown: records filter exactly, sorted shards prune at planning") {
     val dir = tmpDir()
     sampleDf(200).orderBy(expr("reverse(key)"))
