@@ -228,6 +228,20 @@ object ShardpackQueries {
         .groupBy($"lang", $"source")
         .agg(count(lit(1)).as("n"), max($"n_entries").as("max_entries"))
         .orderBy($"lang", $"source")
+    },
+
+    // Table profile answered from FOOTERS alone (DSv2 aggregate pushdown
+    // of count/min/max — `ShardpackFooterAggScan`): one ~tens-of-bytes
+    // footer read per shard, zero record bytes, at any shard count. The
+    // oracle recomputes the same profile from the source parquet, so this
+    // also certifies the stamped key envelopes are exact.
+    Q("shardpack_profile",
+      """SELECT count(*) AS n_records,
+        |  concat('doc_', lpad(CAST(min(doc_id) AS VARCHAR), 8, '0')) AS min_key,
+        |  concat('doc_', lpad(CAST(max(doc_id) AS VARCHAR), 8, '0')) AS max_key
+        |FROM documents""".stripMargin) { (s, d) =>
+      readBack(s, d).agg(count(lit(1)).as("n_records"),
+        min($"key").as("min_key"), max($"key").as("max_key"))
     }
   )
 
