@@ -24,12 +24,16 @@ object CrossHash {
 
   // ── character-polynomial string hash: fold (h*base + codepoint) mod p ──
 
-  /** Spark: hash of a string column/lambda-var (codepoint fold, base 131).
+  /** Spark: hash of a string column/lambda-var (codepoint fold, base 131)
+    * — the codegen [[PolyHash]] expression (one primitive loop per row; the
+    * previous `aggregate(split(w, ""), …)` formulation allocated a
+    * per-character array and ran an interpreted lambda per element).
     * Empty string hashes to 0 in both engines as long as callers filter ''
-    * BEFORE hashing (DuckDB `unicode('')` is -1 vs Spark `ascii('')` = 0).
+    * BEFORE hashing (DuckDB `unicode('')` is -1).
     */
   def wordHash(w: Column, base: Long = 131L, p: Long = P1): Column =
-    aggregate(split(w, ""), lit(0L), (a, c) => (a * base + ascii(c)) % p)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PolyHash(org.apache.spark.sql.graftbridge.Bridge.expression(w), base, p))
 
   /** DuckDB mirror of [[wordHash]] over a string expression. */
   def sqlWordHash(w: String, base: Long = 131L, p: Long = P1): String =
