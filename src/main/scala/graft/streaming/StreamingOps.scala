@@ -83,6 +83,31 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** CDC-style streaming UPSERT sink: each micro-batch merges into a
+    * shardpack bucket via `foreachBatch` →
+    * [[graft.sources.shardpack.ShardpackOps.merge]] (copy-on-write with
+    * envelope-pruned shard selection — an epoch rewrites only the shards
+    * its key envelope intersects). Last-writer-wins per key across epochs;
+    * rows must be key-unique WITHIN a batch (merge enforces it). This is
+    * the streaming complement of the append sink: append for immutable
+    * event streams, upsert for mutable-entity change streams.
+    *
+    * Exactly-once caveat shared with every foreachBatch sink: a batch
+    * replayed after a crash re-merges the same rows; because merge is
+    * idempotent per (key, content), replays converge rather than
+    * duplicate.
+    */
+  def upsertSink(updates: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.shardpack.ShardpackOps.merge(batch.sparkSession, dir, batch)
+      }
+      .start()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -27,6 +27,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           |""".stripMargin).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1)) < 1e-12)
+      // poly_hash: SQL result equals the reference JVM fold
+      val h = extended.sql("SELECT poly_hash('spark') AS h, poly_hash('spark', 137, 998244353) AS h2").head()
+      val ref = "spark".foldLeft(0L)((a, c) => (a * 131L + c.toInt) % 1000000007L)
+      val ref2 = "spark".foldLeft(0L)((a, c) => (a * 137L + c.toInt) % 998244353L)
+      assert(h.getLong(0) == ref && h.getLong(1) == ref2)
       // (no cross-session isolation assert: VecCosineSpec may have
       // registered the same name on the shared session in a full run)
       assert(base ne extended)

@@ -477,6 +477,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: last-writer-wins merge into a shardpack bucket") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shardpack-upsert").toString + "/bucket"
+    val ckpt = Files.createTempDirectory("shardpack-upsert-ckpt").toString
+    val in = MemoryStream[Event]
+    def toRecords(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("user_"), lpad($"user_id".cast("string"), 6, "0")).as("key"),
+      to_json(struct($"event_type", $"value")).cast("binary").as("metadata"),
+      array(struct(
+        lit("state.json").as("file_name"), lit("application/json").as("content_type"),
+        lit("").as("encoding"), to_json(struct($"event_id")).cast("binary").as("data")))
+        .as("entries"))
+    val q = StreamingOps.upsertSink(toRecords(in.toDF()), dir, ckpt)
+    try {
+      in.addData(ev(1, ts(0), user = 1, value = 1.0), ev(2, ts(1), user = 2, value = 2.0))
+      q.processAllAvailable()
+      assert(spark.read.format("shardpack").load(dir).count() == 2)
+      // second epoch: update user 1, insert user 3
+      in.addData(ev(9, ts(2), user = 1, value = 9.0), ev(3, ts(2), user = 3, value = 3.0))
+      q.processAllAvailable()
+      val back = spark.read.format("shardpack").load(dir)
+        .select($"key", get_json_object($"metadata".cast("string"), "$.value").cast("double").as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(back == Map("user_000001" -> 9.0, "user_000002" -> 2.0, "user_000003" -> 3.0))
+    } finally q.stop()
+  }
+
   test("shardpack offset json round-trips under arbitrary path strings (scalacheck)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
