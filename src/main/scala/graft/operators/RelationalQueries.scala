@@ -275,6 +275,44 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // Tolerance-bounded as-of join (the market-data shape: a match expires
+    // after 30 minutes). Same single sorted pass as join_asof — the
+    // tolerance is a pure post-window filter on exact epoch-µs integers,
+    // so the no-pairwise-join scaling argument is unchanged.
+    Q("join_asof_tolerance",
+      """SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 1800000000
+        |       THEN matched_click END AS matched_click
+        |FROM (
+        |  SELECT event_id, user_id, ts, is_p,
+        |    last_value(click_id IGNORE NULLS) OVER w AS matched_click,
+        |    last_value(CASE WHEN click_id IS NOT NULL THEN ts END IGNORE NULLS)
+        |      OVER w AS click_ts
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |    FROM events WHERE event_type IN ('click', 'purchase')) u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) WHERE is_p = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "click", $"event_id").as("click_id"),
+          when($"event_type" === "purchase", lit(1)).otherwise(0).as("is_p"))
+        .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when($"click_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+        .filter($"is_p" === 1)
+        .select($"event_id", $"user_id",
+          when(unix_micros($"ts") - unix_micros($"click_ts") <= 1800000000L,
+            $"matched_click").as("matched_click"))
+        .orderBy($"event_id")
+    },
+
     // TPC-H Q3-shaped, implemented ENTIRELY through spark.sql over temp
     // views — the SQL entry point is first-class next to the DataFrame API.
     // ONE shared SQL text is both the Spark query and the DuckDB oracle:

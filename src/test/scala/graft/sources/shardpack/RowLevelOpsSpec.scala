@@ -122,6 +122,34 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE spkrl.mrg")
   }
 
+  test("MERGE with DELETE and NOT MATCHED BY SOURCE clauses (full CDC shape)") {
+    root
+    createTable("mrg2")
+    sampleDf(10).writeTo("spkrl.mrg2").append()
+    // source: keys 3..11, key 5 flagged for delete
+    sampleDf(12).filter(col("key") >= "key00003")
+      .withColumn("metadata",
+        when(col("key") === "key00005", lit("drop").cast("binary"))
+          .otherwise(lit("upd").cast("binary")))
+      .createOrReplaceTempView("mrg2_src")
+    spark.sql(
+      """MERGE INTO spkrl.mrg2 t USING mrg2_src s ON t.key = s.key
+        |WHEN MATCHED AND decode(s.metadata, 'UTF-8') = 'drop' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.metadata = s.metadata
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.key = 'key00000' THEN DELETE""".stripMargin)
+    val rows = spark.table("spkrl.mrg2").select("key", "metadata").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    // 0 deleted (not-matched-by-source), 5 deleted (matched delete),
+    // 1..2 untouched, 3..4 + 6..9 updated, 10..11 inserted
+    assert(!rows.contains("key00000") && !rows.contains("key00005"))
+    assert(rows("key00001") == "meta-00001" && rows("key00002") == "meta-00002")
+    Seq(3, 4, 6, 7, 8, 9).foreach(i => assert(rows(f"key$i%05d") == "upd"))
+    Seq(10, 11).foreach(i => assert(rows(f"key$i%05d") == "upd"))
+    assert(rows.size == 10)
+    spark.sql("DROP TABLE spkrl.mrg2")
+  }
+
   test("DELETE with a non-key predicate takes the rewrite path") {
     root
     createTable("del1")
