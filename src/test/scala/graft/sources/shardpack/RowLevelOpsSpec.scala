@@ -185,6 +185,31 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE spkrl.prov")
   }
 
+  test("UPDATE on a bucketed table preserves the bucket-tagged shard layout") {
+    root
+    spark.sql(
+      """CREATE TABLE spkrl.bupd (
+        |  key STRING NOT NULL, metadata BINARY,
+        |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+        |                       encoding: STRING, data: BINARY>> NOT NULL)
+        |USING shardpack PARTITIONED BY (bucket(4, key))""".stripMargin)
+    sampleDf(80).writeTo("spkrl.bupd").append()
+    spark.sql("UPDATE spkrl.bupd SET metadata = CAST('u' AS BINARY) " +
+      "WHERE key = 'key00007'")
+    // every surviving shard still carries its bucket tag (the rewrite went
+    // through the same RequiresDistributionAndOrdering write), so scans
+    // keep reporting KeyGroupedPartitioning and SPJ stays shuffle-free
+    val names = shardNames("bupd")
+    assert(names.nonEmpty)
+    names.foreach(n => assert(
+      ShardpackDataSource.BucketedName.findFirstMatchIn(n).isDefined,
+      s"rewrite produced an unbucketed shard: $n"))
+    val rows = spark.table("spkrl.bupd").select("key", "metadata").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rows.size == 80 && rows("key00007") == "u" && rows("key00008") == "meta-00008")
+    spark.sql("DROP TABLE spkrl.bupd")
+  }
+
   test("UPDATE with zero matches leaves every shard in place") {
     root
     createTable("upd0")
