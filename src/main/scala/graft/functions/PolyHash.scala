@@ -24,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
 
+  // exactness guard: h < mod through the fold, so h*base + codepoint must
+  // fit in int64 — reject parameters (SQL-exposed) that could overflow
+  require(base > 0 && mod > 1 &&
+    mod <= (Long.MaxValue - 0x10FFFFL) / base,
+    s"poly_hash: base*mod must stay below 2^63 (got base=$base mod=$mod)")
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
