@@ -105,6 +105,34 @@ object FormatBench {
       println(f"[fmtbench] shardpack partial-read n=$n fullEntries=$tfull%6.2fs " +
         f"sidecarOnly=$tpart%6.2fs size=${bytesOf(dir) / 1e6}%8.1f MB")
     }
+    // SQL row-level UPDATE: group-based copy-on-write over the indexed
+    // sorted layout — one key rewrites ONE shard (static envelope pruning
+    // + runtime _shard group filtering), so the cost is a single-shard
+    // read+write, not a table rewrite
+    locally {
+      val root = s"$base/cat"
+      spark.conf.set("spark.sql.catalog.spkfb",
+        classOf[graft.sources.shardpack.ShardpackCatalog].getName)
+      spark.conf.set("spark.sql.catalog.spkfb.root", root)
+      spark.sql("DROP TABLE IF EXISTS spkfb.upd")
+      spark.sql(
+        """CREATE TABLE spkfb.upd (
+          |  key STRING NOT NULL, metadata BINARY,
+          |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+          |                       encoding: STRING, data: BINARY>> NOT NULL)
+          |USING shardpack""".stripMargin)
+      recs.repartitionByRange(8, $"key").sortWithinPartitions("key")
+        .writeTo("spkfb.upd").append()
+      spark.sql("CALL spkfb.system.build_index('upd')")
+      val (_, tupd) = time {
+        spark.sql("UPDATE spkfb.upd SET metadata = CAST('x' AS BINARY) " +
+          "WHERE key = 'doc_00000042'")
+      }
+      val shards = new java.io.File(s"$root/upd").listFiles
+        .count(_.getName.endsWith(".shardpack"))
+      println(f"[fmtbench] shardpack sql-update n=$n oneKeyUpdate=$tupd%6.2fs " +
+        f"shards=$shards (rewrote 1)")
+    }
     measure("parquet", Map.empty, s"$base/parquet")
     spark.stop()
   }
