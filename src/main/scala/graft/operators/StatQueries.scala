@@ -144,6 +144,52 @@ object StatQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Weighted average (price weighted by quantity): exact decimal
+    // numerator/denominator sums, one double division — the
+    // partial-aggregable form of every weighted metric (six decimal sums
+    // per group cross the shuffle, never rows).
+    Q("agg_weighted_avg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          (sum(dec($"l_extendedprice") * dec($"l_quantity")).cast(DoubleType) /
+            sum(dec($"l_quantity")).cast(DoubleType)).as("w_avg_price"),
+          sum(dec($"l_quantity")).cast(DoubleType).as("total_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Inter-event dwell time per user: gaps in exact epoch-µs integers,
+    // median via the same exact-int linear interpolation as
+    // agg_percentile, mean as one double division. One window shuffle on
+    // user_id feeding a partial-aggregable rollup on the same key.
+    Q("events_dwell",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |  CAST(SUM(gap) AS DOUBLE) / count(gap) AS mean_gap_us,
+        |  quantile_cont(gap, 0.5) AS median_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"user_id",
+          (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).as("gap"))
+        .filter($"gap".isNotNull)
+        .groupBy($"user_id")
+        .agg(count($"gap").as("n_gaps"),
+          (sum($"gap").cast(DoubleType) / count($"gap")).as("mean_gap_us"),
+          percentile($"gap", lit(0.5)).as("median_gap_us"))
+        .orderBy($"user_id")
+    },
+
     // Gap-based sessionization: a session break wherever a user is idle
     // > 30 min; session id = running count of breaks. One shuffle on
     // user_id serves both windows and the final per-session rollup
