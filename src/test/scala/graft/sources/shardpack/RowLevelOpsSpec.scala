@@ -210,6 +210,49 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE spkrl.bupd")
   }
 
+  test("randomized DML rounds match a driver-side model (seeded)") {
+    root
+    createTable("fuzz")
+    sampleDf(150).repartitionByRange(5, col("key")).sortWithinPartitions("key")
+      .writeTo("spkrl.fuzz").append()
+    spark.sql("CALL spkrl.system.build_index('fuzz')")
+    // model: key -> metadata string
+    val model = scala.collection.mutable.Map[String, String](
+      (0 until 150).map(i => f"key$i%05d" -> f"meta-$i%05d"): _*)
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 => // keyed UPDATE of a random existing/missing key
+          val k = f"key${rnd.nextInt(170)}%05d"
+          spark.sql(s"UPDATE spkrl.fuzz SET metadata = CAST('r$round' AS BINARY) " +
+            s"WHERE key = '$k'")
+          if (model.contains(k)) model(k) = s"r$round"
+        case 1 => // range DELETE via rewrite (exclusive upper bound declines
+          // the metadata fast path — classify allows only >= and <)
+          val lo = rnd.nextInt(140)
+          val (a, b) = (f"key$lo%05d", f"key${lo + 9}%05d")
+          spark.sql(s"DELETE FROM spkrl.fuzz WHERE key > '$a' AND key <= '$b'")
+          model.keys.toSeq.filter(k => k > a && k <= b).foreach(model.remove)
+        case 2 => // MERGE upsert of a random slab
+          val lo = rnd.nextInt(160)
+          val (a, b) = (f"key$lo%05d", f"key${lo + 4}%05d")
+          sampleDf(170).filter(col("key") >= a && col("key") <= b)
+            .withColumn("metadata", lit(s"m$round").cast("binary"))
+            .createOrReplaceTempView("fuzz_src")
+          spark.sql(
+            """MERGE INTO spkrl.fuzz t USING fuzz_src s ON t.key = s.key
+              |WHEN MATCHED THEN UPDATE SET t.metadata = s.metadata
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          (lo to lo + 4).map(i => f"key$i%05d").filter(_ <= "key00169")
+            .foreach(k => model(k) = s"m$round")
+      }
+      val got = spark.table("spkrl.fuzz").select("key", "metadata").collect()
+        .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+      assert(got == model.toMap, s"divergence after round $round")
+    }
+    spark.sql("DROP TABLE spkrl.fuzz")
+  }
+
   test("UPDATE with zero matches leaves every shard in place") {
     root
     createTable("upd0")
