@@ -249,6 +249,48 @@ object StatQueries {
         .orderBy($"prev", $"next")
     },
 
+    // Period-over-period percent change per user (the pct_change shape:
+    // navigation + arithmetic): one window shuffle, identical double
+    // expression trees snapped to the 1e-6 grid.
+    Q("win_pct_change",
+      """SELECT event_id, user_id,
+        |  round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct_change
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"event_id", $"user_id",
+          round(($"value" - lag($"value", 1).over(w)) / lag($"value", 1).over(w), 6)
+            .as("pct_change"))
+        .orderBy($"event_id")
+    },
+
+    // Geometric mean of extendedprice per returnflag: each ln term snapped
+    // onto a 1e-6 integer grid and summed exactly as BIGINT (the
+    // events_entropy determinism pattern — ln/exp are engine-variant in
+    // the last ulp, addition order across partials is not ours to fix),
+    // then one exp at the end. Partial-aggregable like every sum.
+    Q("agg_geomean",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) AS lg
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(exp(CAST(SUM(lg) AS DOUBLE) / 1000000 / count(*)), 6) AS geo_mean,
+        |  count(*) AS cnt
+        |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select($"l_returnflag",
+          round(log($"l_extendedprice") * 1000000L, 0).cast(LongType).as("lg"))
+        .groupBy($"l_returnflag")
+        .agg(
+          round(exp(sum($"lg").cast(DoubleType) / 1000000L / count(lit(1))), 6)
+            .as("geo_mean"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
     // Shannon entropy of each user's event-type distribution — the
     // behavioral-diversity signal (low entropy = single-action users).
     // Each -p·ln(p) term is snapped onto a 1e-6 integer grid and summed as
