@@ -287,6 +287,25 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("shardpack").load(empty).count() == 0)
   }
 
+  test("two concurrent append jobs land all rows and sweep only their own temps") {
+    val dir = tmpDir()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // both jobs stage .graft-tmp-<jobUuid>-… files in the SAME directory;
+    // each commit's sweep is scoped to its own jobUuid, so neither deletes
+    // the other's in-flight temps (the pre-fix sweep removed every
+    // non-own temp and failed the slower job's renames)
+    val jobs = Seq(
+      Future(sampleDf(400).write.format("shardpack").mode("append").save(dir)),
+      Future(sampleDf(300).write.format("shardpack").mode("append").save(dir)))
+    jobs.foreach(Await.result(_, 120.seconds))
+    assert(spark.read.format("shardpack").load(dir).count() == 700)
+    val leftovers = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith(".graft-tmp-"))
+    assert(leftovers.isEmpty, s"staged temps not cleaned: ${leftovers.mkString(",")}")
+  }
+
   test("min/max(key) push down to footer stats alongside count(*)") {
     val dir = tmpDir()
     sampleDf(7).write.format("shardpack").mode("append").save(dir)
