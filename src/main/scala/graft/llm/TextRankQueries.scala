@@ -220,6 +220,57 @@ object TextRankQueries {
     // rounding grid is needed. At 100 TB the df table is vocabulary-sized
     // (≪ corpus, broadcastable) and the only big shuffle is the token
     // explode's grouped count — the same inverted-index shape as tf-idf.
+    // Gopher-rule quality gate (Rae et al. 2021 §A1.1, the canonical
+    // pre-training document filter): word count bounds, mean word length
+    // band, alphabetic-word ratio, bullet-line ratio. Every signal is a
+    // ratio of exact integer counts (one double division each), so the
+    // keep flag's comparisons are engine-deterministic without rounding.
+    // Plan shape: one explode + grouped count per doc — embarrassingly
+    // parallel, no cross-doc state.
+    Q("quality_gopher",
+      """WITH w AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |ws AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    CAST(SUM(length(w)) AS DOUBLE) / count(*) AS mean_wlen,
+        |    CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS alpha_ratio
+        |  FROM w GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN regexp_matches(l, '^\s*[-*]') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS bullet_ratio
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, mean_wlen, alpha_ratio, bullet_ratio,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND mean_wlen >= 3 AND mean_wlen <= 10
+        |    AND alpha_ratio >= 0.8 AND bullet_ratio <= 0.9 AS BOOLEAN) AS keep
+        |FROM ws JOIN ls ON ws.doc_id = ls.doc_id
+        |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
+      val words = documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter($"w" =!= "")
+      val ws = words.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_words"),
+        (sum(length($"w")).cast(DoubleType) / count(lit(1))).as("mean_wlen"),
+        (sum(when($"w".rlike("[a-zA-Z]"), 1).otherwise(0)).cast(DoubleType) /
+          count(lit(1))).as("alpha_ratio"))
+      val ls = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+        .groupBy($"doc_id").agg(
+          (sum(when($"l".rlike("^\\s*[-*]"), 1).otherwise(0)).cast(DoubleType) /
+            count(lit(1))).as("bullet_ratio"))
+      ws.join(ls, "doc_id")
+        .select($"doc_id", $"n_words", $"mean_wlen", $"alpha_ratio", $"bullet_ratio",
+          ($"n_words" >= 50 && $"n_words" <= 100000 &&
+            $"mean_wlen" >= 3 && $"mean_wlen" <= 10 &&
+            $"alpha_ratio" >= 0.8 && $"bullet_ratio" <= 0.9).as("keep"))
+        .orderBy($"doc_id")
+    },
+
     Q("quality_rarity",
       s"""WITH tok AS (
          |  $SqlWordTok),
