@@ -271,6 +271,40 @@ object TextRankQueries {
         .orderBy($"doc_id")
     },
 
+    // Within-document repetition (the Gopher duplicate-n-gram signal):
+    // the fraction of word-trigram INSTANCES whose trigram occurs more
+    // than once in the same document — high ratios flag boilerplate and
+    // degenerate generations. Pure integer ratio (one division); the
+    // trigram grouping is per-doc, so the shuffle key is (doc_id, gram)
+    // and no cross-document state exists at any scale.
+    Q("quality_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+        |      FOR i IN range(1, len(ws)-1)]) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / SUM(c) AS dup_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // NON-distinct trigram instances (shingleTok dedups per doc — the
+      // dedup unit wants set semantics, repetition wants multiplicity)
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").cast(LongType).as("n_grams"),
+          (sum(when($"c" > 1, $"c").otherwise(0L)).cast(DoubleType) /
+            sum($"c")).as("dup_ratio"))
+        .orderBy($"doc_id")
+    },
+
     Q("quality_rarity",
       s"""WITH tok AS (
          |  $SqlWordTok),
