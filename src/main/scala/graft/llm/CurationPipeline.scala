@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{CrossHash => H}
+
+/** Fluent training-data curation pipeline — the user-facing composition of
+  * the engine's curation operators over a `(doc_id BIGINT, text STRING,
+  * lang STRING, …)` document frame:
+  *
+  * {{{
+  * CurationPipeline(docs)
+  *   .filterLangs("en")
+  *   .dedupExact()
+  *   .dedupNear()
+  *   .filterGopher()
+  *   .maskPii()
+  *   .splitTrainTest(trainPct = 90)
+  *   .toShardpack("/data/corpus")
+  * }}}
+  *
+  * Every step is a pure DataFrame→DataFrame transform (lazy — nothing runs
+  * until an action), reusing the SAME column expressions the oracle-checked
+  * queries declare (`dedup_exact`, `dedup_minhash`, `quality_gopher`,
+  * `pii_mask`, `text_normalize`, `split_train_test`), so the pipeline's
+  * semantics are exactly the verified ones. Steps record their names;
+  * `describe` prints the lineage. Scale shape: dedupExact is one hash
+  * shuffle; dedupNear is the MinHash band join (narrow keys) plus an
+  * anti-join; the filters are embarrassingly parallel; the split is a pure
+  * function of doc_id (affine hash) so reruns and engines agree.
+  */
+final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
+
+  private def step(name: String)(f: DataFrame => DataFrame): CurationPipeline =
+    new CurationPipeline(f(df), lineage :+ name)
+
+  /** Keep the lowest doc_id of each exact-duplicate (sha256 of text) set. */
+  def dedupExact(): CurationPipeline = step("dedupExact") { d =>
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+    d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Drop the higher doc_id of every MinHash-LSH near-duplicate candidate
+    * pair (est. Jaccard ≥ 0.5 over 3-gram shingles) — greedy canonical-id
+    * dedup on the same candidate graph `dedup_minhash` verifies.
+    */
+  def dedupNear(): CurationPipeline = step("dedupNear") { d =>
+    val drop = LlmQueries.minhashPairsOf(d)
+      .select(col("b_id").as("doc_id")).distinct()
+    d.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Keep only the named languages (metadata column filter). */
+  def filterLangs(langs: String*): CurationPipeline =
+    step(s"filterLangs(${langs.mkString(",")})") {
+      _.filter(col("lang").isin(langs: _*))
+    }
+
+  /** Gopher-rule quality gate (quality_gopher's thresholds). */
+  def filterGopher(): CurationPipeline = step("filterGopher") { d =>
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    val meanWlen = aggregate(words, lit(0L), (a, w) => a + length(w))
+      .cast(DoubleType) / nWords
+    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast(DoubleType) / nWords
+    val lines = split(col("text"), "\n")
+    val bulletRatio = size(filter(lines, l => l.rlike("^\\s*[-*]")))
+      .cast(DoubleType) / size(lines)
+    d.filter(nWords >= 50 && nWords <= 100000 &&
+      meanWlen >= 3 && meanWlen <= 10 &&
+      alphaRatio >= 0.8 && bulletRatio <= 0.9)
+  }
+
+  /** Redact email-shaped tokens and long digit runs (pii_mask's patterns). */
+  def maskPii(): CurationPipeline = step("maskPii") {
+    _.withColumn("text",
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3,}", "<NUM>"))
+  }
+
+  /** Canonical normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace (text_normalize's transform), replacing `text`.
+    */
+  def normalize(): CurationPipeline = step("normalize") {
+    _.withColumn("text",
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")))
+  }
+
+  /** Deterministic train/test split column from the seeded affine hash of
+    * doc_id (split_train_test's assignment) — membership is a pure
+    * function of the key, stable across runs, engines, and cluster sizes.
+    */
+  def splitTrainTest(trainPct: Int = 80): CurationPipeline =
+    step(s"splitTrainTest($trainPct)") {
+      _.withColumn("split",
+        when(H.affine(0, col("doc_id")) % 100 < trainPct, "train")
+          .otherwise("test"))
+    }
+
+  /** The curated frame (lazy). */
+  def result: DataFrame = df
+
+  /** Human-readable step lineage. */
+  def describe: String = lineage.mkString(" -> ")
+
+  /** Materialize as a shardpack bucket: doc_id-keyed records, non-text
+    * columns as JSON record metadata, text as a single UTF-8 entry.
+    */
+  def toShardpack(dir: String, compression: String = "lz4"): Unit = {
+    val meta = df.columns.filter(c => c != "doc_id" && c != "text")
+    df.select(
+        concat(lit("doc_"), lpad(col("doc_id").cast(StringType), 8, "0")).as("key"),
+        (if (meta.isEmpty) lit(null).cast(BinaryType)
+         else to_json(struct(meta.map(col): _*)).cast(BinaryType)).as("metadata"),
+        array(struct(
+          lit("text.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), col("text").cast(BinaryType).as("data"))).as("entries"))
+      .write.format("shardpack").option("compression", compression)
+      .mode("overwrite").save(dir)
+  }
+}
+
+object CurationPipeline {
+  /** Start a pipeline from a document frame with at least (doc_id, text). */
+  def apply(docs: DataFrame): CurationPipeline =
+    new CurationPipeline(docs, Seq("source"))
+}

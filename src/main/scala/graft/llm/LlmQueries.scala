@@ -193,11 +193,17 @@ object LlmQueries {
   private val minhashMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashMemo.computeIfAbsent((s, d), _ => {
+    minhashMemo.computeIfAbsent((s, d), _ => minhashPairsOf(documents(s, d)))
+
+  /** The band-join pipeline over an arbitrary document frame (doc_id,
+    * text) — the memoized entry above binds it to the driver tables;
+    * [[CurationPipeline.dedupNear]] applies it mid-pipeline.
+    */
+  private[llm] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
+      val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
       val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
       val sig = tok.groupBy($"doc_id")
         .agg(sigCols.head, sigCols.tail: _*)
@@ -232,7 +238,7 @@ object LlmQueries {
         .filter($"est_jac" >= 0.5)
         .select($"a_id", $"b_id", $"est_jac")
         .persist()
-    })
+  }
 
   /** Recursive-CTE oracle for clusters over the MINHASH candidate graph —
     * the signature/banding SQL of dedup_minhash feeding the same closure

@@ -1,0 +1,72 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestBase, Tables}
+
+/** The fluent curation pipeline composes the verified operator semantics:
+  * each step matches its oracle-checked query's effect, the chain is
+  * deterministic across runs, and the result round-trips through the
+  * shardpack sink.
+  */
+class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("dedupExact keeps exactly one doc per distinct text (the min id)") {
+    val out = CurationPipeline(docs).dedupExact().result
+    assert(out.count() == docs.select(sha2(col("text"), 256)).distinct().count())
+    // canonical id: every kept doc is the min doc_id of its text group
+    val expect = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    assert(out.select("doc_id").except(expect).count() == 0)
+  }
+
+  test("dedupNear drops exactly the higher ids of the candidate pairs") {
+    val out = CurationPipeline(docs).dedupNear().result
+    val bIds = LlmQueries.minhashPairsOf(docs)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(bIds).isEmpty)
+    assert(kept.size == docs.count() - bIds.size)
+  }
+
+  test("full chain is deterministic, lineage-tracked, and shardpack round-trips") {
+    def run() = CurationPipeline(docs)
+      .filterLangs("en", "de")
+      .dedupExact()
+      .dedupNear()
+      .filterGopher()
+      .maskPii()
+      .splitTrainTest(trainPct = 90)
+    val p = run()
+    assert(p.describe ==
+      "source -> filterLangs(en,de) -> dedupExact -> dedupNear -> " +
+        "filterGopher -> maskPii -> splitTrainTest(90)")
+    val a = p.result.orderBy("doc_id").collect()
+    val b = run().result.orderBy("doc_id").collect()
+    assert(a.sameElements(b), "pipeline must be deterministic across runs")
+    assert(a.nonEmpty)
+    // masked text carries no long digit runs or raw emails
+    a.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(!t.matches(".*[0-9]{3,}.*") && !t.contains("@"))
+    }
+    // split is a pure function of doc_id with roughly the asked fraction
+    val splits = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(splits.keySet.subsetOf(Set("train", "test")))
+    assert(splits.getOrElse("train", 0) > splits.getOrElse("test", 0))
+
+    val dir = Files.createTempDirectory("curation-out").toString + "/bucket"
+    p.toShardpack(dir)
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() == a.length)
+    val meta = back.filter(col("key") === f"doc_${a.head.getAs[Long]("doc_id")}%08d")
+      .select(col("metadata").cast("string")).head.getString(0)
+    assert(meta.contains("\"split\":") && meta.contains("\"lang\":"))
+  }
+}
