@@ -104,6 +104,30 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
           .otherwise("test"))
     }
 
+  /** Sliding-window chunking (doc_chunk's shape, parameterized): each
+    * document becomes `ceil` overlapping windows of `size` whitespace
+    * tokens advancing by `stride`; output rows are (doc_id, chunk_id,
+    * text, n_chunk_tokens) with other columns carried through. Terminal
+    * reshaping step — one explode, no shuffle.
+    */
+  def chunk(size: Int = 64, stride: Int = 48): CurationPipeline =
+    step(s"chunk($size,$stride)") { d =>
+      val carried = d.columns.filter(c => c != "doc_id" && c != "text").map(col)
+      d.withColumn("__words", split(col("text"), " "))
+        .withColumn("__n", org.apache.spark.sql.functions.size(col("__words")).cast(LongType))
+        .withColumn("__nc",
+          expr(s"1 + (greatest(0, __n - $size) + ${stride - 1}) div $stride"))
+        .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+        .withColumn("n_chunk_tokens",
+          least(lit(size.toLong), col("__n") - col("chunk_id") * stride))
+        .withColumn("text",
+          array_join(slice(col("__words"),
+            (col("chunk_id") * stride + 1).cast(IntegerType),
+            col("n_chunk_tokens").cast(IntegerType)), " "))
+        .select(Seq(col("doc_id"), col("chunk_id"), col("text"),
+          col("n_chunk_tokens")) ++ carried: _*)
+    }
+
   /** The curated frame (lazy). */
   def result: DataFrame = df
 

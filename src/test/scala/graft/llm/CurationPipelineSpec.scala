@@ -35,6 +35,24 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.size == docs.count() - bIds.size)
   }
 
+  test("chunk produces covering overlapped windows with carried columns") {
+    val out = CurationPipeline(docs).chunk(size = 64, stride = 48).result
+    assert(out.columns.toSet ==
+      Set("doc_id", "chunk_id", "text", "n_chunk_tokens", "lang", "source", "n_chars"))
+    // every source token position is covered: sum over chunks of stride
+    // (except the last chunk's full size) reaches n_tokens
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("n_chunk_tokens").as("max_tok"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach(r => assert(r.getAs[Long]("max_tok") <= 64))
+    // chunk text token count matches the declared n_chunk_tokens
+    out.limit(200).collect().foreach { r =>
+      val n = r.getAs[String]("text").split(" ").length
+      assert(n == r.getAs[Long]("n_chunk_tokens"), s"row $r")
+    }
+  }
+
   test("full chain is deterministic, lineage-tracked, and shardpack round-trips") {
     def run() = CurationPipeline(docs)
       .filterLangs("en", "de")
