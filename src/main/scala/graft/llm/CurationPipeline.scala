@@ -104,6 +104,53 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
           .otherwise("test"))
     }
 
+  /** Drop every document sharing at least one `spanLen`-token span with
+    * the benchmark frame (decontaminate_spans' rolling-hash machinery) —
+    * the contamination gate run before training on any corpus that might
+    * contain eval data. One window pass per side turns token hashes into
+    * rolling span hashes; the join is span-keyed (benchmark side is
+    * eval-suite-sized and broadcasts at any corpus scale).
+    */
+  def decontaminate(benchmark: DataFrame, spanLen: Int = 5): CurationPipeline =
+    step(s"decontaminate(spanLen=$spanLen)") { d =>
+      def spansOf(docsDf: DataFrame): DataFrame = {
+        val toks = docsDf
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+          .withColumn("h", H.wordHash(col("w")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val span = H.foldHash((0 until spanLen).map {
+          case 0 => col("h")
+          case k => lead(col("h"), k).over(w)
+        })
+        toks.select(col("doc_id"), span.as("sp")).filter(col("sp").isNotNull)
+      }
+      val bench = broadcast(spansOf(benchmark).select(col("sp")).distinct())
+      val hit = spansOf(d).join(bench, "sp").select(col("doc_id")).distinct()
+      d.join(hit, Seq("doc_id"), "left_anti")
+    }
+
+  /** Greedy contiguous sequence packing (pack_sequences' assignment):
+    * bin = whitespace-tokens-before-this-row div `binTokens`, over the
+    * (doc_id[, chunk_id]) order. The running sum is a single-partition
+    * window HERE; at 100 TB pack per shard/partition (PARTITION BY the
+    * shard key) — assignment stays deterministic because order within a
+    * partition is fixed.
+    */
+  def packSequences(binTokens: Int = 2048): CurationPipeline =
+    step(s"packSequences($binTokens)") { d =>
+      val ord =
+        if (d.columns.contains("chunk_id")) Seq(col("doc_id"), col("chunk_id"))
+        else Seq(col("doc_id"))
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("__n_tok",
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast(LongType))
+        .withColumn("__before", coalesce(sum(col("__n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"__before div $binTokens"))
+        .drop("__n_tok", "__before")
+    }
+
   /** Sliding-window chunking (doc_chunk's shape, parameterized): each
     * document becomes `ceil` overlapping windows of `size` whitespace
     * tokens advancing by `stride`; output rows are (doc_id, chunk_id,

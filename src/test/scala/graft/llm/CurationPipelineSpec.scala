@@ -53,6 +53,34 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decontaminate drops exactly the docs sharing a span with the benchmark") {
+    import spark.implicits._
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val out = CurationPipeline(corpus).decontaminate(bench).result
+    // the oracle-checked query lists contaminated docs (doc_id >= 10 with
+    // hits against doc_id < 10) under the same span length
+    val contaminated = graft.SparkEntry.queries("decontaminate_spans")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(contaminated).isEmpty)
+    assert(kept.size == corpus.count() - contaminated.size)
+  }
+
+  test("packSequences bins are contiguous with bounded token counts") {
+    val out = CurationPipeline(docs).chunk().packSequences(512).result
+    val bins = out.groupBy("bin")
+      .agg(sum(org.apache.spark.sql.functions.size(split(col("text"), " "))).as("toks"))
+      .orderBy("bin").collect()
+    assert(bins.nonEmpty)
+    // every bin except possibly the last holds ≥ 512 - 63 tokens (a chunk
+    // is ≤ 64 tokens, greedy fill overflows by at most one chunk)
+    bins.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("toks") >= 512 - 63, s"underfull bin $r"))
+    val binIds = bins.map(_.getAs[Long]("bin"))
+    assert(binIds.toSeq == (0L until binIds.length).toSeq, "bins must be contiguous")
+  }
+
   test("full chain is deterministic, lineage-tracked, and shardpack round-trips") {
     def run() = CurationPipeline(docs)
       .filterLangs("en", "de")
