@@ -86,18 +86,24 @@ object StatQueries {
     "round(m3 / (m2 * sqrt(m2)), 6) AS skew",
     "round(m4 / (m2 * m2) - 3, 6) AS kurt")
 
-  /** Linear interpolation between bracketing observations: exact integer
-    * epoch-µs differences, cast to DOUBLE for one division, one multiply,
-    * one add. `EPOCH_US` is spliced per engine (unix_micros / epoch_us) —
-    * the arithmetic tree is shared.
+  /** Linear interpolation between bracketing observations, fully exact
+    * until ONE final double division: values as integer cents, time
+    * fractions as integer epoch-µs differences, combined as
+    * (pv·Δt + (nv−pv)·dt) / (Δt·100) — every intermediate fits int64
+    * (cents ≤ 2^16, Δt ≤ 30 days ≈ 2.5e12 µs → products ≤ 1.2e17), so no
+    * rounding grid is needed and no grid boundary can flip (the
+    * win_pct_change lesson: round(ratio, 6) on coarse-decimal ratios DOES
+    * hit boundaries where the engines' rounding algorithms disagree).
+    * `epochUs` is spliced per engine (unix_micros / epoch_us).
     */
   private def interpCase(epochUs: String => String): String = {
-    val frac = s"CAST(${epochUs("hr")} - ${epochUs("phr")} AS DOUBLE) / " +
-      s"CAST(${epochUs("nhr")} - ${epochUs("phr")} AS DOUBLE)"
-    s"""CASE WHEN v IS NOT NULL THEN v
-       |     WHEN pv IS NULL THEN nv
-       |     WHEN nv IS NULL THEN pv
-       |     ELSE round(pv + (nv - pv) * ($frac), 6) END""".stripMargin
+    val num = s"(${epochUs("hr")} - ${epochUs("phr")})"
+    val den = s"(${epochUs("nhr")} - ${epochUs("phr")})"
+    s"""CASE WHEN v100 IS NOT NULL THEN CAST(v100 AS DOUBLE) / 100
+       |     WHEN pv IS NULL THEN CAST(nv AS DOUBLE) / 100
+       |     WHEN nv IS NULL THEN CAST(pv AS DOUBLE) / 100
+       |     ELSE CAST(pv * $den + (nv - pv) * $num AS DOUBLE)
+       |          / CAST($den * 100 AS DOUBLE) END""".stripMargin
   }
 
   /** 30-minute inactivity gap, in exact epoch-µs integer arithmetic. */
@@ -250,18 +256,30 @@ object StatQueries {
     },
 
     // Period-over-period percent change per user (the pct_change shape:
-    // navigation + arithmetic): one window shuffle, identical double
-    // expression trees snapped to the 1e-6 grid.
+    // navigation + arithmetic). Exact integer cents and ONE double
+    // division — not round(ratio, 6): ratios of coarse decimals land on
+    // rounding-grid boundaries with nonzero probability, where Spark's
+    // exact-expansion HALF_UP and DuckDB's float-multiply round disagree
+    // (observed at sf0.1). A single division of identical exact integers
+    // is bit-identical by IEEE. nullif: zero previous → NULL (ANSI Spark
+    // would error on /0).
     Q("win_pct_change",
-      """SELECT event_id, user_id,
-        |  round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct_change
-        |FROM events
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(v100 - lag(v100) OVER w AS DOUBLE)
+        |    / CAST(nullif(lag(v100) OVER w, 0) AS DOUBLE) AS pct_change
+        |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       events(s, d)
+        .select($"event_id", $"user_id", $"ts",
+          round($"value" * 100).cast(LongType).as("v100"))
         .select($"event_id", $"user_id",
-          round(($"value" - lag($"value", 1).over(w)) / lag($"value", 1).over(w), 6)
+          (($"v100" - lag($"v100", 1).over(w)).cast(DoubleType) /
+            nullif(lag($"v100", 1).over(w), lit(0)).cast(DoubleType))
             .as("pct_change"))
         .orderBy($"event_id")
     },
@@ -331,8 +349,9 @@ object StatQueries {
     // no cross join.
     Q("ts_interpolate",
       s"""WITH base AS (
-         |  SELECT user_id, hr, v FROM (
-         |    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr, value AS v,
+         |  SELECT user_id, hr, v100 FROM (
+         |    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr,
+         |      CAST(round(value * 100) AS BIGINT) AS v100,
          |      row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
          |        ORDER BY ts DESC, event_id DESC) AS rn
          |    FROM events WHERE user_id < 3) WHERE rn = 1),
@@ -342,14 +361,14 @@ object StatQueries {
          |    (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
          |       TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr) g),
          |j AS (
-         |  SELECT g.user_id, g.hr, b.v,
-         |    CASE WHEN b.v IS NOT NULL THEN g.hr END AS ohr
+         |  SELECT g.user_id, g.hr, b.v100,
+         |    CASE WHEN b.v100 IS NOT NULL THEN g.hr END AS ohr
          |  FROM grid g LEFT JOIN base b ON b.user_id = g.user_id AND b.hr = g.hr),
          |f AS (
-         |  SELECT user_id, hr, v,
-         |    last_value(v IGNORE NULLS) OVER wp AS pv,
+         |  SELECT user_id, hr, v100,
+         |    last_value(v100 IGNORE NULLS) OVER wp AS pv,
          |    last_value(ohr IGNORE NULLS) OVER wp AS phr,
-         |    first_value(v IGNORE NULLS) OVER wf AS nv,
+         |    first_value(v100 IGNORE NULLS) OVER wf AS nv,
          |    first_value(ohr IGNORE NULLS) OVER wf AS nhr
          |  FROM j WINDOW
          |    wp AS (PARTITION BY user_id ORDER BY hr
@@ -363,9 +382,10 @@ object StatQueries {
       val pick = Window.partitionBy($"user_id", $"hr")
         .orderBy($"ts".desc, $"event_id".desc)
       val base = events(s, d).filter($"user_id" < 3)
-        .select($"user_id", hr.as("hr"), $"value".as("v"), $"ts", $"event_id")
+        .select($"user_id", hr.as("hr"),
+          round($"value" * 100).cast(LongType).as("v100"), $"ts", $"event_id")
         .withColumn("rn", row_number().over(pick))
-        .filter($"rn" === 1).select($"user_id", $"hr", $"v")
+        .filter($"rn" === 1).select($"user_id", $"hr", $"v100")
       val grid = s.range(3).select($"id".as("user_id"), explode(expr(
         "sequence(timestamp'2024-01-01 00:00:00', " +
           "timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("hr"))
@@ -374,11 +394,11 @@ object StatQueries {
       val wf = Window.partitionBy($"user_id").orderBy($"hr")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       grid.join(base, Seq("user_id", "hr"), "left")
-        .withColumn("ohr", when($"v".isNotNull, $"hr"))
-        .select($"user_id", $"hr", $"v",
-          last($"v", ignoreNulls = true).over(wp).as("pv"),
+        .withColumn("ohr", when($"v100".isNotNull, $"hr"))
+        .select($"user_id", $"hr", $"v100",
+          last($"v100", ignoreNulls = true).over(wp).as("pv"),
           last($"ohr", ignoreNulls = true).over(wp).as("phr"),
-          first($"v", ignoreNulls = true).over(wf).as("nv"),
+          first($"v100", ignoreNulls = true).over(wf).as("nv"),
           first($"ohr", ignoreNulls = true).over(wf).as("nhr"))
         .selectExpr("user_id", "hr",
           interpCase(c => s"unix_micros($c)") + " AS v_interp")
