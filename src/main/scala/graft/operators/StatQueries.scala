@@ -82,7 +82,10 @@ object StatQueries {
   private val momentsOut = Seq(
     "l_returnflag",
     "CAST(n AS BIGINT) AS cnt",
-    "round(m / 100, 6) AS mean_qty",
+    // no round: s1 < 2^53 so its cast is exact in both engines and the
+    // two divisions are IEEE-identical — and m/100 CAN land on grid
+    // boundaries (structured ratio), where engine rounding differs
+    "m / 100 AS mean_qty",
     "round(m3 / (m2 * sqrt(m2)), 6) AS skew",
     "round(m4 / (m2 * m2) - 3, 6) AS kurt")
 
