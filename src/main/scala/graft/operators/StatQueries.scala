@@ -238,6 +238,39 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    // (the streak metric). The island id is day_number − dense_rank over
+    // distinct days — constant within a consecutive run, strictly
+    // increasing across gaps — all exact integer arithmetic. Two window
+    // passes and a rollup, every one keyed on user_id.
+    Q("win_streaks",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, island, count(*) AS run_len, min(day) AS run_start
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_streak,
+        |  min(run_start) AS first_day
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // integer `div`, not `/`: exact floor division in both engines
+      val day = expr("unix_micros(ts) div 86400000000")
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      events(s, d)
+        .select($"user_id", day.as("day")).distinct()
+        .withColumn("island", $"day" - dense_rank().over(w))
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("run_len"), min($"day").as("run_start"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_runs"), max($"run_len").as("longest_streak"),
+          min($"run_start").as("first_day"))
+        .orderBy($"user_id")
+    },
+
     // First-order event-type transition counts (the Markov-chain adjacency
     // a sequence-modeling pipeline starts from). One window shuffle on
     // user_id, then a tiny |types|² grouped count.
