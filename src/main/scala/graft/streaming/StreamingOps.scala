@@ -110,6 +110,52 @@ object StreamingOps {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  final case class UserProfile(user_id: Long, n_types: Int, n_events: Long)
+
+  /** Spark 4 `transformWithState` stateful processor: a per-user running
+    * profile (distinct event types seen + total events) in typed
+    * MapState/ValueState — the successor API to flatMapGroupsWithState,
+    * with named state variables, independent TTLs, and RocksDB-backed
+    * stores. One Update-mode row per user per micro-batch that touches it.
+    */
+  final class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues}
+
+    @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      types = getHandle.getMapState[String, Long](
+        "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserProfile] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        val prev = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
+        types.updateValue(e.event_type, prev + 1)
+      }
+      total.update(n)
+      Iterator.single(UserProfile(key, types.keys().size, n))
+    }
+  }
+
+  /** Running per-user profile over an event stream via transformWithState
+    * (requires the RocksDB state store provider).
+    */
+  def userProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
       sess_end: java.sql.Timestamp, cnt: Int)

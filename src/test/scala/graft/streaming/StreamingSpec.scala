@@ -477,6 +477,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState builds a running per-user profile across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = StreamingOps.userProfiles(in.toDS())
+        .writeStream.format("memory").queryName("profiles")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(ev(1, ts(0), user = 1, typ = "view"),
+          ev(2, ts(1), user = 1, typ = "click"), ev(3, ts(1), user = 2, typ = "view"))
+        q.processAllAvailable()
+        in.addData(ev(4, ts(2), user = 1, typ = "view"),
+          ev(5, ts(3), user = 1, typ = "purchase"))
+        q.processAllAvailable()
+        // latest Update row per user reflects state accumulated ACROSS batches
+        val last = spark.table("profiles").groupBy("user_id")
+          .agg(max(struct($"n_events", $"n_types")).as("s"))
+          .select($"user_id", $"s.n_types", $"s.n_events")
+          .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+        assert(last(1L) == (3, 4L), s"user 1: $last") // view, click, purchase; 4 events
+        assert(last(2L) == (1, 1L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming upsert sink: last-writer-wins merge into a shardpack bucket") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
