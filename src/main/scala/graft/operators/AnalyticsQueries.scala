@@ -201,6 +201,40 @@ object AnalyticsQueries {
         .orderBy($"doc_id")
     },
 
+    // URL handling (the web-corpus curation shape): construct a
+    // deterministic URL per document, then host/path extraction and
+    // tracking-parameter canonicalization via the SAME regexes in both
+    // engines — canonical-URL grouping is the dedup key every crawl
+    // pipeline starts from. All string ops, embarrassingly parallel.
+    Q("fn_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc/'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id='
+        |              || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_replace(url, '[?&]utm_[a-z]+=[^&]*', '') AS canonical,
+        |  CAST(regexp_matches(url, '[?]') AS INT) AS has_query
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id",
+          concat(lit("https://"), $"source", lit(".example.com/"), $"lang",
+            lit("/doc/"), $"doc_id".cast(StringType),
+            when($"doc_id" % 3 === 0,
+              concat(lit("?utm_source=feed&id="), ($"doc_id" % 7).cast(StringType)))
+              .otherwise("")).as("url"))
+        .select($"doc_id", $"url",
+          regexp_extract($"url", "^https?://([^/]+)", 1).as("host"),
+          regexp_extract($"url", "^https?://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_replace($"url", "[?&]utm_[a-z]+=[^&]*", "").as("canonical"),
+          $"url".rlike("[?]").cast(IntegerType).as("has_query"))
+        .orderBy($"doc_id")
+    },
+
     // Semi-structured access through Spark 4 VARIANT: parse once, then
     // typed path extraction (`variant_get`) — the shredded-at-read scale
     // path for JSON event payloads, vs per-access string parsing
