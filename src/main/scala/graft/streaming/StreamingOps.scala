@@ -97,14 +97,24 @@ object StreamingOps {
     * idempotent per (key, content), replays converge rather than
     * duplicate.
     */
-  def upsertSink(updates: DataFrame, dir: String, checkpoint: String)
+  /** `compactEvery` > 0 folds maintenance into the stream: after every
+    * k-th micro-batch the small-shard compaction runs in-line, so a
+    * long-running upsert stream never accumulates the per-epoch small-file
+    * backlog (compaction uses the same crash-safe generation swap as the
+    * merge itself — a failure between batch and compaction loses nothing).
+    */
+  def upsertSink(updates: DataFrame, dir: String, checkpoint: String,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.sources.shardpack.ShardpackOps.merge(batch.sparkSession, dir, batch)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.sources.shardpack.ShardpackOps.compact(batch.sparkSession, dir)
+        () // compact returns a count; foreachBatch wants Unit
       }
       .start()
 

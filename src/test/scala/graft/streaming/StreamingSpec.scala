@@ -522,18 +522,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         lit("state.json").as("file_name"), lit("application/json").as("content_type"),
         lit("").as("encoding"), to_json(struct($"event_id")).cast("binary").as("data")))
         .as("entries"))
-    val q = StreamingOps.upsertSink(toRecords(in.toDF()), dir, ckpt)
+    val q = StreamingOps.upsertSink(toRecords(in.toDF()), dir, ckpt, compactEvery = 2)
     try {
       in.addData(ev(1, ts(0), user = 1, value = 1.0), ev(2, ts(1), user = 2, value = 2.0))
       q.processAllAvailable()
       assert(spark.read.format("shardpack").load(dir).count() == 2)
-      // second epoch: update user 1, insert user 3
+      // second epoch: update user 1, insert user 3 — and the in-stream
+      // compaction folds the per-epoch small shards into one
       in.addData(ev(9, ts(2), user = 1, value = 9.0), ev(3, ts(2), user = 3, value = 3.0))
       q.processAllAvailable()
       val back = spark.read.format("shardpack").load(dir)
         .select($"key", get_json_object($"metadata".cast("string"), "$.value").cast("double").as("v"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(back == Map("user_000001" -> 9.0, "user_000002" -> 2.0, "user_000003" -> 3.0))
+      val shards = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(_.endsWith(".shardpack"))
+      assert(shards.length == 1,
+        s"compactEvery=2 should leave one merged shard, got ${shards.mkString(",")}")
     } finally q.stop()
   }
 
