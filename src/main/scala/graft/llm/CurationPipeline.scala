@@ -76,6 +76,28 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       alphaRatio >= 0.8 && bulletRatio <= 0.9)
   }
 
+  /** Drop documents whose duplicate word-trigram instance ratio exceeds
+    * `maxDupRatio` (quality_repetition's signal — boilerplate and
+    * degenerate generations). Grouping is per-document, so the extra
+    * shuffle key is (doc_id, gram) and nothing is cross-document.
+    */
+  def filterRepetition(maxDupRatio: Double = 0.3): CurationPipeline =
+    step(s"filterRepetition($maxDupRatio)") { d =>
+      val grams = d
+        .withColumn("__ws", split(col("text"), " "))
+        .filter(org.apache.spark.sql.functions.size(col("__ws")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), org.apache.spark.sql.functions.size(col("__ws")) - 3),
+            i => concat_ws(" ", slice(col("__ws"), i + 1, lit(3))))).as("g"))
+      val bad = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("c") > 1, col("c")).otherwise(0L)).cast(DoubleType) /
+          sum(col("c"))).as("dup_ratio"))
+        .filter(col("dup_ratio") > maxDupRatio)
+        .select(col("doc_id"))
+      d.join(bad, Seq("doc_id"), "left_anti")
+    }
+
   /** Redact email-shaped tokens and long digit runs (pii_mask's patterns). */
   def maskPii(): CurationPipeline = step("maskPii") {
     _.withColumn("text",

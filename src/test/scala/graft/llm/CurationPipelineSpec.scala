@@ -53,6 +53,16 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("filterRepetition drops exactly the docs above the dup-ratio threshold") {
+    val out = CurationPipeline(docs).filterRepetition(0.2).result
+    val ratios = graft.SparkEntry.queries("quality_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ratios.filter(_._2 <= 0.2).keySet ++
+      (docs.select("doc_id").collect().map(_.getLong(0)).toSet -- ratios.keySet)
+    assert(kept == expected)
+  }
+
   test("decontaminate drops exactly the docs sharing a span with the benchmark") {
     import spark.implicits._
     val bench = docs.filter(col("doc_id") < 10)
