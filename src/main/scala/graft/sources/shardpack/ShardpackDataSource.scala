@@ -603,6 +603,28 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       if (rewriteOp.isDefined) None else effectiveKeys, verify,
       HadoopConfs.serializable(), entryNames,
       if (rewriteOp.isDefined) None else keyRange)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ShardsPrunedMetric, new RecordsSkippedMetric)
+}
+
+/** DSv2 custom metrics: pushdown effectiveness surfaced in the SQL UI —
+  * how many whole shards the footer envelopes pruned and how many record
+  * blocks the key filter skipped from their length prefix. At 100 TB these
+  * two numbers ARE the selective-scan story, visible per query.
+  */
+final class ShardsPrunedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "shardsPruned"
+  override def description(): String = "shards pruned by footer key envelopes"
+}
+final class RecordsSkippedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "recordsSkipped"
+  override def description(): String = "record blocks skipped by key pushdown"
+}
+private[shardpack] final case class TaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 final case class ShardInputPartition(file: String, length: Long,
@@ -800,6 +822,8 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   private var idx = math.min(recStart, Int.MaxValue.toLong).toInt
   private var current: InternalRow = _
 
+  private var skipped = 0L
+
   override def next(): Boolean = {
     if (pruned) return false
     while (idx < endRec) {
@@ -813,11 +837,15 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
         case Some(rec) =>
           current = toRow(rec)
           return true
-        case None => // key miss — record already skipped
+        case None => skipped += 1 // key miss — record already skipped
       }
     }
     false
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TaskMetric("shardsPruned", if (pruned) 1L else 0L),
+      TaskMetric("recordsSkipped", skipped))
 
   private def toRow(rec: Record): InternalRow = {
     val values = required.fields.map { f =>
@@ -917,11 +945,16 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
         }
         if (shardPos >= 0) vectors(shardPos).putByteArray(rows, fileUtf8)
         rows += 1
-      }
+      } else skipped += 1
     }
     batch.setNumRows(rows)
     rows > 0
   }
+
+  private var skipped = 0L
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TaskMetric("shardsPruned", if (pruned) 1L else 0L),
+      TaskMetric("recordsSkipped", skipped))
 
   override def get(): ColumnarBatch = batch
 

@@ -306,6 +306,29 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(leftovers.isEmpty, s"staged temps not cleaned: ${leftovers.mkString(",")}")
   }
 
+  test("custom scan metrics report pruned shards and skipped records") {
+    val dir = tmpDir()
+    // sorted write → disjoint envelopes → a point lookup prunes all but
+    // one shard and skips most records inside the surviving one
+    sampleDf(200).orderBy("key").repartitionByRange(4, col("key"))
+      .sortWithinPartitions("key")
+      .write.format("shardpack").mode("append").save(dir)
+    val df = spark.read.format("shardpack").load(dir)
+      .filter(col("key") === "key00101").select("key", "entries")
+    // collect() drives THIS QueryExecution — metrics live on its plan
+    assert(df.collect().length == 1)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, "expected a BatchScanExec leaf")
+    val m = scan.get.metrics
+    assert(m.contains("shardsPruned") && m.contains("recordsSkipped"),
+      s"custom metrics missing: ${m.keys.mkString(",")}")
+    assert(m("shardsPruned").value == 3, s"pruned=${m("shardsPruned").value}")
+    // the surviving ~50-record shard skipped everything but the match
+    assert(m("recordsSkipped").value >= 40, s"skipped=${m("recordsSkipped").value}")
+  }
+
   test("min/max(key) push down to footer stats alongside count(*)") {
     val dir = tmpDir()
     sampleDf(7).write.format("shardpack").mode("append").save(dir)
