@@ -238,6 +238,42 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Per-user anomaly detection: z-score outliers against the user's own
+    // mean/stddev, both derived from exact decimal sums with identical
+    // expression trees — the z COMPARISON is then engine-deterministic
+    // (bit-identical doubles), no rounding grid involved; only the
+    // reported max |z| (unstructured, sqrt-derived) gets the 1e-6 snap.
+    // Two shuffles on user_id (moments, then the rollup; the stats side
+    // is one row per user and broadcasts).
+    Q("events_anomaly",
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, s1 / n AS mean,
+        |  nullif(sqrt(s2 / n - (s1 / n) * (s1 / n)), 0) AS sd FROM s)
+        |SELECT e.user_id, count(*) AS n_events,
+        |  CAST(SUM(CASE WHEN abs((e.value - m.mean) / m.sd) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(abs((e.value - m.mean) / m.sd)), 6) AS max_abs_z
+        |FROM events e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val stats = ev.groupBy($"user_id")
+        .agg(expr("CAST(count(*) AS DOUBLE)").as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s2"))
+        .selectExpr("user_id", "s1 / n AS mean",
+          "nullif(sqrt(s2 / n - (s1 / n) * (s1 / n)), 0) AS sd")
+      val z = abs(($"value" - $"mean") / $"sd")
+      ev.join(stats, "user_id")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(z > 2, 1).otherwise(0)).cast(LongType).as("n_outliers"),
+          round(max(z), 6).as("max_abs_z"))
+        .orderBy($"user_id")
+    },
+
     // Gaps-and-islands: longest run of CONSECUTIVE active days per user
     // (the streak metric). The island id is day_number − dense_rank over
     // distinct days — constant within a consecutive run, strictly
