@@ -115,6 +115,16 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
         " +", " ")))
   }
 
+  /** Deterministic percentage sample: keep doc_id's whose seeded affine
+    * hash lands below `pct` of the modulus — membership is a pure function
+    * of the key (reruns, engines and cluster sizes agree), the
+    * sample_stratified/bottomk convention without any shuffle.
+    */
+  def samplePct(pct: Int, seedIdx: Int = 2): CurationPipeline =
+    step(s"samplePct($pct)") {
+      _.filter(H.affine(seedIdx, col("doc_id")) % 100 < pct)
+    }
+
   /** Deterministic train/test split column from the seeded affine hash of
     * doc_id (split_train_test's assignment) — membership is a pure
     * function of the key, stable across runs, engines, and cluster sizes.

@@ -238,6 +238,37 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Robust statistics: median absolute deviation of quantity per
+    // returnflag. Everything stays on exact dyadic rationals — integer
+    // cents, then two 0.5-quantile interpolations (each a + (b−a)/2) and
+    // one final /2: every value is an exact quarter-integer both engines
+    // represent identically, so no rounding grid is involved at all.
+    Q("agg_mad",
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS q100
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag, quantile_cont(q100 * 2, 0.5) AS med2
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT q.l_returnflag,
+        |  quantile_cont(abs(q.q100 * 2 - med.med2), 0.5) / 2 AS mad_cents,
+        |  CAST(med.med2 AS DOUBLE) / 2 AS median_cents,
+        |  count(*) AS cnt
+        |FROM q JOIN med ON q.l_returnflag = med.l_returnflag
+        |GROUP BY q.l_returnflag, med.med2 ORDER BY q.l_returnflag""".stripMargin) { (s, d) =>
+      val q = lineitem(s, d)
+        .select($"l_returnflag", (round($"l_quantity" * 100).cast(LongType)).as("q100"))
+      val med = q.groupBy($"l_returnflag")
+        .agg(percentile($"q100" * 2, lit(0.5)).as("med2"))
+      q.join(med, "l_returnflag")
+        .groupBy($"l_returnflag", $"med2")
+        .agg((percentile(abs($"q100" * 2 - $"med2"), lit(0.5)) / 2).as("mad_cents"),
+          count(lit(1)).as("cnt"))
+        .select($"l_returnflag", $"mad_cents",
+          ($"med2".cast(DoubleType) / 2).as("median_cents"), $"cnt")
+        .orderBy($"l_returnflag")
+    },
+
     // Per-user anomaly detection: z-score outliers against the user's own
     // mean/stddev, both derived from exact decimal sums with identical
     // expression trees — the z COMPARISON is then engine-deterministic
