@@ -153,9 +153,16 @@ object ShardpackFormat {
     require(rec.entries.size <= 0xFFFF, s"too many entries: ${rec.entries.size}")
     out.writeShort(rec.entries.size)
     rec.entries.foreach { e =>
-      val enc = if (e.encoding == null || e.encoding.isEmpty) codec else e.encoding
+      val requested = if (e.encoding == null || e.encoding.isEmpty) codec else e.encoding
       val raw = if (e.data == null) Array.emptyByteArray else e.data
-      val stored = Codec.compress(enc, raw)
+      val attempt = Codec.compress(requested, raw)
+      // store-if-smaller: incompressible payloads (already-compressed
+      // media, random bytes — the common case for multimodal entries)
+      // fall back to raw storage so a codec can never INFLATE an entry;
+      // the per-entry codec byte makes the choice self-describing
+      val (enc, stored) =
+        if (attempt.length < raw.length) (requested, attempt)
+        else (Codec.None, raw)
       writeStr16(out, e.fileName)
       writeStr16(out, if (e.contentType == null) "" else e.contentType)
       out.writeByte(Codec.id(enc))

@@ -48,6 +48,26 @@ class ShardpackFormatSpec extends AnyFunSuite {
 
   // ── reference test ports (writer.rs) ──
 
+  test("store-if-smaller: incompressible entries fall back to raw storage") {
+    val rnd = new scala.util.Random(7)
+    val incompressible = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val compressible = Array.fill[Byte](4096)('a'.toByte)
+    val rec = Record("k", null, Seq(
+      Entry("blob.bin", "application/octet-stream", "", incompressible),
+      Entry("text.txt", "text/plain", "", compressible)))
+    val enc = encodeRecord(rec, Codec.Gzip)
+    // random bytes stored raw (codec can't shrink them — must not inflate);
+    // the repetitive entry still compresses
+    val back = decodeRecord(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(enc)), verify = true)
+    assert(back.entries(0).data.sameElements(incompressible))
+    assert(back.entries(1).data.sameElements(compressible))
+    // encoded record is smaller than raw-gzip-inflation would be: the
+    // incompressible entry contributes ~its raw length, not gzip(raw) > raw
+    assert(enc.length < incompressible.length + 200 + compressible.length,
+      s"encoded ${enc.length} suggests the incompressible entry was inflated")
+  }
+
   test("fresh writer invariants (writer.rs:204-211)") {
     val bos = new ByteArrayOutputStream()
     val w = new ShardFileWriter(bos, Array.emptyByteArray)
