@@ -153,15 +153,18 @@ object ShardpackFormat {
     require(rec.entries.size <= 0xFFFF, s"too many entries: ${rec.entries.size}")
     out.writeShort(rec.entries.size)
     rec.entries.foreach { e =>
-      val requested = if (e.encoding == null || e.encoding.isEmpty) codec else e.encoding
+      val explicit = e.encoding != null && e.encoding.nonEmpty
+      val requested = if (explicit) e.encoding else codec
       val raw = if (e.data == null) Array.emptyByteArray else e.data
       val attempt = Codec.compress(requested, raw)
-      // store-if-smaller: incompressible payloads (already-compressed
-      // media, random bytes — the common case for multimodal entries)
-      // fall back to raw storage so a codec can never INFLATE an entry;
-      // the per-entry codec byte makes the choice self-describing
+      // store-if-smaller: under the file-level DEFAULT codec, an
+      // incompressible payload (already-compressed media, random bytes —
+      // the common case for multimodal entries) falls back to raw storage
+      // so the codec can never INFLATE an entry; an EXPLICIT per-entry
+      // encoding is a caller contract and is always honored. The per-entry
+      // codec byte makes either choice self-describing on read.
       val (enc, stored) =
-        if (attempt.length < raw.length) (requested, attempt)
+        if (explicit || attempt.length < raw.length) (requested, attempt)
         else (Codec.None, raw)
       writeStr16(out, e.fileName)
       writeStr16(out, if (e.contentType == null) "" else e.contentType)
