@@ -88,6 +88,7 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureC
   //   CALL <cat>.system.build_index('ns.tbl')   → shards_indexed
   //   CALL <cat>.system.compact('ns.tbl', 0.5)  → shards_compacted
   //   CALL <cat>.system.expire_range('ns.tbl', lo, hi)
+  //   CALL <cat>.system.vacuum('ns.tbl', 24.0)  → temps_removed
   // The ops themselves are ShardpackIndex/ShardpackOps; the procedure layer
   // just resolves the table ident to its directory, so every maintenance
   // op is reachable from pure SQL with no Scala in sight.
@@ -135,6 +136,15 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureC
           org.apache.spark.sql.SparkSession.active,
           tableDir(input.getUTF8String(0).toString), minFill = input.getDouble(1))
         oneRowScan(StructType(Seq(StructField("shards_compacted", IntegerType))), Array(n))
+      }
+    },
+    "vacuum" -> new Proc("vacuum",
+        Seq("table" -> StringType, "older_than_hours" -> DoubleType)) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val n = ShardpackOps.vacuum(
+          tableDir(input.getUTF8String(0).toString),
+          (input.getDouble(1) * 3600 * 1000).toLong)
+        oneRowScan(StructType(Seq(StructField("temps_removed", IntegerType))), Array(n))
       }
     },
     "expire_range" -> new Proc("expire_range",

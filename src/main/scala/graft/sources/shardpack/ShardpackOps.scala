@@ -131,6 +131,27 @@ object ShardpackOps {
     *
     * Returns the number of small shards compacted away (0 = nothing to do).
     */
+  /** Remove orphaned staged temp files left by CRASHED jobs. Commit/abort
+    * sweeps are deliberately job-scoped (a concurrent job's temps must
+    * survive), so a writer that dies without either leaves `.graft-tmp-*`
+    * files forever — vacuum deletes those older than `olderThanMs`
+    * (default 24 h; any live job's temps are younger than its runtime).
+    * Dot-prefixed temps are invisible to readers, so this is pure
+    * space/listing hygiene and always safe at or above the threshold.
+    * Returns the number of files removed.
+    */
+  def vacuum(dir: String, olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(HadoopConfs.session())
+    if (!fs.exists(d)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = fs.listStatus(d).filter(st =>
+      st.isFile && st.getPath.getName.startsWith(".graft-tmp-") &&
+        st.getModificationTime < cutoff)
+    stale.foreach(st => fs.delete(st.getPath, false))
+    stale.length
+  }
+
   def compact(spark: SparkSession, dir: String, minFill: Double = 0.5,
       shardCap: Long = ShardpackFormat.DefaultShardCap,
       compression: String = ShardpackFormat.Codec.None): Int = {

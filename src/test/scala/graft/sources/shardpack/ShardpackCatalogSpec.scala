@@ -109,6 +109,31 @@ class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS spk.ctas")
   }
 
+  test("CALL system.vacuum removes only stale orphaned temps") {
+    root
+    try {
+      spark.sql(
+        """CREATE TABLE spk.vac (
+          |  key STRING NOT NULL, metadata BINARY,
+          |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+          |                       encoding: STRING, data: BINARY>> NOT NULL)
+          |USING shardpack""".stripMargin)
+      sampleDf(10).writeTo("spk.vac").append()
+      val dir = new java.io.File(s"$root/vac")
+      // a crashed job's orphan (old mtime) and a "live" job's fresh temp
+      val stale = new java.io.File(dir, ".graft-tmp-deadbeef-x-part-0.shardpack")
+      val fresh = new java.io.File(dir, ".graft-tmp-cafebabe-y-part-0.shardpack")
+      java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+      java.nio.file.Files.write(fresh.toPath, Array[Byte](4, 5, 6))
+      stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      val removed = spark.sql("CALL spk.system.vacuum('vac', 24.0)")
+        .collect()(0).getInt(0)
+      assert(removed == 1)
+      assert(!stale.exists() && fresh.exists())
+      assert(spark.table("spk.vac").count() == 10) // data untouched
+    } finally spark.sql("DROP TABLE IF EXISTS spk.vac")
+  }
+
   test("stored procedures: CALL system.build_index / compact / expire_range") {
     root
     spark.sql(
