@@ -89,6 +89,7 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureC
   //   CALL <cat>.system.compact('ns.tbl', 0.5)  → shards_compacted
   //   CALL <cat>.system.expire_range('ns.tbl', lo, hi)
   //   CALL <cat>.system.vacuum('ns.tbl', 24.0)  → temps_removed
+  //   CALL <cat>.system.stats('ns.tbl')         → table metadata profile
   // The ops themselves are ShardpackIndex/ShardpackOps; the procedure layer
   // just resolves the table ident to its directory, so every maintenance
   // op is reachable from pure SQL with no Scala in sight.
@@ -136,6 +137,50 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureC
           org.apache.spark.sql.SparkSession.active,
           tableDir(input.getUTF8String(0).toString), minFill = input.getDouble(1))
         oneRowScan(StructType(Seq(StructField("shards_compacted", IntegerType))), Array(n))
+      }
+    },
+    "stats" -> new Proc("stats", Seq("table" -> StringType)) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = new Path(tableDir(input.getUTF8String(0).toString))
+        val shards = ShardpackDataSource.listShards(fs, dir)
+        // sidecar-first (one read covers counts AND envelopes); footer
+        // probes only for shards the index misses — same policy as scans
+        val idx = ShardpackIndex.load(fs, dir).getOrElse(Map.empty)
+        var records = 0L
+        var lo: String = null
+        var hi: String = null
+        shards.foreach { st =>
+          val (n, range) = idx.get(st.getPath.getName)
+            .filter(_.len == st.getLen)
+            .map(e => (e.nRecords, e.range))
+            .getOrElse {
+              val in = fs.open(st.getPath)
+              val footer =
+                try ShardpackFormat.readFooter(st.getLen, (pos, k) => {
+                  val b = new Array[Byte](k); in.readFully(pos, b); b
+                })
+                finally in.close()
+              (footer.offsets.length.toLong,
+                ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1)
+            }
+          records += n
+          range.foreach { case (mn, mx) =>
+            if (lo == null || mn < lo) lo = mn
+            if (hi == null || mx > hi) hi = mx
+          }
+        }
+        oneRowScan(
+          StructType(Seq(
+            StructField("n_shards", IntegerType),
+            StructField("n_records", LongType),
+            StructField("total_bytes", LongType),
+            StructField("min_key", StringType),
+            StructField("max_key", StringType),
+            StructField("indexed", BooleanType))),
+          Array(shards.size, records, shards.map(_.getLen).sum,
+            if (lo == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(lo),
+            if (hi == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(hi),
+            idx.nonEmpty))
       }
     },
     "vacuum" -> new Proc("vacuum",

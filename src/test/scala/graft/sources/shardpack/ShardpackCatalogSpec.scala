@@ -109,6 +109,26 @@ class ShardpackCatalogSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS spk.ctas")
   }
 
+  test("CALL system.stats reports the table's metadata profile") {
+    root
+    try {
+      spark.sql(
+        """CREATE TABLE spk.st (
+          |  key STRING NOT NULL, metadata BINARY,
+          |  entries ARRAY<STRUCT<file_name: STRING, content_type: STRING,
+          |                       encoding: STRING, data: BINARY>> NOT NULL)
+          |USING shardpack""".stripMargin)
+      (0 until 2).foreach(_ => sampleDf(25).writeTo("spk.st").append())
+      val r0 = spark.sql("CALL spk.system.stats('st')").collect()(0)
+      assert(r0.getLong(1) == 50 && r0.getInt(0) >= 2 && r0.getLong(2) > 0)
+      assert(r0.getString(3) == "key00000" && r0.getString(4) == "key00024")
+      assert(!r0.getBoolean(5)) // no sidecar yet
+      spark.sql("CALL spk.system.build_index('st')")
+      val r1 = spark.sql("CALL spk.system.stats('st')").collect()(0)
+      assert(r1.getBoolean(5) && r1.getLong(1) == 50)
+    } finally spark.sql("DROP TABLE IF EXISTS spk.st")
+  }
+
   test("CALL system.vacuum removes only stale orphaned temps") {
     root
     try {
