@@ -177,12 +177,20 @@ final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
     * matches (the Iceberg `_file` pattern).
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_shard"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "source shard file path"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_shard"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "source shard file path"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "record ordinal within its shard (with _shard: a stable physical address)"
+      })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardpackScanBuilder(paths, options, bucketN)
@@ -863,6 +871,7 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
             new GenericInternalRow(ev): Any
           }.toArray)
         case "_shard" => UTF8String.fromString(file)
+        case "_pos" => (idx - 1).toLong: java.lang.Long
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
     }
@@ -922,6 +931,7 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
   private val keyPos = required.fieldNames.indexOf("key")
   private val metaPos = required.fieldNames.indexOf("metadata")
   private val shardPos = required.fieldNames.indexOf("_shard")
+  private val posPos = required.fieldNames.indexOf("_pos")
   private val fileUtf8 = file.getBytes("UTF-8")
 
   private var idx = math.min(recStart, Int.MaxValue.toLong).toInt
@@ -944,6 +954,7 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
           else vectors(metaPos).putByteArray(rows, meta)
         }
         if (shardPos >= 0) vectors(shardPos).putByteArray(rows, fileUtf8)
+        if (posPos >= 0) vectors(posPos).putLong(rows, (idx - 1).toLong)
         rows += 1
       } else skipped += 1
     }

@@ -182,6 +182,17 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
     val viaCol = byShard.toSeq.flatMap { case (s, rs) =>
       rs.toSeq.map(r => (s, r.getString(1))) }.toSet
     assert(viaRow == viaCol)
+    // (_shard, _pos) is a unique physical address, ordinals start at 0 and
+    // are dense within each shard — identical in both reader paths
+    val addrs = spark.sql("SELECT _shard, _pos, key FROM spkrl.prov").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(addrs.distinct.length == 50)
+    addrs.groupBy(_._1).values.foreach { ps =>
+      assert(ps.map(_._2).sorted.toSeq == (0L until ps.length).toSeq)
+    }
+    val addrsRow = spark.sql("SELECT _shard, _pos, key, entries FROM spkrl.prov")
+      .select("_shard", "_pos").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(addrsRow == addrs.toSet)
     spark.sql("DROP TABLE spkrl.prov")
   }
 
