@@ -238,6 +238,37 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Lag/rolling feature engineering (the per-entity time-series features
+    // an ML pipeline derives before training): lag-1/lag-2 values and a
+    // trailing 3-row mean, all from exact integer cents with one double
+    // division — one window shuffle on user_id serves every feature.
+    Q("ts_lag_features",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events)
+        |SELECT event_id, user_id, v100,
+        |  lag(v100, 1) OVER w AS lag1,
+        |  lag(v100, 2) OVER w AS lag2,
+        |  CAST(SUM(v100) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_mean3
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      events(s, d)
+        .select($"event_id", $"user_id", $"ts",
+          round($"value" * 100).cast(LongType).as("v100"))
+        .select($"event_id", $"user_id", $"v100",
+          lag($"v100", 1).over(w).as("lag1"),
+          lag($"v100", 2).over(w).as("lag2"),
+          (sum($"v100").over(w3).cast(DoubleType) /
+            count(lit(1)).over(w3)).as("roll_mean3"))
+        .orderBy($"event_id")
+    },
+
     // Robust statistics: median absolute deviation of quantity per
     // returnflag. Everything stays on exact dyadic rationals — integer
     // cents, then two 0.5-quantile interpolations (each a + (b−a)/2) and
