@@ -669,6 +669,23 @@ object RelationalQueries {
         .orderBy($"k")
     },
 
+    // Symmetric difference — the membership-mismatch audit (who is in
+    // exactly one of two populations). Composed as (A∖B) ∪ (B∖A); both
+    // sides hash-shuffle once on the key.
+    Q("set_symmetric_diff",
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT k FROM (
+        |  SELECT k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |  UNION
+        |  SELECT k FROM (SELECT k FROM b EXCEPT SELECT k FROM a))
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val a = customer(s, d).filter($"c_acctbal" > 5000).select($"c_custkey".as("k"))
+      val b = orders(s, d).filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("k")).distinct()
+      a.except(b).union(b.except(a)).distinct().orderBy($"k")
+    },
+
     // Bag semantics: multiplicities min(l,r) / l−r, preserved per row.
     Q("set_intersect_all",
       """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
