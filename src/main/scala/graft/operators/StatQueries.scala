@@ -238,6 +238,47 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Several COUNT(DISTINCT …) over different columns in one aggregate —
+    // Catalyst plans an EXPAND (one duplicated stream per distinct set):
+    // the multi-distinct shape that silently multiplies shuffle volume at
+    // scale, here pinned as a correctness surface.
+    Q("agg_multi_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS d_parts,
+        |  count(DISTINCT l_suppkey) AS d_supps,
+        |  count(DISTINCT l_orderkey) AS d_orders,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("d_parts"),
+          countDistinct($"l_suppkey").as("d_supps"),
+          countDistinct($"l_orderkey").as("d_orders"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Percent-of-total contribution per group: ratio of two exact decimal
+    // sums (group / grand total), one double division each — the
+    // "share of revenue" report shape. The grand total is a 1-row frame
+    // that broadcasts; no second pass over the data.
+    Q("agg_share",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (SELECT SUM(rev) AS total FROM g)
+        |SELECT l_returnflag, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM g CROSS JOIN t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val g = lineitem(s, d).groupBy($"l_returnflag")
+        .agg(sum(dec($"l_extendedprice")).as("rev"))
+      val t = g.agg(sum($"rev").as("total"))
+      g.crossJoin(t)
+        .select($"l_returnflag", $"rev".cast(DoubleType).as("revenue"),
+          ($"rev".cast(DoubleType) / $"total".cast(DoubleType)).as("share"))
+        .orderBy($"l_returnflag")
+    },
+
     // Lag/rolling feature engineering (the per-entity time-series features
     // an ML pipeline derives before training): lag-1/lag-2 values and a
     // trailing 3-row mean, all from exact integer cents with one double
