@@ -63,6 +63,22 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == expected)
   }
 
+  test("samplePct keeps a deterministic hash-pure fraction") {
+    val p20 = CurationPipeline(docs).samplePct(20).result
+    val n = docs.count().toDouble
+    val k = p20.count().toDouble
+    assert(k / n > 0.10 && k / n < 0.30, s"20% sample took ${k / n}")
+    // pure function of doc_id: rerun identical, and a 50% sample contains
+    // every member of the 20% sample taken under the same seed? (no —
+    // thresholds nest: hash % 100 < 20 implies < 50)
+    assert(p20.select("doc_id").collect().toSeq ==
+      CurationPipeline(docs).samplePct(20).result.select("doc_id").collect().toSeq)
+    val p50 = CurationPipeline(docs).samplePct(50).result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20 = p20.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(p50), "samples under the same seed must nest")
+  }
+
   test("decontaminate drops exactly the docs sharing a span with the benchmark") {
     import spark.implicits._
     val bench = docs.filter(col("doc_id") < 10)
