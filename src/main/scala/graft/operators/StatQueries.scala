@@ -238,6 +238,28 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Conditional aggregation via the SQL FILTER clause — several
+    // differently-filtered measures in ONE pass over the data (the
+    // dashboard-metrics shape; the alternative is N scans or N CASE
+    // pyramids). All counts and exact decimal sums.
+    Q("agg_filtered",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS rev_hightax,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_bulk"),
+          expr("count(*) FILTER (WHERE l_discount = 0)").as("n_nodisc"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+            "FILTER (WHERE l_tax > 0.05) AS DOUBLE)").as("rev_hightax"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
     // Several COUNT(DISTINCT …) over different columns in one aggregate —
     // Catalyst plans an EXPAND (one duplicated stream per distinct set):
     // the multi-distinct shape that silently multiplies shuffle volume at
