@@ -221,6 +221,46 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE spkrl.bupd")
   }
 
+  test("UPDATE preserves multi-entry sibling payloads byte-identically") {
+    root
+    createTable("multi")
+    import spark.implicits._
+    spark.range(30L).select(
+        format_string("key%05d", $"id").as("key"),
+        lit(null).cast("binary").as("metadata"),
+        array(
+          struct(lit("meta.json").as("file_name"), lit("application/json").as("content_type"),
+            lit("").as("encoding"), encode(format_string("{\"i\":%d}", $"id"), "UTF-8").as("data")),
+          struct(lit("blob.bin").as("file_name"), lit("application/octet-stream").as("content_type"),
+            lit("").as("encoding"), sha2(format_string("%d", $"id"), 256).cast("binary").as("data")))
+          .as("entries"))
+      .writeTo("spkrl.multi").append()
+    val before = spark.table("spkrl.multi")
+      .select($"key", element_at($"entries", 2).getField("data").as("blob"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+
+    spark.sql("UPDATE spkrl.multi SET metadata = CAST('touched' AS BINARY) " +
+      "WHERE key < 'key00010'")
+
+    val rows = spark.table("spkrl.multi")
+      .select($"key", $"metadata",
+        element_at($"entries", 1).getField("data").cast("string").as("meta_json"),
+        element_at($"entries", 2).getField("data").as("blob"),
+        size($"entries").as("n"))
+      .collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getInt(4) == 2, s"$k lost an entry")
+      assert(r.getAs[Array[Byte]](3).toSeq == before(k), s"$k blob changed")
+      val i = k.drop(3).toInt
+      assert(r.getString(2) == s"""{"i":$i}""", s"$k json changed")
+      if (k < "key00010") assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == "touched")
+      else assert(r.get(1) == null)
+    }
+    spark.sql("DROP TABLE spkrl.multi")
+  }
+
   test("randomized DML rounds match a driver-side model (seeded)") {
     root
     createTable("fuzz")
