@@ -127,6 +127,24 @@ object ScalarFnQueries {
         .orderBy($"w")
     },
 
+    // explode_outer: rows with EMPTY arrays survive as a NULL element —
+    // the generator variant that keeps entity coverage (a doc with no
+    // long words still appears in the output). DuckDB mirrors it by
+    // substituting [NULL] for the empty list; null ordering is explicit
+    // (NULLS FIRST) because the engines' ASC defaults differ.
+    Q("fn_explode_outer",
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) = 0
+        |      THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS w
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          x -> length(x) >= 12) AS ws FROM documents))
+        |ORDER BY doc_id, w NULLS FIRST""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id",
+          explode_outer(filter(split($"text", " "), x => length(x) >= 12)).as("w"))
+        .orderBy($"doc_id", $"w".asc_nulls_first)
+    },
+
     Q("fn_map_json",
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
