@@ -669,6 +669,38 @@ object RelationalQueries {
         .orderBy($"k")
     },
 
+    // Null-safe equality join (`IS NOT DISTINCT FROM` / `<=>`): NULL keys
+    // MATCH each other instead of vanishing — the semantics dimension
+    // lookups with "unknown" buckets need. Still hash-joinable (null-safe
+    // equality is an equi-key to Spark), unlike an OR-of-IS-NULL rewrite.
+    Q("join_null_safe",
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_discount = 0 THEN NULL
+        |         ELSE CAST(round(l_discount * 100) AS BIGINT) END AS disc_pct
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT CAST(NULL AS BIGINT) AS disc_pct, 'none' AS label
+        |  UNION ALL SELECT 5, 'mid' UNION ALL SELECT 10, 'high')
+        |SELECT l.l_orderkey, l.l_linenumber, dim.label
+        |FROM l JOIN dim ON l.disc_pct IS NOT DISTINCT FROM dim.disc_pct
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val l = lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+        when($"l_discount" === 0, lit(null).cast(LongType))
+          .otherwise(round($"l_discount" * 100).cast(LongType)).as("disc_pct"))
+      val dim = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(null, "none"),
+          org.apache.spark.sql.Row(java.lang.Long.valueOf(5L), "mid"),
+          org.apache.spark.sql.Row(java.lang.Long.valueOf(10L), "high")),
+        StructType(Seq(
+          StructField("disc_pct", LongType, nullable = true),
+          StructField("label", StringType, nullable = false))))
+      l.join(dim, l("disc_pct") <=> dim("disc_pct"))
+        .select($"l_orderkey", $"l_linenumber", $"label")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // Symmetric difference — the membership-mismatch audit (who is in
     // exactly one of two populations). Composed as (A∖B) ∪ (B∖A); both
     // sides hash-shuffle once on the key.
