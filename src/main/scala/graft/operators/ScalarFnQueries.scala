@@ -127,6 +127,27 @@ object ScalarFnQueries {
         .orderBy($"w")
     },
 
+    // INTERVAL arithmetic on event time: shift, bucket, and difference —
+    // all exact integer microsecond math in both engines (intervals here
+    // are fixed day-time lengths; calendar-month arithmetic is the
+    // engine-divergent case and deliberately out of scope).
+    Q("fn_interval",
+      """SELECT event_id,
+        |  ts + INTERVAL 90 MINUTE AS ts_plus90m,
+        |  ts - INTERVAL 1 DAY AS ts_minus1d,
+        |  CAST((epoch_us(ts + INTERVAL 90 MINUTE) - epoch_us(ts)) // 60000000 AS BIGINT)
+        |    AS diff_minutes,
+        |  date_trunc('week', ts) AS week_start
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select($"event_id",
+          ($"ts" + expr("INTERVAL 90 MINUTES")).as("ts_plus90m"),
+          ($"ts" - expr("INTERVAL 1 DAYS")).as("ts_minus1d"),
+          expr("(unix_micros(ts + INTERVAL 90 MINUTES) - unix_micros(ts)) div 60000000")
+            .as("diff_minutes"),
+          date_trunc("week", $"ts").as("week_start"))
+        .orderBy($"event_id")
+    },
+
     // explode_outer: rows with EMPTY arrays survive as a NULL element —
     // the generator variant that keeps entity coverage (a doc with no
     // long words still appears in the output). DuckDB mirrors it by
