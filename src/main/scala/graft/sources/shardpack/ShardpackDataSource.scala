@@ -84,6 +84,23 @@ object ShardpackDataSource {
   /** Bucketed writers name shards `…-b<bucket>-<seq>.shardpack`. */
   val BucketedName = """-b(\d+)-\d+\.shardpack$""".r
 
+  /** Cross-engine key-hash percentile (the CrossHash polynomial fold mod
+    * 100) — the sampled-scan membership function. Pure function of the
+    * key: the same records are sampled on every run, engine, and reader
+    * path, and `poly_hash(key, 131, 1000000007) % 100 < pct` reproduces
+    * the exact membership in SQL.
+    */
+  def keyHashPct(key: String): Int = {
+    var h = 0L
+    var i = 0
+    while (i < key.length) {
+      val cp = key.codePointAt(i)
+      h = (h * 131 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    (h % 100).toInt
+  }
+
   def listShards(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -374,7 +391,8 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
       keyRange,
       Option(options.get("maxBytesPerPartition")).map(_.toLong)
         .getOrElse(ShardpackFormat.DefaultShardCap),
-      limit)
+      limit, None,
+      Option(options.get("samplePct")).map(_.toInt))
 }
 
 final class ShardpackScan(paths: Seq[String], required: StructType,
@@ -384,7 +402,8 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     keyRange: Option[KeyRange] = None,
     splitBytes: Long = ShardpackFormat.DefaultShardCap,
     limit: Option[Int] = None,
-    rewriteOp: Option[ShardpackRowLevelOperation] = None)
+    rewriteOp: Option[ShardpackRowLevelOperation] = None,
+    samplePct: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -610,7 +629,7 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     ShardpackReaderFactory(required,
       if (rewriteOp.isDefined) None else effectiveKeys, verify,
       HadoopConfs.serializable(), entryNames,
-      if (rewriteOp.isDefined) None else keyRange)
+      if (rewriteOp.isDefined) None else keyRange, samplePct)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ShardsPrunedMetric, new RecordsSkippedMetric)
@@ -741,7 +760,8 @@ final case class ShardpackReaderFactory(required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     hconf: SerializableHadoopConf,
     entryNames: Option[Set[String]] = None,
-    keyRange: Option[KeyRange] = None) extends PartitionReaderFactory {
+    keyRange: Option[KeyRange] = None,
+    samplePct: Option[Int] = None) extends PartitionReaderFactory {
   private def fileOf(p: InputPartition): (String, Long, Long, Long) = p match {
     case ShardInputPartition(f, l, rs, re) => (f, l, rs, re)
     case BucketedShardInputPartition(f, l, _) => (f, l, 0L, -1L)
@@ -750,7 +770,7 @@ final case class ShardpackReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (file, length, rs, re) = fileOf(p)
     new ShardpackPartitionReader(file, length, required, keyFilter, verify,
-      hconf.value, entryNames, keyRange, rs, re)
+      hconf.value, entryNames, keyRange, rs, re, samplePct)
   }
 
   /** Payload-free scans (no `entries` column requested — counts, metadata
@@ -766,7 +786,7 @@ final case class ShardpackReaderFactory(required: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (file, length, rs, re) = fileOf(p)
     new ShardpackColumnarReader(file, length, required, keyFilter, hconf.value,
-      keyRange, rs, re)
+      keyRange, rs, re, samplePct)
   }
 }
 
@@ -783,8 +803,17 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
     hadoopConf: Configuration = new Configuration(),
     entryNames: Option[Set[String]] = None,
     keyRange: Option[KeyRange] = None,
-    recStart: Long = 0L, recEnd: Long = -1L)
+    recStart: Long = 0L, recEnd: Long = -1L,
+    samplePct: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  // deterministic in-scan sampling: keep keys whose cross-engine
+  // polynomial hash lands below the percentage — skipped records never
+  // decode payloads (same stream-skip path as a key-filter miss)
+  private val sampleKeep: String => Boolean = samplePct match {
+    case Some(pct) => k => ShardpackDataSource.keyHashPct(k) < pct
+    case None => _ => true
+  }
 
   private val fs = new Path(file).getFileSystem(hadoopConf)
   private val footer = {
@@ -841,7 +870,8 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
       // seek when the skip outruns the 1 MiB buffer) — never read, copied,
       // decompressed or checksummed
       ShardpackFormat.decodeRecordStreaming(
-          stream, keyFilter, wantEntryData, verify, entryNames, keyRange) match {
+          stream, keyFilter, wantEntryData, verify, entryNames, keyRange,
+          sampleKeep) match {
         case Some(rec) =>
           current = toRow(rec)
           return true
@@ -891,8 +921,14 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
 final class ShardpackColumnarReader(file: String, fileLen: Long,
     required: StructType, keyFilter: Option[Set[String]],
     hadoopConf: Configuration, keyRange: Option[KeyRange] = None,
-    recStart: Long = 0L, recEnd: Long = -1L)
+    recStart: Long = 0L, recEnd: Long = -1L,
+    samplePct: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val sampleKeep: String => Boolean = samplePct match {
+    case Some(pct) => k => ShardpackDataSource.keyHashPct(k) < pct
+    case None => _ => true
+  }
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -946,7 +982,8 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
       val block = new Array[Byte](recLen)
       stream.readFully(block)
       val (key, meta) = ShardpackFormat.decodeKeyMeta(block)
-      if (keyFilter.forall(_.contains(key)) && keyRange.forall(_.contains(key))) {
+      if (keyFilter.forall(_.contains(key)) && keyRange.forall(_.contains(key)) &&
+          sampleKeep(key)) {
         if (keyPos >= 0)
           vectors(keyPos).putByteArray(rows, key.getBytes("UTF-8"))
         if (metaPos >= 0) {

@@ -267,10 +267,12 @@ object ShardpackFormat {
   def decodeRecordStreaming(in: DataInputStream, keyFilter: Option[Set[String]],
       wantEntryData: Boolean, verify: Boolean,
       entryFilter: Option[Set[String]],
-      keyRange: Option[KeyRange] = None): Option[Record] = {
+      keyRange: Option[KeyRange] = None,
+      keep: String => Boolean = _ => true): Option[Record] = {
     val recLen = in.readInt()
     val key = readStr16(in)
-    if (!keyFilter.forall(_.contains(key)) || !keyRange.forall(_.contains(key))) {
+    if (!keyFilter.forall(_.contains(key)) || !keyRange.forall(_.contains(key)) ||
+        !keep(key)) {
       skipFully(in, recLen - 2 - key.getBytes(StandardCharsets.UTF_8).length)
       None
     } else {

@@ -306,6 +306,25 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(leftovers.isEmpty, s"staged temps not cleaned: ${leftovers.mkString(",")}")
   }
 
+  test("sampled scan: samplePct keeps the deterministic hash membership") {
+    val dir = tmpDir()
+    sampleDf(400).write.format("shardpack").mode("append").save(dir)
+    val full = spark.read.format("shardpack").load(dir)
+    // exact membership: in-scan sampling equals the equivalent hash filter
+    val expected = full.select("key").collect().map(_.getString(0))
+      .filter(k => ShardpackDataSource.keyHashPct(k) < 25).toSet
+    val sampled = spark.read.format("shardpack").option("samplePct", 25).load(dir)
+    val got = sampled.select("key").collect().map(_.getString(0)).toSet
+    assert(got == expected)
+    assert(got.size > 40 && got.size < 160, s"25% of 400 took ${got.size}")
+    // vectorized (payload-free) path agrees
+    val gotCol = spark.read.format("shardpack").option("samplePct", 25).load(dir)
+      .select("key", "metadata").collect().map(_.getString(0)).toSet
+    assert(gotCol == expected)
+    // rerun identical (pure function of the key)
+    assert(sampled.select("key").collect().map(_.getString(0)).toSet == got)
+  }
+
   test("custom scan metrics report pruned shards and skipped records") {
     val dir = tmpDir()
     // sorted write → disjoint envelopes → a point lookup prunes all but
