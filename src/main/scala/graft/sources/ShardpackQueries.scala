@@ -235,6 +235,23 @@ object ShardpackQueries {
     // footer read per shard, zero record bytes, at any shard count. The
     // oracle recomputes the same profile from the source parquet, so this
     // also certifies the stamped key envelopes are exact.
+    // In-reader deterministic sampling: the scan itself keeps 25% of
+    // records by the cross-engine key hash (skipped payloads never decode)
+    // and the oracle reproduces the EXACT membership in SQL with the same
+    // polynomial fold — sampling a corpus without scanning it, verified.
+    Q("shardpack_sample", {
+      val keyExpr = "concat('doc_', lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
+      s"""WITH k AS (SELECT doc_id, $keyExpr AS key FROM documents)
+         |SELECT key FROM k
+         |WHERE ${graft.functions.CrossHash.sqlWordHash("key")} % 100 < 25
+         |ORDER BY key""".stripMargin
+    }) { (s, d) =>
+      s.read.format("shardpack").option("samplePct", 25)
+        .load(roundtripDir(s, d))
+        .select($"key")
+        .orderBy($"key")
+    },
+
     Q("shardpack_profile",
       """SELECT count(*) AS n_records,
         |  concat('doc_', lpad(CAST(min(doc_id) AS VARCHAR), 8, '0')) AS min_key,
