@@ -483,7 +483,7 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
     {
       require(paths.size == 1, "shardpack streaming source requires exactly one path")
       new ShardpackMicroBatchStream(paths.head, required, effectiveKeys, verify,
-        maxFilesPerTrigger, entryNames, keyRange)
+        maxFilesPerTrigger, entryNames, keyRange, samplePct)
     }
   override def description(): String =
     s"shardpack ${paths.mkString(",")} keys=${effectiveKeys.fold("*")(_.mkString(","))} " +

@@ -36,7 +36,8 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
     keyFilter: Option[Set[String]], verify: Boolean,
     maxFilesPerTrigger: Option[Int],
     entryNames: Option[Set[String]] = None,
-    keyRange: Option[KeyRange] = None)
+    keyRange: Option[KeyRange] = None,
+    samplePct: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -111,7 +112,7 @@ final class ShardpackMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ShardpackReaderFactory(required, keyFilter, verify,
-      HadoopConfs.serializable(), entryNames, keyRange)
+      HadoopConfs.serializable(), entryNames, keyRange, samplePct)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

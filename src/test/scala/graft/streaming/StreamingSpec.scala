@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+import graft.sources.shardpack.ShardpackDataSource
 import StreamingOps._
 
 /** Incremental (MemoryStream-driven) tests of the streaming surface:
@@ -307,6 +308,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         (0 until 8).map(i => f"doc_$i%05d"))
       assert(rows.find(_.getString(0) == "doc_00007").get.getString(1) == "payload 7")
     } finally q.stop()
+    // sampled tail: the streaming source honors samplePct with the same
+    // deterministic key-hash membership as the batch scan
+    val ckpt2 = Files.createTempDirectory("shardpack-src-ckpt2").toString
+    val q2 = spark.readStream.format("shardpack").option("samplePct", 50).load(dir)
+      .select($"key")
+      .writeStream.format("memory").queryName("sp_tail_sampled")
+      .option("checkpointLocation", ckpt2)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("sp_tail_sampled").collect().map(_.getString(0)).toSet
+      val expected = (0 until 8).map(i => f"doc_$i%05d")
+        .filter(k => ShardpackDataSource.keyHashPct(k) < 50).toSet
+      assert(got == expected)
+    } finally q2.stop()
   }
 
   test("shardpack source recovers offsets across query restart (no replays)") {
