@@ -234,4 +234,22 @@ object CurationPipeline {
   /** Start a pipeline from a document frame with at least (doc_id, text). */
   def apply(docs: DataFrame): CurationPipeline =
     new CurationPipeline(docs, Seq("source"))
+
+  /** Start from a shardpack corpus written by [[CurationPipeline.toShardpack]]
+    * (doc_-keyed records, text entry, JSON metadata): the inverse mapping,
+    * with optional IN-READER deterministic sampling (`samplePct` — skipped
+    * payloads are never decoded, so iterating on a 1% cut of a 100 TB
+    * corpus costs ~1% of the scan).
+    */
+  def fromShardpack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      samplePct: Option[Int] = None): CurationPipeline = {
+    val reader = spark.read.format("shardpack")
+    val df = samplePct.fold(reader)(p => reader.option("samplePct", p)).load(dir)
+      .select(
+        substring(col("key"), 5, 8).cast(LongType).as("doc_id"),
+        col("entries").getItem(0).getField("data").cast(StringType).as("text"),
+        col("metadata").cast(StringType).as("metadata_json"))
+    new CurationPipeline(df,
+      Seq(s"fromShardpack($dir${samplePct.fold("")(p => s", sample=$p%")})"))
+  }
 }

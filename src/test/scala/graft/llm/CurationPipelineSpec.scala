@@ -140,5 +140,15 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     val meta = back.filter(col("key") === f"doc_${a.head.getAs[Long]("doc_id")}%08d")
       .select(col("metadata").cast("string")).head.getString(0)
     assert(meta.contains("\"split\":") && meta.contains("\"lang\":"))
+    // the inverse: fromShardpack recovers (doc_id, text) exactly, and a
+    // sampled read is the hash-membership subset
+    val round = CurationPipeline.fromShardpack(spark, dir).result
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(round == a.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap)
+    val sampledIds = CurationPipeline.fromShardpack(spark, dir, Some(50)).result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampledIds.subsetOf(round.keySet) && sampledIds.size < round.size)
   }
 }
