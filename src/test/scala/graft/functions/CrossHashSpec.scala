@@ -65,6 +65,18 @@ class CrossHashSpec extends AnyFunSuite with SparkTestBase {
     assert(got == (x * CrossHash.affineA(7) + CrossHash.affineB(7)) % CrossHash.P1)
   }
 
+  test("sampled-scan membership hash equals poly_hash % 100 (the SQL claim)") {
+    import spark.implicits._
+    val keys = (0 until 50).map(i => f"doc_$i%08d") ++ Seq("", "k", "密钥x")
+    val viaExpr = keys.toDF("k")
+      .select($"k", (CrossHash.wordHash($"k") % 100).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    keys.foreach { k =>
+      assert(graft.sources.shardpack.ShardpackDataSource.keyHashPct(k) == viaExpr(k),
+        s"membership mismatch for '$k'")
+    }
+  }
+
   test("foldHash is order-sensitive and matches its SQL-side definition") {
     import spark.implicits._
     val df = Seq((3L, 5L, 7L)).toDF("a", "b", "c")
