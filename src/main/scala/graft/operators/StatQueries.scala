@@ -432,6 +432,46 @@ object StatQueries {
         .orderBy($"user_id")
     },
 
+    // Explicit null ordering: engines DISAGREE on where NULLs sort by
+    // default (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so any
+    // cross-engine pipeline must spell it out — this query pins both
+    // directions with a unique tiebreak.
+    Q("sort_nulls",
+      """SELECT doc_id, lang_web FROM (
+        |  SELECT doc_id, CASE WHEN source = 'web' THEN lang END AS lang_web
+        |  FROM documents)
+        |ORDER BY lang_web ASC NULLS LAST, doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select($"doc_id", when($"source" === "web", $"lang").as("lang_web"))
+        .orderBy($"lang_web".asc_nulls_last, $"doc_id")
+    },
+
+    // Normalized transition probabilities (the Markov matrix proper):
+    // counts from events_transitions' shape, each row divided by its
+    // source-state total — exact integer counts, one double division.
+    Q("events_markov_prob",
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS next, count(*) AS n
+        |  FROM x WHERE prev IS NOT NULL GROUP BY prev, next),
+        |s AS (SELECT prev, sum(n) AS tot FROM t GROUP BY prev)
+        |SELECT t.prev, t.next, t.n, CAST(t.n AS DOUBLE) / s.tot AS p
+        |FROM t JOIN s ON t.prev = s.prev
+        |ORDER BY t.prev, t.next""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t = events(s, d)
+        .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("prev"))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy($"prev").agg(sum($"n").as("tot"))
+      t.join(tot, "prev")
+        .select($"prev", $"next", $"n", ($"n".cast(DoubleType) / $"tot").as("p"))
+        .orderBy($"prev", $"next")
+    },
+
     // First-order event-type transition counts (the Markov-chain adjacency
     // a sequence-modeling pipeline starts from). One window shuffle on
     // user_id, then a tiny |types|² grouped count.
