@@ -79,6 +79,17 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(s20.subsetOf(p50), "samples under the same seed must nest")
   }
 
+  test("normalize matches text_normalize's canonical form and is idempotent") {
+    val once = CurationPipeline(docs).normalize().result
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twice = CurationPipeline(docs).normalize().normalize().result
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == twice, "normalization must be idempotent")
+    val oracle = graft.SparkEntry.queries("text_normalize")(spark, sf)
+      .select("doc_id", "norm").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == oracle)
+  }
+
   test("decontaminate drops exactly the docs sharing a span with the benchmark") {
     import spark.implicits._
     val bench = docs.filter(col("doc_id") < 10)

@@ -325,6 +325,20 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(sampled.select("key").collect().map(_.getString(0)).toSet == got)
   }
 
+  test("samplePct composes with key filters as a conjunction") {
+    val dir = tmpDir()
+    sampleDf(100).write.format("shardpack").mode("append").save(dir)
+    val inSample = (0 until 100).map(i => f"key$i%05d")
+      .filter(k => ShardpackDataSource.keyHashPct(k) < 30)
+    val out = (0 until 100).map(i => f"key$i%05d")
+      .filterNot(k => ShardpackDataSource.keyHashPct(k) < 30)
+    val sampled = spark.read.format("shardpack").option("samplePct", 30).load(dir)
+    // a key INSIDE the sample is found; one outside is not — the sample is
+    // a view of the data, filters apply within it
+    assert(sampled.filter(col("key") === inSample.head).count() == 1)
+    assert(sampled.filter(col("key") === out.head).count() == 0)
+  }
+
   test("custom scan metrics report pruned shards and skipped records") {
     val dir = tmpDir()
     // sorted write → disjoint envelopes → a point lookup prunes all but
