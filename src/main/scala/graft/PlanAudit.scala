@@ -66,9 +66,19 @@ object PlanAudit {
           case s: FileSourceScanExec =>
             s.metadata.getOrElse("PushedFilters", "[]")
         }.distinct
+        // a window whose child is SinglePartition funnels the whole input
+        // through ONE task — the driver-killer shape pack_sequences was
+        // rewritten to avoid; flag any recurrence
+        val singlePartWindow = nodes.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.child.outputPartitioning ==
+              org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+          case _ => false
+        }
         val warns = Seq(
           if (names.exists(_.contains("CartesianProduct"))) Some("CARTESIAN") else None,
-          if (names.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None
+          if (names.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None,
+          if (singlePartWindow) Some("SINGLE_PART_WINDOW") else None
         ).flatten
         val excused = allowed.getOrElse(q.name, Set.empty)
         val bad = warns.filterNot(excused)

@@ -169,14 +169,22 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     * shard key) — assignment stays deterministic because order within a
     * partition is fixed.
     */
-  def packSequences(binTokens: Int = 2048): CurationPipeline =
+  /** Packing is per SHARD of `shardDocs` contiguous doc_ids: every worker
+    * packs its own slice independently (hash shuffle on the shard id, never
+    * a single-partition global window), bins don't straddle shards, and
+    * (shard_id, bin) names a packed sequence globally. The default shard
+    * width keeps small corpora in one shard — identical bins to a global
+    * pack — while a 100 TB corpus sets a width matching its layout.
+    */
+  def packSequences(binTokens: Int = 2048, shardDocs: Long = 1L << 20): CurationPipeline =
     step(s"packSequences($binTokens)") { d =>
       val ord =
         if (d.columns.contains("chunk_id")) Seq(col("doc_id"), col("chunk_id"))
         else Seq(col("doc_id"))
-      val w = Window.orderBy(ord: _*)
+      val w = Window.partitionBy(col("shard_id")).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("__n_tok",
+      d.withColumn("shard_id", expr(s"doc_id div $shardDocs"))
+        .withColumn("__n_tok",
           org.apache.spark.sql.functions.size(split(col("text"), " ")).cast(LongType))
         .withColumn("__before", coalesce(sum(col("__n_tok")).over(w), lit(0L)))
         .withColumn("bin", expr(s"__before div $binTokens"))
@@ -219,7 +227,11 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
   def toShardpack(dir: String, compression: String = "lz4"): Unit = {
     val meta = df.columns.filter(c => c != "doc_id" && c != "text")
     df.select(
-        concat(lit("doc_"), lpad(col("doc_id").cast(StringType), 8, "0")).as("key"),
+        // 19 digits covers the full Long range: Spark's lpad TRUNCATES
+        // strings longer than the pad length, so an 8-digit pad would
+        // silently cut doc_id >= 1e8 to its first 8 digits — colliding
+        // keys and corrupted ids on read-back at corpus scale.
+        concat(lit("doc_"), lpad(col("doc_id").cast(StringType), 19, "0")).as("key"),
         (if (meta.isEmpty) lit(null).cast(BinaryType)
          else to_json(struct(meta.map(col): _*)).cast(BinaryType)).as("metadata"),
         array(struct(
@@ -246,7 +258,9 @@ object CurationPipeline {
     val reader = spark.read.format("shardpack")
     val df = samplePct.fold(reader)(p => reader.option("samplePct", p)).load(dir)
       .select(
-        substring(col("key"), 5, 8).cast(LongType).as("doc_id"),
+        // length 19 matches toShardpack's pad; on a shorter (legacy 8-digit)
+        // key substring returns the remainder, so old buckets stay readable
+        substring(col("key"), 5, 19).cast(LongType).as("doc_id"),
         col("entries").getItem(0).getField("data").cast(StringType).as("text"),
         col("metadata").cast(StringType).as("metadata_json"))
     new CurationPipeline(df,

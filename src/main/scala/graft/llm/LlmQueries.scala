@@ -465,13 +465,20 @@ object LlmQueries {
          |WHERE CAST(${sqlQdot("a.v", "b.v")} AS DOUBLE) /
          |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // Materialize (v, n2) behind an exchange (same barrier as sim_ann_lsh):
+      // without it, project collapsing re-inlines quantize() into the
+      // per-pair qdot, recomputing the lambda for every candidate pair
+      // instead of once per row. The bounded sample side is filtered first
+      // and broadcast, so the nested loop streams the full table exactly
+      // once against ≤ SampleVecs in-memory rows.
       val e = embeddings(s, d)
         .select($"vec_id", quantize($"embedding").as("v"))
         .withColumn("n2", qnorm2($"v"))
+        .repartition(col("vec_id"))
+      val a = e.filter($"vec_id" < SampleVecs)
       val cos = qdot(col("a.v"), col("b.v")).cast(DoubleType) /
         (sqrt(col("a.n2").cast(DoubleType)) * sqrt(col("b.n2").cast(DoubleType)))
-      e.as("a").join(e.as("b"),
-          col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < SampleVecs)
+      broadcast(a.as("a")).join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), cos.as("cos"))
         .filter($"cos" >= 0.35)
         .orderBy($"a_id", $"b_id")
@@ -816,26 +823,31 @@ object LlmQueries {
     },
 
     // Sequence packing for training: contiguous greedy fill of 2048-token
-    // bins over the doc_id order — bin = (tokens before this doc) div 2048,
-    // the standard "concat then chunk" packing. The global running sum is a
-    // single-partition window HERE; at 100 TB you pack per shard/partition
-    // (PARTITION BY shard_id) — the assignment stays deterministic because
-    // doc order within a shard is fixed.
+    // bins in doc_id order, packed PER SHARD of 100 docs (shard = doc_id
+    // div 100) — the scale shape: every worker packs its own contiguous
+    // slice independently (one hash shuffle, no global ordering), bins
+    // never straddle shards, and the assignment is deterministic because
+    // doc order within a shard is fixed. (shard_id, bin) identifies a
+    // packed sequence globally. A global running sum would funnel the whole
+    // corpus through ONE task — the anti-pattern this formulation replaces.
     Q("pack_sequences",
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, doc_id // 100 AS shard_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY doc_id
+        |c AS (SELECT doc_id, shard_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |SELECT doc_id, shard_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard_id").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       documents(s, d)
-        .select($"doc_id", size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        .select($"doc_id", expr("doc_id div 100").as("shard_id"),
+          size(split($"text", " ")).cast(LongType).as("n_tokens"))
         .withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"n_tokens",
+        .select($"doc_id", $"shard_id", $"n_tokens",
           (($"cum" - $"n_tokens") / 2048).cast(LongType).as("bin"))
         .orderBy($"doc_id")
     },

@@ -165,8 +165,8 @@ class ShardpackCatalog extends TableCatalog with FunctionCatalog with ProcedureC
             }
           records += n
           range.foreach { case (mn, mx) =>
-            if (lo == null || mn < lo) lo = mn
-            if (hi == null || mx > hi) hi = mx
+            if (lo == null || ShardpackFormat.KeyOrd.lt(mn, lo)) lo = mn
+            if (hi == null || ShardpackFormat.KeyOrd.gt(mx, hi)) hi = mx
           }
         }
         oneRowScan(

@@ -244,30 +244,32 @@ final class ShardpackTable(paths: Seq[String], bucketN: Option[Int])
 final case class KeyRange(lo: Option[String], loInc: Boolean,
     hi: Option[String], hiInc: Boolean, prefix: Option[String])
     extends Serializable {
+  import ShardpackFormat.{KeyOrd => O}
+
   def contains(k: String): Boolean =
     prefix.forall(k.startsWith) &&
-    lo.forall(l => if (loInc) k >= l else k > l) &&
-    hi.forall(h => if (hiInc) k <= h else k < h)
+    lo.forall(l => if (loInc) O.gteq(k, l) else O.gt(k, l)) &&
+    hi.forall(h => if (hiInc) O.lteq(k, h) else O.lt(k, h))
 
   /** Can this range intersect the key envelope [mn, mx]? (conservative) */
   def intersects(mn: String, mx: String): Boolean =
-    lo.forall(l => if (loInc) mx >= l else mx > l) &&
-    hi.forall(h => if (hiInc) mn <= h else mn < h) &&
-    prefix.forall(p => mx >= p && (mn <= p || mn.startsWith(p)))
+    lo.forall(l => if (loInc) O.gteq(mx, l) else O.gt(mx, l)) &&
+    hi.forall(h => if (hiInc) O.lteq(mn, h) else O.lt(mn, h)) &&
+    prefix.forall(p => O.gteq(mx, p) && (O.lteq(mn, p) || mn.startsWith(p)))
 
   def and(o: KeyRange): KeyRange = {
     val (nlo, nloInc) = (lo, o.lo) match {
       case (Some(a), Some(b)) =>
-        if (a > b) (Some(a), loInc)
-        else if (b > a) (Some(b), o.loInc)
+        if (O.gt(a, b)) (Some(a), loInc)
+        else if (O.gt(b, a)) (Some(b), o.loInc)
         else (Some(a), loInc && o.loInc)
       case (Some(a), None) => (Some(a), loInc)
       case (None, b) => (b, o.loInc)
     }
     val (nhi, nhiInc) = (hi, o.hi) match {
       case (Some(a), Some(b)) =>
-        if (a < b) (Some(a), hiInc)
-        else if (b < a) (Some(b), o.hiInc)
+        if (O.lt(a, b)) (Some(a), hiInc)
+        else if (O.lt(b, a)) (Some(b), o.hiInc)
         else (Some(a), hiInc && o.hiInc)
       case (Some(a), None) => (Some(a), hiInc)
       case (None, b) => (b, o.hiInc)
@@ -332,8 +334,12 @@ final class ShardpackScanBuilder(paths: Seq[String], options: CaseInsensitiveStr
       case m: Max if isKey(m.column) => 'x'
       case _ => '?'
     }
+    // A sampled read (samplePct) is a VIEW of the data: count/min/max must
+    // reflect the sample, which only the record scan's sampleKeep can apply
+    // — footer stats describe the full table, so decline the pushdown.
     val ok = keyFilter.isEmpty && keyRange.isEmpty && pushed.isEmpty &&
-      agg.groupByExpressions.isEmpty && kinds.nonEmpty && !kinds.contains('?')
+      agg.groupByExpressions.isEmpty && kinds.nonEmpty && !kinds.contains('?') &&
+      options.get("samplePct") == null
     if (ok) {
       countPushed = true
       aggKinds = kinds
@@ -561,7 +567,9 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
           entryOf(st) match {
             case Some(e) =>
               e.range.forall { case (lo, hi) =>
-                effectiveKeys.forall(_.exists(k => k >= lo && k <= hi)) &&
+                effectiveKeys.forall(_.exists(k =>
+                  ShardpackFormat.KeyOrd.gteq(k, lo) &&
+                    ShardpackFormat.KeyOrd.lteq(k, hi))) &&
                   keyRange.forall(_.intersects(lo, hi))
               }
             case None => true
@@ -571,9 +579,13 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       // shards whose cumulative INDEXED record count reaches the limit.
       // Shards without a sidecar entry contribute an unknown (treated-as-0)
       // count, so the prefix only ever stops early on certainty — Spark's
-      // retained global limit does the final trim either way.
+      // retained global limit does the final trim either way. A sampled
+      // read disables the cap: indexed counts are UNSAMPLED, and the reader
+      // drops ~(100-pct)% of the prefix's records afterwards, so cutting on
+      // raw counts would under-schedule and return fewer than `lim` rows
+      // even when the sampled view holds ≥ lim.
       val capped = limit match {
-        case Some(lim) if effectiveKeys.isEmpty && keyRange.isEmpty =>
+        case Some(lim) if effectiveKeys.isEmpty && keyRange.isEmpty && samplePct.isEmpty =>
           var acc = 0L
           planned.takeWhile { st =>
             val take = acc < lim
@@ -720,8 +732,8 @@ final case class ShardpackFooterAggReaderFactory(hconf: SerializableHadoopConf,
                 val block = new Array[Byte](recLen)
                 ds.readFully(block)
                 val (key, _) = ShardpackFormat.decodeKeyMeta(block)
-                if (lo == null || key < lo) lo = key
-                if (hi == null || key > hi) hi = key
+                if (lo == null || ShardpackFormat.KeyOrd.lt(key, lo)) lo = key
+                if (hi == null || ShardpackFormat.KeyOrd.gt(key, hi)) hi = key
                 i += 1
               }
               (n, lo, hi)
@@ -1420,8 +1432,8 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     }
     if (writer == null || bucketChanged || (writer.bytesWritten > 0 &&
         writer.bytesWritten + encoded.length > shardCap)) roll()
-    if (minKey == null || rec.key < minKey) minKey = rec.key
-    if (maxKey == null || rec.key > maxKey) maxKey = rec.key
+    if (minKey == null || ShardpackFormat.KeyOrd.lt(rec.key, minKey)) minKey = rec.key
+    if (maxKey == null || ShardpackFormat.KeyOrd.gt(rec.key, maxKey)) maxKey = rec.key
     writer.append(encoded)
   }
 

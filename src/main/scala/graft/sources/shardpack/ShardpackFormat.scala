@@ -360,6 +360,37 @@ object ShardpackFormat {
     Footer(offsets, shardMeta)
   }
 
+  /** Code-point (= UTF-8 byte) string ordering — the order Spark's
+    * `UTF8String` uses when comparing `key` values and combining pushed
+    * MIN/MAX partials. Java's natural `String` order is UTF-16 code-UNIT
+    * order, which disagrees for strings mixing supplementary-plane code
+    * points (surrogate pairs, 0xD800-0xDFFF units) with U+E000..U+FFFF:
+    * UTF-16 sorts the supplementary characters BELOW U+E000, UTF-8 bytes
+    * sort them ABOVE. Every producer and consumer of shard key stats
+    * (writer envelopes, header sweeps, index entries, envelope pruning,
+    * CALL system.stats) must use THIS order, or pushed aggregates could
+    * disagree with a real scan and envelope checks could mis-prune.
+    */
+  object KeyOrd extends Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val ca = a.charAt(i); val cb = b.charAt(i)
+        if (ca != cb) {
+          // Differing chars compare as code points; plain char compare is
+          // already code-point order unless BOTH are at/above the
+          // surrogate range.
+          if (ca < 0xD800 || cb < 0xD800) return ca - cb
+          return Integer.compare(Character.codePointAt(a, i),
+            Character.codePointAt(b, i))
+        }
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
   /** Optional structured envelope stored INSIDE the (spec-opaque) shard
     * metadata slot by the DSv2 writer: a key-range summary enabling shard
     * pruning, followed by the user's metadata verbatim. A reader that finds
@@ -404,7 +435,8 @@ object ShardpackFormat {
       */
     def mayContain(meta: Array[Byte], keys: Set[String]): Boolean =
       unwrap(meta)._1 match {
-        case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+        case Some((lo, hi)) =>
+          keys.exists(k => KeyOrd.gteq(k, lo) && KeyOrd.lteq(k, hi))
         case None => true
       }
   }

@@ -93,7 +93,8 @@ object ShardpackOps {
     val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
     val affected = ShardpackIndex.envelopes(fs, new Path(dir), oldShards).collect {
       case (st, None) => st
-      case (st, Some((lo, hi))) if keySet.exists(k => k >= lo && k <= hi) => st
+      case (st, Some((lo, hi))) if keySet.exists(k =>
+        ShardpackFormat.KeyOrd.gteq(k, lo) && ShardpackFormat.KeyOrd.lteq(k, hi)) => st
     }
     if (affected.isEmpty) return
     // read ONLY the affected shards (each is a valid single-file table path)
@@ -188,12 +189,16 @@ object ShardpackOps {
     * crash-safe swap as [[deleteKeys]].
     */
   def deleteRange(spark: SparkSession, dir: String, lo: String, hi: String): Unit = {
-    require(lo < hi, s"deleteRange: empty range [$lo, $hi)")
+    require(ShardpackFormat.KeyOrd.lt(lo, hi), s"deleteRange: empty range [$lo, $hi)")
     val fs = new Path(dir).getFileSystem(HadoopConfs.session())
     val oldShards = ShardpackDataSource.listShards(fs, new Path(dir))
     val affected = ShardpackIndex.envelopes(fs, new Path(dir), oldShards).collect {
       case (st, None) => st
-      case (st, Some((mn, mx))) if mx >= lo && mn < hi => st
+      // envelope check in KeyOrd (Spark's UTF8String order) — the record
+      // filter below runs in Spark, so the prune must be conservative
+      // with respect to THAT order, not Java's UTF-16 order
+      case (st, Some((mn, mx))) if ShardpackFormat.KeyOrd.gteq(mx, lo) &&
+        ShardpackFormat.KeyOrd.lt(mn, hi) => st
     }
     if (affected.isEmpty) return
     val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"

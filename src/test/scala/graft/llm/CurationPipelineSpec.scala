@@ -116,6 +116,14 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("toks") >= 512 - 63, s"underfull bin $r"))
     val binIds = bins.map(_.getAs[Long]("bin"))
     assert(binIds.toSeq == (0L until binIds.length).toSeq, "bins must be contiguous")
+    // packing is shard-local: with a narrow shard width, (shard_id, bin)
+    // restarts at each shard boundary and no bin straddles two shards
+    val sharded = CurationPipeline(docs).packSequences(512, shardDocs = 4L).result
+    assert(sharded.select("shard_id").distinct().count() > 1)
+    val perShardFirstBin = sharded.groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.min("bin").as("b0")).collect()
+    perShardFirstBin.foreach(r => assert(r.getAs[Long]("b0") == 0L,
+      s"shard ${r.get(0)} must restart its bins at 0"))
   }
 
   test("full chain is deterministic, lineage-tracked, and shardpack round-trips") {
@@ -148,7 +156,7 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     p.toShardpack(dir)
     val back = spark.read.format("shardpack").load(dir)
     assert(back.count() == a.length)
-    val meta = back.filter(col("key") === f"doc_${a.head.getAs[Long]("doc_id")}%08d")
+    val meta = back.filter(col("key") === f"doc_${a.head.getAs[Long]("doc_id")}%019d")
       .select(col("metadata").cast("string")).head.getString(0)
     assert(meta.contains("\"split\":") && meta.contains("\"lang\":"))
     // the inverse: fromShardpack recovers (doc_id, text) exactly, and a
@@ -161,5 +169,24 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     val sampledIds = CurationPipeline.fromShardpack(spark, dir, Some(50)).result
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sampledIds.subsetOf(round.keySet) && sampledIds.size < round.size)
+  }
+
+  test("toShardpack keys survive doc_ids beyond 1e8 (lpad truncation guard)") {
+    import spark.implicits._
+    // Spark's lpad TRUNCATES beyond the pad length: an 8-digit pad mapped
+    // 100000001 and 1000000012 to the same 8-char prefix — colliding keys,
+    // corrupted ids on read-back. The 19-digit pad covers the Long range.
+    val ids = Seq(7L, 99999999L, 100000001L, 1000000012L, Long.MaxValue)
+    val big = ids.map(i => (i, s"text of $i")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("curation-big").toString + "/bucket"
+    CurationPipeline(big).toShardpack(dir)
+    val keys = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(keys.size == ids.size, s"colliding keys: $keys")
+    assert(keys.contains(f"doc_${Long.MaxValue}%019d"))
+    val round = CurationPipeline.fromShardpack(spark, dir).result
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(round == ids.map(i => i -> s"text of $i").toMap)
   }
 }

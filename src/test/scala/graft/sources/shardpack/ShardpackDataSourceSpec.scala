@@ -453,6 +453,91 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampled read answers count/min/max from records, not footer stats") {
+    val dir = tmpDir()
+    sampleDf(400).write.format("shardpack").mode("append").save(dir)
+    val allKeys = (0 until 400).map(i => f"key$i%05d")
+    val inSample = allKeys.filter(k => ShardpackDataSource.keyHashPct(k) < 25)
+    assert(inSample.nonEmpty && inSample.size < 400)
+    val sampled = spark.read.format("shardpack").option("samplePct", 25).load(dir)
+    // the sample is a VIEW of the data: count() must be the sampled count —
+    // the footer aggregate pushdown (full-table stats) must decline
+    assert(sampled.count() == inSample.size)
+    val plan = sampled.groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("footer-count"),
+      s"sampled count answered from footers:\n${plan.take(600)}")
+    // min/max likewise reflect the sampled view
+    val Row(mn: String, mx: String) =
+      sampled.agg(min(col("key")), max(col("key"))).head()
+    assert(mn == inSample.min && mx == inSample.max)
+    // unsampled reads keep the footer pushdown
+    val fullPlan = spark.read.format("shardpack").load(dir)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(fullPlan.contains("footer-count"))
+  }
+
+  test("pushed LIMIT does not under-schedule a sampled read") {
+    val dir = tmpDir()
+    // three disjoint-key shards of 100 records, indexed so the limit
+    // prefix cap has counts to act on
+    def slice(lo: Int, n: Int) = {
+      import spark.implicits._
+      spark.range(lo.toLong, (lo + n).toLong).select(
+        format_string("key%05d", $"id").as("key"),
+        lit(null).cast(BinaryType).as("metadata"),
+        array(struct(lit("b.txt").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), encode(format_string("p%05d", $"id"), "UTF-8").as("data"))
+        ).as("entries"))
+    }
+    slice(0, 100).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    slice(100, 100).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    slice(200, 100).coalesce(1).write.format("shardpack").mode("append").save(dir)
+    ShardpackIndex.build(spark, dir)
+    val sampledTotal = (0 until 300).map(i => f"key$i%05d")
+      .count(k => ShardpackDataSource.keyHashPct(k) < 10)
+    // sampled total (~30) exceeds what any one shard yields after sampling;
+    // the raw-count prefix cap would plan 1 shard for LIMIT 25 and return
+    // ~10 rows — the cap must be disabled under samplePct
+    assert(sampledTotal > 15, s"sample too small for the test: $sampledTotal")
+    val lim = sampledTotal - 1
+    val got = spark.read.format("shardpack").option("samplePct", 10).load(dir)
+      .limit(lim).collect().length
+    assert(got == lim, s"LIMIT $lim on sampled read returned $got rows")
+    // planning contract: with samplePct the prefix cap is off (all shards)
+    assert(new ShardpackScan(Seq(dir), ShardpackDataSource.Schema, None, true,
+      limit = Some(2), samplePct = Some(10)).planInputPartitions().length == 3)
+    // and still on for the unsampled read
+    assert(new ShardpackScan(Seq(dir), ShardpackDataSource.Schema, None, true,
+      limit = Some(2)).planInputPartitions().length == 1)
+  }
+
+  test("pushed MIN/MAX(key) agrees with a real scan on supplementary-plane keys") {
+    val dir = tmpDir()
+    // U+1F600 sorts BELOW U+E000 in Java's UTF-16 order but ABOVE it in
+    // Spark's UTF8String order; stats stamped in the wrong order would make
+    // the footer-answered MAX(key) disagree with a record scan
+    val smiley = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    import spark.implicits._
+    val df = Seq("a", pua, smiley).toDF("k").select(
+      col("k").as("key"), lit(null).cast(BinaryType).as("metadata"),
+      array(struct(lit("f").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"), encode(col("k"), "UTF-8").as("data"))).as("entries"))
+    df.coalesce(1).write.format("shardpack").mode("append").save(dir)
+    val read = spark.read.format("shardpack").load(dir)
+    val agg = read.agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+    // confirm the answer comes from footers…
+    assert(agg.queryExecution.executedPlan.toString.contains("footer-count"))
+    val Row(mn: String, mx: String) = agg.head()
+    // …and matches what Spark itself computes from the records (samplePct=100
+    // keeps every row but declines the footer pushdown → a true record scan)
+    val Row(rmn: String, rmx: String) =
+      spark.read.format("shardpack").option("samplePct", 100).load(dir)
+        .agg(min(col("key")), max(col("key"))).head()
+    assert(mn == rmn && mx == rmx, s"footer ($mn,$mx) vs scan ($rmn,$rmx)")
+    assert(mx == smiley, "MAX must be the supplementary-plane key (UTF-8 order)")
+  }
+
   test("corrupted shard surfaces a checksum error on read") {
     val dir = tmpDir()
     sampleDf(5).coalesce(1).write.format("shardpack").mode("append").save(dir)

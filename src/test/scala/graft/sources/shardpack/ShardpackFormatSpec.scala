@@ -263,4 +263,30 @@ class ShardpackFormatSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KeyOrd matches Spark's UTF8String ordering, not Java's UTF-16 order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sparkCmp(a: String, b: String) =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    // the disagreement case from the envelope-pruning advisory: a
+    // supplementary-plane char (U+1F600, UTF-16 surrogates D83D DE00) vs a
+    // private-use BMP char (U+E000). UTF-16 units say U+1F600 < U+E000;
+    // UTF-8 bytes (F0... vs EE...) say U+1F600 > U+E000.
+    val smiley = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(smiley < pua, "precondition: Java order disagrees")
+    assert(KeyOrd.gt(smiley, pua) && sparkCmp(smiley, pua) > 0)
+    // exhaustive sign agreement over a tricky alphabet (each UTF-8 width,
+    // surrogate-range boundaries, max code point)
+    val alphabet: Seq[String] = Seq("", "a", "\u0000", "\u007F", "\u00FF",
+      "\u07FF", "\u0800", "\uD7FF", pua, "\uFFFD", "\uFFFF", smiley,
+      new String(Character.toChars(0x10000)),
+      new String(Character.toChars(0x10FFFF)))
+    for (x <- alphabet; y <- alphabet; p <- Seq("", "a", smiley)) {
+      val (a, b) = (p + x, p + y)
+      assert(Integer.signum(KeyOrd.compare(a, b)) == Integer.signum(sparkCmp(a, b)),
+        s"KeyOrd disagrees with UTF8String on ${a.codePoints.toArray.toSeq} vs " +
+          s"${b.codePoints.toArray.toSeq}")
+    }
+  }
 }
