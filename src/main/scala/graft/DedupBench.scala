@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.LlmQueries
+
+/** Crossover measurement for the two exact-Jaccard pair algorithms:
+  * inverted-index join (`jaccardPairs`, cost ∝ Σ_w df(w)² candidate pairs)
+  * vs prefix-filtered AllPairs (`jaccardPairsPrefix`, cost ∝ prefix-token
+  * join volume — flat under hot shingles, but pays ranking windows and an
+  * array-intersect verify).
+  *
+  * Corpora: the benign sf corpus (3-gram df is tiny; measured max df
+  * 25/5000 docs) and skewed variants where a hot boilerplate phrase is
+  * appended to `pct`% of docs — the heavy-tailed shape of real crawl data
+  * (shared headers/footers/licenses), which drives Σdf² quadratic while
+  * token volume T grows only linearly.
+  *
+  * The printed `blowup = Σdf²/T` is the dispatch statistic used by
+  * [[LlmQueries.jaccardPairsAuto]]: measured here (BASELINE.md records the
+  * numbers), naive wins at the benign blowup (~7) and loses past a few
+  * hundred, so the cutover ships at 100.
+  *
+  * Usage: runMain graft.DedupBench [sfDir]
+  */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // hot boilerplate appended to pct% of docs: 12 words → 10 shared
+    // 3-gram shingles, each with df ≈ pct% of the corpus
+    val hot = "terms of service apply to all content on this mirrored page"
+    def skewed(pct: Int): DataFrame =
+      base.withColumn("text",
+        when(pmod($"doc_id", lit(100)) < pct, concat($"text", lit(" " + hot)))
+          .otherwise($"text"))
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(f"[dedupbench] corpus=$sfDir threshold=0.5")
+    for ((name, docs) <- Seq("benign" -> base, "skew10" -> skewed(10),
+        "skew30" -> skewed(30))) {
+      val d = docs.persist()
+      d.count()
+      val stats = LlmQueries.shingleStats(d)
+      // warm both once (JIT/codegen), then measure
+      val (nNaive, tNaive) = time(LlmQueries.jaccardPairs(d, 0.5).count())
+      val (nPrefix, tPrefix) = time(LlmQueries.jaccardPairsPrefix(d, 0.5).count())
+      assert(nNaive == nPrefix, s"$name: algorithms disagree ($nNaive vs $nPrefix)")
+      val auto = if (stats.blowup <= LlmQueries.JaccardBlowupCutover) "naive" else "prefix"
+      println(f"[dedupbench] $name%-8s T=${stats.tokens}%9d sumDf2=${stats.sumDf2}%1.3e " +
+        f"maxDf=${stats.maxDf}%7d blowup=${stats.blowup}%9.1f pairs=$nNaive%7d " +
+        f"naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
+      d.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -85,7 +85,7 @@ object LlmQueries {
     *
     * Returns (a_id, b_id, inter, jac) for pairs with jac ≥ t.
     */
-  private[llm] def jaccardPairs(docs: DataFrame, t: Double): DataFrame = {
+  private[graft] def jaccardPairs(docs: DataFrame, t: Double): DataFrame = {
     val tok = shingleTok(docs)
     val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pair = tok.as("a").join(tok.as("b"),
@@ -159,6 +159,43 @@ object LlmQueries {
       .filter(jac >= t)
       .select($"a_id", $"b_id", $"inter", jac.as("jac"))
   }
+
+  /** Shingle-frequency profile driving the naive-vs-prefix dispatch.
+    * `blowup = Σdf²/T` is the naive join's exact candidate-pair count per
+    * input token — the cost ratio between the inverted-index join and a
+    * linear pass. Doubles, not longs: Σdf² overflows Long on a 100 TB
+    * corpus with df ~ 1e10.
+    */
+  final case class ShingleStats(tokens: Long, sumDf2: Double, maxDf: Long) {
+    def blowup: Double = sumDf2 / math.max(1L, tokens)
+  }
+
+  def shingleStats(docs: DataFrame): ShingleStats = {
+    val r = shingleTok(docs).groupBy($"w").agg(count(lit(1)).as("df"))
+      .agg(sum($"df").cast(LongType), sum($"df".cast(DoubleType) * $"df"),
+        max($"df").cast(LongType)).head()
+    if (r.isNullAt(0)) ShingleStats(0L, 0.0, 0L)
+    else ShingleStats(r.getLong(0), r.getDouble(1), r.getLong(2))
+  }
+
+  /** Measured crossover (DedupBench, sf0.1, local[32], BASELINE.md): the
+    * naive join wins at benign blowup (≈7 → 2.7 s vs 9.3 s) and loses once
+    * hot boilerplate shingles push blowup into the hundreds. Between the
+    * measured points the curves cross around the low hundreds; 100 is the
+    * conservative ship point (prefix's cost is flat, so cutting over a bit
+    * early only forfeits the small naive edge).
+    */
+  val JaccardBlowupCutover: Double = 100.0
+
+  /** Df-profile-driven dispatch between [[jaccardPairs]] (benign df) and
+    * [[jaccardPairsPrefix]] (heavy-tailed df). The stats pass is one cheap
+    * shuffle over the token frame — O(T) against the joins' O(Σdf²) — the
+    * right trade on any corpus big enough for the choice to matter.
+    * Output-identical either way (LlmSpec pins A/B equality).
+    */
+  def jaccardPairsAuto(docs: DataFrame, t: Double): DataFrame =
+    if (shingleStats(docs).blowup <= JaccardBlowupCutover) jaccardPairs(docs, t)
+    else jaccardPairsPrefix(docs, t)
 
   /** Shared oracle for dedup_cluster AND its distributed twin
     * [[ScaleDedup]].dedup_cluster_dist: recursive-CTE transitive closure of

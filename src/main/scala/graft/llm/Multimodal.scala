@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * `/root/reference/docs/draft.md:84-94, 187-195`), and decode / feature
   * extraction runs as a per-partition batch transform.
   *
-  * ── STUB BOUNDARY ──
-  * No image/audio codecs exist in this container, so [[decodeStub]] is a
-  * clearly-marked deterministic fake: it derives "decoded" dimensions and
-  * features purely from the payload bytes. Swap `decodeStub` for a real
-  * codec (javax.imageio / ffmpeg JNI) without touching any of the Spark
-  * plumbing — schema, batching, partitioning and the shardpack round-trip
-  * are all real and tested (MultimodalSpec).
+  * ── CODEC BOUNDARY ──
+  * Images go through a REAL header-only decode: [[decodeImage]] uses
+  * javax.imageio (ships in the JDK — PNG/JPEG/BMP/GIF/WBMP) to read
+  * dimensions and band count without materializing pixels. Audio/video
+  * payloads — no codecs in this container — fall to [[decodeStub]], a
+  * clearly-marked deterministic fake deriving "decoded" fields purely from
+  * the payload bytes. Swap the stub for ffmpeg JNI without touching any of
+  * the Spark plumbing — schema, batching, partitioning and the shardpack
+  * round-trip are all real and tested (MultimodalSpec).
   *
   * Scale notes: decode runs inside `mapPartitions` (the genuine fit for
   * opaque-binary batch work — no Catalyst expression could express a codec),
@@ -68,6 +70,50 @@ object Multimodal {
       sha = graft.sources.shardpack.ShardpackFormat.sha256(data)
         .map(x => f"$x%02x").mkString)
   }
+
+  /** REAL image header decode via javax.imageio: (width, height, bands)
+    * from the format header only — `ImageReader.getWidth/getHeight/
+    * getImageTypes` parse PNG IHDR / JPEG SOF / BMP InfoHeader without
+    * decoding pixel data, so this stays O(header) like the stub it
+    * replaces. None when no JDK reader claims the payload (corrupt bytes
+    * or a codec the JDK lacks) — callers then fall back to the stub.
+    */
+  def decodeImage(data: Array[Byte]): Option[(Int, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands else 3
+          Some((w, h, bands))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
+  /** Decode one payload: real imageio header parse for `image/...` content
+    * types (stub fallback for payloads no JDK reader recognizes), stub for
+    * audio/video. The SHA-256 content hash is computed either way.
+    */
+  def decode(key: String, contentType: String, data: Array[Byte]): MediaMeta =
+    if (contentType != null && contentType.startsWith("image/"))
+      decodeImage(data) match {
+        case Some((w, h, c)) =>
+          MediaMeta(key, contentType, data.length, w, h, c,
+            graft.sources.shardpack.ShardpackFormat.sha256(data)
+              .map(x => f"$x%02x").mkString)
+        case None => decodeStub(key, contentType, data)
+      }
+    else decodeStub(key, contentType, data)
 
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
@@ -127,7 +173,7 @@ object Multimodal {
     df.select($"key", explode($"entries").as("e"))
       .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
       .as[(String, String, Array[Byte])]
-      .mapPartitions(_.map { case (k, ct, d) => decodeStub(k, ct, d) })
+      .mapPartitions(_.map { case (k, ct, d) => decode(k, ct, d) })
   }
 
   /** Resize every entry payload to `newW×newH` using its decoded dimensions
@@ -144,7 +190,11 @@ object Multimodal {
       .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
       .as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (k, ct, d) =>
-        val (w, h, _) = decodeDimsStub(d)
+        // real header dims for images, stub dims for other modalities
+        val (w, h, _) =
+          if (ct != null && ct.startsWith("image/"))
+            decodeImage(d).getOrElse(decodeDimsStub(d))
+          else decodeDimsStub(d)
         (k, ct, newW, newH, resizeStub(d, w, h, newW, newH))
       })
       .toDF("key", "content_type", "width", "height", "data")

@@ -32,6 +32,29 @@ class LlmSpec extends AnyFunSuite with SparkTestBase {
       s"prefix filter lost/invented pairs: only-naive=${naive -- prefixed} only-prefix=${prefixed -- naive}")
   }
 
+  test("jaccardPairsAuto dispatches on the measured df blowup and stays exact") {
+    val docs = graft.Tables.documents(spark, sf)
+    // benign corpus: blowup well under the cutover → naive join
+    val benign = LlmQueries.shingleStats(docs)
+    assert(benign.blowup < LlmQueries.JaccardBlowupCutover,
+      s"benign corpus unexpectedly hot: ${benign.blowup}")
+    // boilerplate appended to every doc (the shared-license/footer shape):
+    // 32 shingles at df = N drive Σdf² quadratic (blowup ≈ 195 at N = 500
+    // vs ~7 benign) — the prefix path must engage
+    import org.apache.spark.sql.functions._
+    val hot = (1 to 34).map(i => s"w$i").mkString(" ")
+    val skewed = docs.withColumn("text", concat(col("text"), lit(" " + hot)))
+    val sk = LlmQueries.shingleStats(skewed)
+    assert(sk.blowup > LlmQueries.JaccardBlowupCutover,
+      s"skew fixture too mild to cross the cutover: ${sk.blowup}")
+    // auto output == naive output on the skewed corpus (it takes the
+    // prefix path there, so this re-proves A/B equality where it matters)
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pairSet(LlmQueries.jaccardPairsAuto(skewed, 0.5)) ==
+      pairSet(LlmQueries.jaccardPairs(skewed, 0.5)))
+  }
+
   test("minhash: identical texts collide on every band; estimated jaccard = 1") {
     val q = LlmQueries.queries.find(_.name == "dedup_minhash").get.fn
     // feed duplicated documents through the real query by pointing it at a

@@ -81,4 +81,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ds.rdd.getNumPartitions == 7)
     assert(ds.count() == 100)
   }
+
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("image/* payloads decode REAL dimensions via javax.imageio") {
+    val png = encodeImage("png", 37, 23)
+    val bmp = encodeImage("bmp", 64, 8)
+    // direct: header-only parse returns the true dims and band count
+    assert(Multimodal.decodeImage(png).contains((37, 23, 3)))
+    assert(Multimodal.decodeImage(bmp).contains((64, 8, 3)))
+    // through the Spark pipeline: real dims for real images, stub fallback
+    // for an image-typed payload no JDK reader claims
+    import spark.implicits._
+    val df = Seq(
+      ("png1", "image/png", png),
+      ("bmp1", "image/bmp", bmp),
+      ("junk", "image/jpeg", Array[Byte](1, 2, 3, 4, 5)),
+      ("wav1", "audio/wav", Array[Byte](9, 9, 9, 9))
+    ).toDF("key", "content_type", "data")
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("f").as("file_name"), $"content_type",
+          lit("").as("encoding"), $"data")).as("entries"))
+    val metas = Multimodal.decodeEntries(df).collect().map(m => m.key -> m).toMap
+    assert(metas("png1").width == 37 && metas("png1").height == 23 &&
+      metas("png1").nChannels == 3)
+    assert(metas("bmp1").width == 64 && metas("bmp1").height == 8)
+    // fallbacks stay on the deterministic stub
+    val stubJunk = Multimodal.decodeStub("junk", "image/jpeg", Array[Byte](1, 2, 3, 4, 5))
+    assert(metas("junk").width == stubJunk.width && metas("junk").height == stubJunk.height)
+    val stubWav = Multimodal.decodeStub("wav1", "audio/wav", Array[Byte](9, 9, 9, 9))
+    assert(metas("wav1").width == stubWav.width)
+    // resize consumes the REAL dims for images (exact nearest-neighbor map)
+    val resized = Multimodal.resizeEntries(df.filter($"key" === "png1"), 8, 8)
+      .select("data").head.getAs[Array[Byte]](0)
+    assert(resized.length == 64)
+  }
 }
