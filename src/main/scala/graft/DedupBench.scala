@@ -19,8 +19,9 @@ import graft.llm.LlmQueries
   *
   * The printed `blowup = Σdf²/T` is the dispatch statistic used by
   * [[LlmQueries.jaccardPairsAuto]]: measured here (BASELINE.md records the
-  * numbers), naive wins at the benign blowup (~7) and loses past a few
-  * hundred, so the cutover ships at 100.
+  * table), naive wins at the benign blowup (~11) and prefix already wins
+  * at blowup ~84, so the cutover ships at 45 — see the
+  * [[LlmQueries.JaccardBlowupCutover]] scaladoc for the calibration.
   *
   * Usage: runMain graft.DedupBench [sfDir]
   */
@@ -56,7 +57,10 @@ object DedupBench {
       val d = docs.persist()
       d.count()
       val stats = LlmQueries.shingleStats(d)
-      // warm both once (JIT/codegen), then measure
+      // warm both once (JIT/codegen/shuffle-service spin-up), THEN measure —
+      // the calibration numbers must not include one-time cold-start cost
+      LlmQueries.jaccardPairs(d, 0.5).count()
+      LlmQueries.jaccardPairsPrefix(d, 0.5).count()
       val (nNaive, tNaive) = time(LlmQueries.jaccardPairs(d, 0.5).count())
       val (nPrefix, tPrefix) = time(LlmQueries.jaccardPairsPrefix(d, 0.5).count())
       assert(nNaive == nPrefix, s"$name: algorithms disagree ($nNaive vs $nPrefix)")

@@ -164,12 +164,8 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
 
   /** Greedy contiguous sequence packing (pack_sequences' assignment):
     * bin = whitespace-tokens-before-this-row div `binTokens`, over the
-    * (doc_id[, chunk_id]) order. The running sum is a single-partition
-    * window HERE; at 100 TB pack per shard/partition (PARTITION BY the
-    * shard key) — assignment stays deterministic because order within a
-    * partition is fixed.
-    */
-  /** Packing is per SHARD of `shardDocs` contiguous doc_ids: every worker
+    * (doc_id[, chunk_id]) order within a shard.
+    * Packing is per SHARD of `shardDocs` contiguous doc_ids: every worker
     * packs its own slice independently (hash shuffle on the shard id, never
     * a single-partition global window), bins don't straddle shards, and
     * (shard_id, bin) names a packed sequence globally. The default shard
@@ -177,7 +173,7 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     * pack — while a 100 TB corpus sets a width matching its layout.
     */
   def packSequences(binTokens: Int = 2048, shardDocs: Long = 1L << 20): CurationPipeline =
-    step(s"packSequences($binTokens)") { d =>
+    step(s"packSequences($binTokens,$shardDocs)") { d =>
       val ord =
         if (d.columns.contains("chunk_id")) Seq(col("doc_id"), col("chunk_id"))
         else Seq(col("doc_id"))

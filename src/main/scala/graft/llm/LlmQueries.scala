@@ -121,7 +121,10 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
   private[llm] def goodPairs(s: SparkSession, d: String, t: Double): DataFrame =
     pairMemo.computeIfAbsent((s, d, t),
-      _ => jaccardPairs(documents(s, d), t).persist())
+      // the auto dispatch, not the naive join directly: all four pair-graph
+      // consumers inherit the heavy-tail protection (output-identical either
+      // way — LlmSpec pins A/B equality — so the oracle hash is unaffected)
+      _ => jaccardPairsAuto(documents(s, d), t).persist())
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin family): order
     * every doc's shingles by a global total order (document frequency asc,
@@ -178,14 +181,18 @@ object LlmQueries {
     else ShingleStats(r.getLong(0), r.getDouble(1), r.getLong(2))
   }
 
-  /** Measured crossover (DedupBench, sf0.1, local[32], BASELINE.md): the
-    * naive join wins at benign blowup (≈7 → 2.7 s vs 9.3 s) and loses once
-    * hot boilerplate shingles push blowup into the hundreds. Between the
-    * measured points the curves cross around the low hundreds; 100 is the
-    * conservative ship point (prefix's cost is flat, so cutting over a bit
-    * early only forfeits the small naive edge).
+  /** Measured crossover (DedupBench, sf0.1, local[32], threshold 0.5 —
+    * table recorded in BASELINE.md): naive wins at benign blowup
+    * (10.7 → 5.47 s vs 6.91 s) and at mild skew (19.0 → 3.36 vs 5.44),
+    * but PREFIX already wins at blowup 83.5 (4.94 s vs 5.89 s). A linear
+    * fit through the two skewed naive points crosses the ~5 s prefix
+    * plateau near blowup ≈ 65; 45 is the ship point because the two error
+    * modes are asymmetric — past the crossover the naive join's Σdf²
+    * candidate volume grows quadratically in df while prefix stays flat,
+    * so cutting over early forfeits a bounded ~1.5× naive edge, while
+    * cutting over late costs unboundedly more as skew grows.
     */
-  val JaccardBlowupCutover: Double = 100.0
+  val JaccardBlowupCutover: Double = 45.0
 
   /** Df-profile-driven dispatch between [[jaccardPairs]] (benign df) and
     * [[jaccardPairsPrefix]] (heavy-tailed df). The stats pass is one cheap

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * ── CODEC BOUNDARY ──
   * Images go through a REAL header-only decode: [[decodeImage]] uses
   * javax.imageio (ships in the JDK — PNG/JPEG/BMP/GIF/WBMP) to read
-  * dimensions and band count without materializing pixels. Audio/video
-  * payloads — no codecs in this container — fall to [[decodeStub]], a
+  * dimensions and band count without materializing pixels. WAV audio goes
+  * through a REAL RIFF header parse: [[decodeWav]] reads sample rate /
+  * channels / bit depth / duration from the `fmt `+`data` chunk headers.
+  * Other audio/video payloads — no codecs in this container — fall to
+  * [[decodeStub]], a
   * clearly-marked deterministic fake deriving "decoded" fields purely from
   * the payload bytes. Swap the stub for ffmpeg JNI without touching any of
   * the Spark plumbing — schema, batching, partitioning and the shardpack
@@ -79,7 +82,10 @@ object Multimodal {
     * or a codec the JDK lacks) — callers then fall back to the stub.
     */
   def decodeImage(data: Array[Byte]): Option[(Int, Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // payloads are already in-memory: a MemoryCacheImageInputStream avoids
+    // the temp-file-per-record that ImageIO's default FileCache stream
+    // creates inside the executor hot path
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(data))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -100,20 +106,69 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Decode one payload: real imageio header parse for `image/...` content
-    * types (stub fallback for payloads no JDK reader recognizes), stub for
-    * audio/video. The SHA-256 content hash is computed either way.
+  /** REAL WAV header decode: walks the RIFF chunk list for the `fmt ` and
+    * `data` chunks and returns (sampleRate, channels, bitsPerSample,
+    * durationMicros). O(header) like the imageio path — chunk headers are
+    * skipped by declared size, sample data is never read. None when the
+    * payload is not a RIFF/WAVE container or the fmt chunk is malformed.
     */
-  def decode(key: String, contentType: String, data: Array[Byte]): MediaMeta =
+  def decodeWav(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(i: Int): Int = (data(i) & 0xFF) | ((data(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    val isRiffWave = data.length >= 44 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+      data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E'
+    if (!isRiffWave) None
+    else {
+      var pos = 12L
+      var fmt: Option[(Int, Int, Int, Long)] = None // rate, ch, bits, byteRate
+      var dataSize = -1L
+      while (pos + 8 <= data.length && (fmt.isEmpty || dataSize < 0)) {
+        val p = pos.toInt
+        val id = new String(data, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(p + 4)
+        if (id == "fmt " && pos + 24 <= data.length) {
+          val ch = u16(p + 10)
+          val rate = u32(p + 12)
+          val byteRate = u32(p + 16)
+          val bits = u16(p + 22)
+          if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
+            fmt = Some((rate.toInt, ch, bits, byteRate))
+        } else if (id == "data") dataSize = size
+        pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      fmt.map { case (rate, ch, bits, byteRate) =>
+        val durMicros =
+          if (byteRate > 0 && dataSize >= 0) dataSize * 1000000L / byteRate else 0L
+        (rate, ch, bits, durMicros)
+      }
+    }
+  }
+
+  /** Decode one payload: real imageio header parse for `image/...` content
+    * types, real RIFF header parse for `audio/...` WAV payloads (for audio,
+    * `width` carries the sample rate and `height` the duration in millis —
+    * the closest MediaMeta analog of pixel dims), stub for everything else
+    * and for payloads no real parser recognizes. The SHA-256 content hash
+    * is computed either way.
+    */
+  def decode(key: String, contentType: String, data: Array[Byte]): MediaMeta = {
+    def sha = graft.sources.shardpack.ShardpackFormat.sha256(data)
+      .map(x => f"$x%02x").mkString
     if (contentType != null && contentType.startsWith("image/"))
       decodeImage(data) match {
-        case Some((w, h, c)) =>
-          MediaMeta(key, contentType, data.length, w, h, c,
-            graft.sources.shardpack.ShardpackFormat.sha256(data)
-              .map(x => f"$x%02x").mkString)
+        case Some((w, h, c)) => MediaMeta(key, contentType, data.length, w, h, c, sha)
+        case None            => decodeStub(key, contentType, data)
+      }
+    else if (contentType != null && contentType.startsWith("audio/"))
+      decodeWav(data) match {
+        case Some((rate, ch, _, durMicros)) =>
+          MediaMeta(key, contentType, data.length,
+            width = rate, height = (durMicros / 1000L).toInt, nChannels = ch, sha = sha)
         case None => decodeStub(key, contentType, data)
       }
     else decodeStub(key, contentType, data)
+  }
 
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
@@ -140,8 +195,11 @@ object Multimodal {
       var x = 0
       while (x < newW) {
         val srcX = (x.toLong * w / newW).toInt
-        val idx = srcY * w + srcX
-        out(y * newW + x) = if (idx < data.length) data(idx) else 0
+        // Long arithmetic: a crafted header can declare dims whose product
+        // overflows Int (e.g. 131072×32768), which would wrap negative and
+        // pass a naive `idx < length` check
+        val idx = srcY.toLong * w + srcX
+        out(y * newW + x) = if (idx >= 0 && idx < data.length) data(idx.toInt) else 0
         x += 1
       }
       y += 1

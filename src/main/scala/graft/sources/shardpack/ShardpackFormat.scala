@@ -400,7 +400,19 @@ object ShardpackFormat {
     * envelope := marker:8B minKey:str16 maxKey:str16 userMeta:bytes
     */
   object ShardStats {
-    val Marker: Array[Byte] = "SPKSTAT1".getBytes(StandardCharsets.US_ASCII)
+    /** v2: min/max stamped under code-point [[KeyOrd]] ordering. */
+    val Marker: Array[Byte] = "SPKSTAT2".getBytes(StandardCharsets.US_ASCII)
+
+    /** v1 envelopes were stamped with Java UTF-16 (code-UNIT) min/max,
+      * before [[KeyOrd]] existed. Trusting them under code-point comparison
+      * can wrongly prune a shard whose keys mix supplementary-plane and
+      * U+E000..U+FFFF characters (stamped max U+E000 while the true UTF-8
+      * max is above it), so [[unwrap]] parses the v1 structure — recovering
+      * the user metadata intact — but reports the key range as ABSENT; the
+      * shard is then swept like any unstamped one (correct, never pruned).
+      */
+    private[shardpack] val LegacyMarker: Array[Byte] =
+      "SPKSTAT1".getBytes(StandardCharsets.US_ASCII)
 
     def wrap(minKey: String, maxKey: String, userMeta: Array[Byte]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
@@ -413,20 +425,24 @@ object ShardpackFormat {
       bos.toByteArray
     }
 
-    /** → (key range if the marker is present, user metadata). */
+    /** → (key range if a TRUSTED marker is present, user metadata).
+      * v1 envelopes parse (user metadata recovered) but yield no range.
+      */
     def unwrap(meta: Array[Byte]): (Option[(String, String)], Array[Byte]) = {
+      def hasMarker(m: Array[Byte]): Boolean =
+        meta.length >= m.length &&
+          java.util.Arrays.equals(java.util.Arrays.copyOf(meta, m.length), m)
       if (meta == null) (None, Array.emptyByteArray)
-      else if (meta.length < Marker.length ||
-          !java.util.Arrays.equals(java.util.Arrays.copyOf(meta, Marker.length), Marker))
-        (None, meta)
+      else if (!hasMarker(Marker) && !hasMarker(LegacyMarker)) (None, meta)
       else {
+        val trusted = hasMarker(Marker)
         val in = new DataInputStream(new ByteArrayInputStream(meta))
         in.skipBytes(Marker.length)
         val lo = readStr16(in)
         val hi = readStr16(in)
         val rest = new Array[Byte](in.available())
         in.readFully(rest)
-        (Some((lo, hi)), rest)
+        (if (trusted) Some((lo, hi)) else None, rest)
       }
     }
 

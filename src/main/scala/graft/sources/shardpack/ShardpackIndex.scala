@@ -35,7 +35,10 @@ import org.apache.spark.sql.SparkSession
 object ShardpackIndex {
 
   val FileName = "_graft_index"
-  private val Magic = 0x4752464a // "GRFJ" (v2: + per-shard record count)
+  // "GRFK" (v3: ranges re-derived under KeyOrd — a v2 sidecar may embed
+  // UTF-16-ordered ranges, so the magic bump makes it fail to load and
+  // every shard falls back to a footer probe, which distrusts v1 stamps)
+  private val Magic = 0x4752464b
 
   final case class Entry(name: String, len: Long, range: Option[(String, String)],
       nRecords: Long)

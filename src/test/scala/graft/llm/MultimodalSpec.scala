@@ -124,4 +124,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .select("data").head.getAs[Array[Byte]](0)
     assert(resized.length == 64)
   }
+
+  /** Canonical 44-byte-header PCM WAV with an optional pre-`fmt ` chunk to
+    * exercise the RIFF chunk walk.
+    */
+  private def encodeWav(rate: Int, channels: Int, bits: Int, dataBytes: Int,
+      leadingJunkChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val junk = if (leadingJunkChunk) 8 + 6 else 0 // "LIST" + 6 payload bytes
+    out.writeBytes("RIFF"); le32(36 + junk + dataBytes); out.writeBytes("WAVE")
+    if (leadingJunkChunk) { out.writeBytes("LIST"); le32(6); out.write(new Array[Byte](6)) }
+    val byteRate = rate * channels * bits / 8
+    out.writeBytes("fmt "); le32(16)
+    le16(1); le16(channels); le32(rate); le32(byteRate)
+    le16(channels * bits / 8); le16(bits)
+    out.writeBytes("data"); le32(dataBytes); out.write(new Array[Byte](dataBytes))
+    bos.toByteArray
+  }
+
+  test("audio/wav payloads decode REAL sample rate/channels/duration from the RIFF header") {
+    // 16 kHz stereo 16-bit, 32000 data bytes → byteRate 64000 → 500 ms
+    val wav = encodeWav(16000, 2, 16, 32000)
+    assert(Multimodal.decodeWav(wav).contains((16000, 2, 16, 500000L)))
+    // chunk walk skips a leading non-fmt chunk by declared size
+    val wav2 = encodeWav(44100, 1, 8, 44100, leadingJunkChunk = true)
+    assert(Multimodal.decodeWav(wav2).contains((44100, 1, 8, 1000000L)))
+    // non-RIFF and truncated payloads are None, not exceptions
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    // through decode(): width carries the sample rate, height the millis
+    val m = Multimodal.decode("a1", "audio/wav", wav)
+    assert(m.width == 16000 && m.height == 500 && m.nChannels == 2)
+    // non-WAV audio falls back to the stub
+    val ogg = Multimodal.decode("a2", "audio/ogg", Array[Byte](79, 103, 103, 83))
+    assert(ogg == Multimodal.decodeStub("a2", "audio/ogg", Array[Byte](79, 103, 103, 83)))
+  }
+
+  test("resize survives a crafted header declaring dims whose product overflows Int") {
+    // 131072 × 32768 = 2^32 — srcY*w wraps negative in Int arithmetic; the
+    // Long index + bounds check must zero-fill instead of throwing AIOOBE
+    val tiny = Array.fill[Byte](100)(7)
+    val out = Multimodal.resizeStub(tiny, 131072, 32768, 4, 4)
+    assert(out.length == 16)
+    assert(out(0) == 7)            // idx 0 is in range
+    assert(out(15) == 0)           // out-of-range source positions zero-fill
+  }
 }

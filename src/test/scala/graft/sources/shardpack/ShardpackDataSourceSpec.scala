@@ -52,6 +52,24 @@ class ShardpackDataSourceSpec extends AnyFunSuite with SparkTestBase {
     val raw = "plain-meta".getBytes
     assert(ShardpackFormat.ShardStats.unwrap(raw) == (None, raw))
     assert(ShardpackFormat.ShardStats.mayContain(raw, Set("zzz"))) // conservative
+    // a LEGACY v1 envelope (stamped under UTF-16 ordering, pre-KeyOrd) is
+    // parsed for its user metadata but its range is DISTRUSTED: a v1 stamp
+    // of max=U+E000 would wrongly prune a lookup for a supplementary-plane
+    // key under code-point comparison, so v1 shards must never prune
+    val legacy = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeBytes("SPKSTAT1")
+      def str16(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); o.writeShort(b.length); o.write(b)
+      }
+      str16("aaa"); str16("\uE000") // UTF-16 max BELOW the true UTF-8 max
+      o.write("user-bytes".getBytes); o.flush(); bos.toByteArray
+    }
+    val (legacyRange, legacyUser) = ShardpackFormat.ShardStats.unwrap(legacy)
+    assert(legacyRange.isEmpty, "v1 ranges must be treated as absent")
+    assert(new String(legacyUser) == "user-bytes")
+    assert(ShardpackFormat.ShardStats.mayContain(legacy, Set("😀"))) // 😀 not pruned
     // end-to-end: pruned lookup finds nothing, in-range lookup still works
     val back = spark.read.format("shardpack").load(dir)
     assert(back.filter(col("key") === "zzz").count() == 0)
