@@ -433,6 +433,45 @@ object AnalyticsQueries {
     Q("sql_recursive", RecursiveTreeSql) { (s, d) =>
       part(s, d).createOrReplaceTempView("part")
       s.sql(RecursiveTreeSql)
+    },
+
+    // Salted skewed join (SkewOps.saltedJoin registered end-to-end): ~80%
+    // of events collapse onto ONE hot key, the pathological fact⋈dim shape
+    // where a plain hash join funnels the hot key through a single reducer
+    // (at 100 TB: one straggler task holding the stage). The salt spreads
+    // the hot key over 8 (key, salt) reducers; the dim replicates 8× (tiny
+    // — dims are, or you'd broadcast). The salt is CONTENT-hashed, so a
+    // recomputed lost task re-derives identical assignments (retry-stable,
+    // the SPARK-23207 class of bug). Oracle is the plain join — salting
+    // must be invisible in the result. AQE's skewedJoin handles the
+    // sort-merge case adaptively; this is the explicit form for when AQE
+    // can't (fixed partitioning, streaming state, aggregation builds).
+    Q("join_skew",
+      """WITH big AS (
+        |  SELECT CASE WHEN user_id % 10 < 8 THEN 'click' ELSE event_type END AS k,
+        |         event_id
+        |  FROM events),
+        |dim AS (SELECT DISTINCT event_type AS dk FROM events)
+        |SELECT b.k AS k, CAST(length(b.k) AS INT) AS w,
+        |       count(*) AS n, CAST(sum(b.event_id) AS BIGINT) AS id_sum
+        |FROM big b JOIN dim d ON b.k = d.dk
+        |GROUP BY b.k ORDER BY k""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val big = ev.select(
+        when(pmod($"user_id", lit(10)) < 8, lit("click"))
+          .otherwise($"event_type").as("k"),
+        $"event_id")
+      // shuffle_hash hint: at THIS scale Catalyst would broadcast the
+      // 5-row dim and trivially avoid the skew — the hint simulates the
+      // 100 TB case the salt exists for (dim too big to broadcast), so the
+      // plan under audit is the real salted SHUFFLE: both sides hash on
+      // (key, salt) and the hot key spreads over 8 reducers
+      val dim = ev.select($"event_type".as("dk")).distinct().hint("shuffle_hash")
+      SkewOps.saltedJoin(big, dim, "k", "dk", n = 8)
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+        .select($"k", length($"k").cast(IntegerType).as("w"), $"n", $"id_sum")
+        .orderBy($"k")
     }
   )
 
