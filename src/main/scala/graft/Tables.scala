@@ -34,6 +34,12 @@ object Tables {
         // ns since epoch → µs truncation (all test data is post-1970).
         // Integer `div`, NOT `/`: double division loses precision at e18.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // parquet written without isAdjustedToUTC (e.g. DuckDB COPY, many
+        // ETL tools) surfaces as TIMESTAMP_NTZ; with the session timezone
+        // pinned to UTC the cast is instant-preserving and matches how
+        // DuckDB reads the same file (naive timestamp)
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -320,6 +320,35 @@ object TextRankQueries {
         .agg(count(lit(1)).as("n_words"),
           (sum($"df").cast(DoubleType) / count(lit(1))).as("mean_df"))
         .orderBy($"doc_id")
+    },
+
+    // Corpus-level n-gram frequency table — the raw material of an n-gram
+    // LM, contamination fingerprints, and boilerplate mining: top word
+    // trigrams by INSTANCE count (multiplicity, not per-doc sets). Exact
+    // integer counts with a total (n DESC, gram) order, so the LIMIT
+    // boundary is deterministic in both engines. Plan shape: one explode
+    // + one grouped count + a global top-k — the grouped count is
+    // partial-aggregated map-side, so the shuffle carries one row per
+    // DISTINCT gram (vocabulary-sized, ≪ corpus), and the top-k is a
+    // TakeOrdered, never a full sort. At 100 TB this is THE canonical
+    // map-combine workload; nothing changes shape.
+    Q("ngram_counts",
+      """WITH tok AS (
+        |  SELECT unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+        |      FOR i IN range(1, len(ws)-1)]) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT gram, count(*) AS n FROM tok GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(
+          transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"gram")
+        .limit(100)
     }
   )
 

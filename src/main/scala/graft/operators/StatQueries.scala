@@ -640,6 +640,29 @@ object StatQueries {
         .selectExpr("user_id", "hr",
           interpCase(c => s"unix_micros($c)") + " AS v_interp")
         .orderBy($"user_id", $"hr")
+    },
+
+    // Behavioral co-occurrence: how many users exhibit BOTH event types —
+    // the market-basket / feature-correlation primitive. The self-join
+    // runs on the per-user DISTINCT type set, which is bounded by the
+    // type vocabulary (≤ |types| rows per user, never per-event), so at
+    // 100 TB the joined frame is |users|·|types| — the candidate pairs
+    // per user are C(|types|,2), independent of event volume. Exact
+    // integer counts, total (a_type, b_type) order.
+    Q("events_cooccur",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT x.event_type AS a_type, y.event_type AS b_type,
+        |  count(*) AS n_users
+        |FROM ut x JOIN ut y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY a_type, b_type""".stripMargin) { (s, d) =>
+      val ut = events(s, d).select($"user_id", $"event_type").distinct()
+      ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("a_type"), col("y.event_type").as("b_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"a_type", $"b_type")
     })
 
   // $"…" sugar without a SparkSession-bound `implicits` import.

@@ -1,0 +1,121 @@
+package graft.sources.shardpack
+
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Object-store semantics emulation for an `s3x://` scheme: rename is
+  * COPY+DELETE (non-atomic, as S3A implements it) and FAILS onto an
+  * existing destination (no overwrite-by-rename), matching the Hadoop
+  * FileSystem contract S3AFileSystem actually provides. Local directories
+  * back the bytes, so every other operation behaves like a strongly
+  * consistent store (which S3 has been since 2020 — listing consistency is
+  * no longer the hazard; rename semantics are).
+  */
+class S3xFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "s3x"
+  override def getUri: URI = URI.create("s3x:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!exists(src)) return false
+    if (exists(dst)) return false // object stores do not overwrite-by-rename
+    // copy-then-delete: the visible state passes through {src+dst} — any
+    // reader running between the two ops can see both files, exactly the
+    // transient-duplicate window the commit protocol must tolerate
+    val in = open(src)
+    try {
+      val out = create(dst, false)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+      finally out.close()
+    } finally in.close()
+    delete(src, false)
+  }
+}
+
+/** VERDICT r3/r4 ask: exercise the Layer-1 commit protocol against
+  * rename-hostile object-store semantics, not just the atomic-rename local
+  * FS. What the protocol relies on and why it survives here:
+  *   - task temps promote via CHECKED rename to a destination verified
+  *     absent first — rename-onto-existing never happens in the protocol
+  *     (replayed commits skip as success), so the no-overwrite contract
+  *     above is never violated;
+  *   - a non-atomic copy+delete rename can only expose {temp + final}
+  *     transiently; temps are dot-prefixed and invisible to listShards, so
+  *     readers never see a half-promoted generation;
+  *   - the sidecar index publishes via delete+rename — non-atomic, but a
+  *     missing/partial sidecar only downgrades planning to footer probes
+  *     (load() treats unparseable as absent).
+  */
+class ObjectStoreFsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def s3xDir(): String = {
+    // register the scheme in the session's Hadoop conf (once is idempotent)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3x.impl", classOf[S3xFileSystem].getName)
+    "s3x://" + Files.createTempDirectory("s3x-bucket").toString
+  }
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      format_string("key%05d", $"id").as("key"),
+      to_json(struct($"id")).cast("binary").as("metadata"),
+      array(struct(lit("body.txt").as("file_name"), lit("text/plain").as("content_type"),
+        lit("").as("encoding"),
+        encode(format_string("payload-%05d", $"id"), "UTF-8").as("data"))).as("entries"))
+  }
+
+  test("append commit survives copy+delete rename: write, scan, keyed lookup") {
+    val dir = s3xDir()
+    docsDf(200).write.format("shardpack").mode("append").save(dir)
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() === 200)
+    // pushdown lookup still prunes through the envelope path
+    assert(back.filter(col("key") === "key00123").count() === 1)
+    assert(back.filter(col("key") === "nope").count() === 0)
+    // no temp residue after commit
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val residue = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith(".graft-tmp-"))
+    assert(residue.isEmpty, s"staged temps leaked: ${residue.map(_.getPath.getName).toSeq}")
+  }
+
+  test("second append and overwrite both commit on the no-overwrite-rename store") {
+    val dir = s3xDir()
+    docsDf(50).write.format("shardpack").mode("append").save(dir)
+    docsDf(50).write.format("shardpack").mode("append").save(dir)
+    assert(spark.read.format("shardpack").load(dir).count() === 100)
+    // overwrite: new generation renamed in BEFORE the old one is deleted —
+    // both renames target fresh names, so no-overwrite-rename never trips
+    docsDf(30).write.format("shardpack").mode("overwrite").save(dir)
+    assert(spark.read.format("shardpack").load(dir).count() === 30)
+  }
+
+  test("sidecar index builds and serves envelope pruning over s3x") {
+    val dir = s3xDir()
+    docsDf(120).write.format("shardpack")
+      .option("sortedWrite", true).option("targetShards", 3)
+      .mode("append").save(dir)
+    assert(ShardpackIndex.build(spark, dir) === 3)
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val idx = ShardpackIndex.load(fs, new Path(dir))
+    assert(idx.isDefined && idx.get.size === 3)
+    assert(idx.get.values.forall(_.range.isDefined))
+    assert(spark.read.format("shardpack").load(dir)
+      .filter(col("key") === "key00077").count() === 1)
+  }
+
+  test("row-level delete (copy-on-write group swap) commits over s3x") {
+    val dir = s3xDir()
+    docsDf(80).write.format("shardpack").mode("append").save(dir)
+    ShardpackOps.deleteKeys(spark, dir, Seq("key00010", "key00020"))
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() === 78)
+    assert(back.filter(col("key") === "key00010").count() === 0)
+  }
+}
