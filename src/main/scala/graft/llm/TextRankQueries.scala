@@ -165,9 +165,14 @@ object TextRankQueries {
         |FROM b a JOIN b b2 ON a.p = b2.p AND a.doc_id < b2.doc_id
         |WHERE levenshtein(substr(a.nrm, 1, 200), substr(b2.nrm, 1, 200)) <= 20
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // nrm is truncated to the 200 chars the verify step reads (identical
+      // output: the oracle takes substr(nrm,1,200) of the full normalization
+      // and min-length 16 is unaffected by a 200-char cap), so the
+      // self-join broadcasts bounded rows instead of full documents — at
+      // corpus scale the broadcast is 200 B/doc, not document-sized
       val b = documents(s, d)
         .select($"doc_id",
-          regexp_replace(lower($"text"), "[^a-z]", "").as("nrm"))
+          substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
         .filter(length($"nrm") >= 16)
         .withColumn("p", substring($"nrm", 1, 16))
       b.as("a").join(b.as("b2"),

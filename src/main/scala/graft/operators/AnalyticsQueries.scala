@@ -37,7 +37,7 @@ object AnalyticsQueries {
       """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 480000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin) { (s, d) =>
       val dim = orders(s, d).filter($"o_totalprice" > 480000)
       val bloomAgg = Bridge.column(
         new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression($"o_orderkey"))))
@@ -50,7 +50,9 @@ object AnalyticsQueries {
         .join(dim.select($"o_orderkey", $"o_totalprice"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_orderkey", $"l_linenumber", $"o_totalprice")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // o_totalprice tiebreak keeps the order total over the output
+        // tuple under duplicate (l_orderkey, l_linenumber) pairs
+        .orderBy($"l_orderkey", $"l_linenumber", $"o_totalprice")
     },
 
     // Exact stratified sampling: 20% per stratum, deterministic. Rows are

@@ -330,11 +330,13 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
-        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
-        |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) *
-        |          (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |          (100 - CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS BIGINT))) AS DOUBLE)
+        |    / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |          (100 - CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS BIGINT)) *
+        |          (100 + CAST(CAST(l_tax AS DECIMAL(10,2)) * 100 AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -342,14 +344,23 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // sum_disc_price/sum_charge in exact INTEGER units (cents × pct ×
+      // pct), BIGINT-summed, ONE double division at the end: decimal sums
+      // cast to double diverge between engines once the scaled magnitude
+      // crosses 2^53 (DuckDB's int128→double then ÷10^scale double-rounds
+      // where Spark's BigDecimal→double rounds once — found at sf1 where
+      // sum_charge ≈ 5.2e10 · 10^6 units), while int64→double conversion
+      // and a single division of identical exact operands are
+      // correctly-rounded in both engines.
+      val extC = (dec($"l_extendedprice", 2) * 100).cast(LongType)
+      val disc100 = lit(100L) - (dec($"l_discount", 2) * 100).cast(LongType)
+      val tax100 = lit(100L) + (dec($"l_tax", 2) * 100).cast(LongType)
       lineitem(s, d).groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
-          sum(dec10($"l_extendedprice") * (one10 - dec10($"l_discount")) *
-              (one10 + dec10($"l_tax"))).cast(DoubleType).as("sum_charge"),
+          (sum(extC * disc100).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sum(extC * disc100 * tax100).cast(DoubleType) / 1000000.0).as("sum_charge"),
           davg($"l_quantity").as("avg_qty"),
           davg($"l_extendedprice").as("avg_price"),
           davg($"l_discount").as("avg_disc"),
@@ -684,7 +695,7 @@ object RelationalQueries {
         |  UNION ALL SELECT 5, 'mid' UNION ALL SELECT 10, 'high')
         |SELECT l.l_orderkey, l.l_linenumber, dim.label
         |FROM l JOIN dim ON l.disc_pct IS NOT DISTINCT FROM dim.disc_pct
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, label""".stripMargin) { (s, d) =>
       val l = lineitem(s, d).select($"l_orderkey", $"l_linenumber",
         when($"l_discount" === 0, lit(null).cast(LongType))
           .otherwise(round($"l_discount" * 100).cast(LongType)).as("disc_pct"))
@@ -698,7 +709,9 @@ object RelationalQueries {
           StructField("label", StringType, nullable = false))))
       l.join(dim, l("disc_pct") <=> dim("disc_pct"))
         .select($"l_orderkey", $"l_linenumber", $"label")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // label tiebreak: (l_orderkey, l_linenumber) duplicates exist in
+        // the generated lineitem with different discounts (sf1 finding)
+        .orderBy($"l_orderkey", $"l_linenumber", $"label")
     },
 
     // Symmetric difference — the membership-mismatch audit (who is in

@@ -84,7 +84,13 @@ object ScalarFnQueries {
         |  l_extendedprice * l_quantity AS prod,
         |  greatest(l_tax, l_discount) AS max_rate,
         |  least(l_tax, l_discount) AS min_rate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, prod, price_sqrt, tax_disc_gap,
+        |  max_rate, min_rate""".stripMargin) { (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem
+      // (dup pairs carry different measures), so the ORDER BY continues
+      // through value columns until the order is total over the output
+      // tuple — found at sf1, where tie order diverged between engines
       lineitem(s, d).select($"l_orderkey", $"l_linenumber",
           abs(dec($"l_tax", 2).cast(DecimalType(10, 2)) -
             dec($"l_discount", 2).cast(DecimalType(10, 2))).cast(DoubleType).as("tax_disc_gap"),
@@ -95,7 +101,8 @@ object ScalarFnQueries {
           ($"l_extendedprice" * $"l_quantity").as("prod"),
           greatest($"l_tax", $"l_discount").as("max_rate"),
           least($"l_tax", $"l_discount").as("min_rate"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"prod", $"price_sqrt",
+          $"tax_disc_gap", $"max_rate", $"min_rate")
     },
 
     Q("fn_array",
