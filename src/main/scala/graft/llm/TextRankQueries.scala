@@ -170,17 +170,31 @@ object TextRankQueries {
       // and min-length 16 is unaffected by a 200-char cap), so the
       // self-join broadcasts bounded rows instead of full documents — at
       // corpus scale the broadcast is 200 B/doc, not document-sized
+      // repartition: the documents table is one parquet split, so without
+      // it the streaming side of the self-join — and with it EVERY
+      // levenshtein verify — runs as a single task on one core (measured
+      // 170 s → 24 s at sf1/local[8], near-linear in cores; sf1's dup
+      // families make 240k candidate pairs). Hashing on doc_id spreads
+      // pairs across the cluster; the broadcast build side carries every
+      // block anyway.
       val b = documents(s, d)
+        .repartition(col("doc_id"))
         .select($"doc_id",
           substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
         .filter(length($"nrm") >= 16)
         .withColumn("p", substring($"nrm", 1, 16))
+      // THRESHOLDED levenshtein: the 3-arg form can terminate the DP past
+      // the bound and returns -1 there — exact for every kept pair, so
+      // output is identical to the full DP the oracle computes. Measured
+      // ~4% here (sf1's candidates are mostly TRUE near-dups, so the band
+      // stays full); the win scales with the far-pair share, which
+      // dominates candidates on real heterogeneous crawl blocks.
       b.as("a").join(b.as("b2"),
           col("a.p") === col("b2.p") && col("a.doc_id") < col("b2.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
           levenshtein(substring(col("a.nrm"), 1, 200),
-            substring(col("b2.nrm"), 1, 200)).as("dist"))
-        .filter($"dist" <= 20)
+            substring(col("b2.nrm"), 1, 200), 20).as("dist"))
+        .filter($"dist" >= 0 && $"dist" <= 20)
         .orderBy($"a_id", $"b_id")
     },
 
