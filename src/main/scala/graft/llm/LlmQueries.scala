@@ -351,6 +351,45 @@ object LlmQueries {
       goodPairs(s, d, 0.5).orderBy($"a_id", $"b_id")
     },
 
+    // Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / min(|A|,|B|) — the
+    // quote/subset detector Jaccard misses (a doc pasted inside a bigger
+    // one has high containment but low Jaccard once the host grows).
+    // Same inverted-index join as jaccardPairs: the intersection count
+    // falls out of the pair group-by, so verification is free. Scale path
+    // mirrors the Jaccard dispatch: the prefix bound for containment is
+    // n − ⌈t·n⌉ + 1 over the SMALLER set's rarest shingles, so
+    // jaccardPairsPrefix's machinery transfers when df goes heavy-tailed.
+    // Single double division (inter / least) — engine-identical.
+    Q("dedup_containment",
+      s"""WITH tok AS (
+         |  ${sqlShingleTok("documents")}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, inter,
+         |  CAST(inter AS DOUBLE) / LEAST(ca.n, cb.n) AS cont
+         |FROM pair
+         |JOIN cnt ca ON ca.doc_id = a_id
+         |JOIN cnt cb ON cb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val tok = shingleTok(documents(s, d))
+      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pair = tok.as("a").join(tok.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val cont = col("inter").cast(DoubleType) / least(col("ca.n"), col("cb.n"))
+      pair
+        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
+        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
+        .filter(cont >= 0.8)
+        .select($"a_id", $"b_id", $"inter", cont.as("cont"))
+        .orderBy($"a_id", $"b_id")
+    },
+
     // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
     // graph (pairs → groups → keep min doc_id per group — the step that
     // makes dedup actionable). Spark side: min-label propagation iterated

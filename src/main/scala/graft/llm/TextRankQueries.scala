@@ -341,6 +341,46 @@ object TextRankQueries {
         .orderBy($"doc_id")
     },
 
+    // Unigram-LM perplexity — the classic cheap quality filter (CCNet's
+    // ordering signal): score each doc by the cross-entropy of its own
+    // tokens under the corpus unigram distribution; gibberish and
+    // boilerplate-stuffed docs sit at the extremes. Determinism: each
+    // m·ln(c/T) term is snapped onto the 1e-6 integer grid and summed as
+    // BIGINT (the events_entropy pattern — order-independent, so partial
+    // aggregation can never wobble the hash); the final exp() goes through
+    // the round(·,6) ln-grid precedent. Plan at 100 TB: tokens group to a
+    // vocab-sized count table joined back token→vocab (quality_rarity's
+    // shape), the corpus total is a 1-row broadcast (excused nested loop),
+    // and every aggregate is map-side partial.
+    Q("quality_perplexity",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |t AS (SELECT count(*) AS tot FROM tok),
+         |m AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY doc_id, w),
+         |terms AS (SELECT m.doc_id, m.m,
+         |    CAST(round(m.m * ln(CAST(c.c AS DOUBLE) / t.tot) * -1000000)
+         |      AS BIGINT) AS g
+         |  FROM m JOIN c ON m.w = c.w CROSS JOIN t)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_words,
+         |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS xent,
+         |  round(exp(CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m)), 6) AS ppl
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = tok(s, d)
+      val c = tk.groupBy($"w").agg(count(lit(1)).as("c"))
+      val t = tk.agg(count(lit(1)).as("tot"))
+      val m = tk.groupBy($"doc_id", $"w").agg(count(lit(1)).as("m"))
+      val xent = sum($"g").cast(DoubleType) / 1000000L / sum($"m")
+      m.join(c, "w").crossJoin(t)
+        .select($"doc_id", $"m",
+          round($"m" * log($"c".cast(DoubleType) / $"tot") * -1000000L, 0)
+            .cast(LongType).as("g"))
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_words"), xent.as("xent"),
+          round(exp(xent), 6).as("ppl"))
+        .orderBy($"doc_id")
+    },
+
     // Corpus-level n-gram frequency table — the raw material of an n-gram
     // LM, contamination fingerprints, and boilerplate mining: top word
     // trigrams by INSTANCE count (multiplicity, not per-doc sets). Exact

@@ -47,6 +47,25 @@ object RelationalQueries {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
 
+  // TPC-H Q5-shaped: the 6-way snowflake join (3 big-table equi-joins +
+  // 3 broadcast dims) that exercises Catalyst's join reorder + AQE. The
+  // revenue sum uses the Q3 DECIMAL-product pattern (exact decimal sum,
+  // one cast to double); ORDER BY (revenue DESC, n_name) is total.
+  private val Q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -322,6 +341,12 @@ object RelationalQueries {
       orders(s, d).createOrReplaceTempView("orders")
       lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(Q3Sql)
+    },
+
+    Q("sql_q5", Q5Sql) { (s, d) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q5Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────

@@ -663,6 +663,88 @@ object StatQueries {
         .groupBy(col("x.event_type").as("a_type"), col("y.event_type").as("b_type"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"a_type", $"b_type")
+    },
+
+    // Last-touch attribution: credit each purchase to the user's most
+    // recent non-purchase event within the 7 preceding days; purchases
+    // with no touch in the window land in the '(none)' channel. Shape at
+    // 100 TB: the candidate join is the same per-user interval join as
+    // events_funnel (both sides shuffle once on user_id, the 7-day band
+    // bounds per-user pairs); the argmax is a window over CANDIDATE pairs
+    // partitioned by purchase — never over raw events. Tie-break on
+    // (ts, event_id) makes the chosen touch total; value sums go through
+    // DECIMAL (Tables.dsum) so the attributed revenue is engine-exact.
+    Q("events_attribution",
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type <> 'purchase'),
+        |cand AS (SELECT p.event_id AS pid, p.value, t.event_type AS channel,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rk
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY),
+        |best AS (SELECT pid, value, channel FROM cand WHERE rk = 1)
+        |SELECT coalesce(b.channel, '(none)') AS channel,
+        |  count(*) AS n_conv,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM p LEFT JOIN best b ON b.pid = p.event_id
+        |GROUP BY 1 ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id".as("pu"), $"ts".as("pts"),
+          $"value")
+      val t = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val best = p.join(t,
+          $"user_id" === $"pu" && $"ts" < $"pts" &&
+            $"ts" >= $"pts" - expr("interval 7 days"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"pid").orderBy($"ts".desc, $"event_id".desc)))
+        .filter($"rk" === 1)
+        .select($"pid".as("bpid"), $"event_type".as("channel"))
+      p.join(best, $"bpid" === $"pid", "left")
+        .groupBy(coalesce($"channel", lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          dsum($"value").as("attributed_value"))
+        .orderBy($"channel")
+    },
+
+    // Per-user EWMA (α = 1/2) of event value over the trailing 10 events.
+    // Exact cross-engine arithmetic: weights 2^(9−lag) are INTEGERS after
+    // scaling by 2^9, values go through DECIMAL(18,2), so the weighted sum
+    // is exact in both engines and the single final double division is
+    // IEEE-identical. The trailing window is a bounded rn-band self-join
+    // (≤10 partners/row, shuffled once on user_id) — the same plan at any
+    // scale — rather than an ordered-list fold whose summation order a
+    // SQL engine doesn't contractually fix. Row identity (user_id, ts,
+    // event_id) is total: event_id is unique.
+    Q("ts_ewma",
+      """WITH base AS (SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT c.user_id, c.ts, c.event_id,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,2)) *
+        |      CAST(pow(2, 9 - (c.rn - p.rn)) AS BIGINT)) AS DOUBLE)
+        |    / SUM(CAST(pow(2, 9 - (c.rn - p.rn)) AS BIGINT)) AS ewma
+        |FROM base c JOIN base p
+        |  ON p.user_id = c.user_id AND p.rn BETWEEN c.rn - 9 AND c.rn
+        |GROUP BY c.user_id, c.ts, c.event_id
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin) { (s, d) =>
+      val base = events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .select($"user_id", $"ts", $"event_id", $"value", $"rn")
+      val w = pow(lit(2), lit(9) - (col("c.rn") - col("p.rn"))).cast(LongType)
+      base.as("c").join(base.as("p"),
+          col("p.user_id") === col("c.user_id") &&
+            col("p.rn").between(col("c.rn") - 9, col("c.rn")))
+        .groupBy(col("c.user_id").as("user_id"), col("c.ts").as("ts"),
+          col("c.event_id").as("event_id"))
+        .agg((sum(dec(col("p.value"), 2) * w).cast(DoubleType) /
+          sum(w)).as("ewma"))
+        .orderBy($"user_id", $"ts", $"event_id")
     })
 
   // $"…" sugar without a SparkSession-bound `implicits` import.
