@@ -98,6 +98,33 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       d.join(bad, Seq("doc_id"), "left_anti")
     }
 
+  /** Drop documents outside a unigram-LM cross-entropy band
+    * (quality_perplexity's signal, the CCNet-style filter): too-low
+    * cross-entropy means the doc is made of the corpus's most common
+    * tokens (boilerplate), too-high means rare-token soup (gibberish,
+    * wrong language). The unigram model is fit on the CURRENT pipeline
+    * frame — vocab-sized count table joined back token→vocab, corpus
+    * total broadcast — so the step composes after earlier filters.
+    */
+  def filterPerplexity(minXent: Double = 2.0, maxXent: Double = 9.0): CurationPipeline =
+    step(s"filterPerplexity($minXent,$maxXent)") { d =>
+      val tk = d
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 3)
+      val c = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val t = tk.agg(count(lit(1)).as("tot"))
+      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      val keep = m.join(c, "w").crossJoin(t)
+        .select(col("doc_id"), col("m"),
+          round(col("m") * log(col("c").cast(DoubleType) / col("tot")) * -1000000L, 0)
+            .cast(LongType).as("g"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m"))).as("xent"))
+        .filter(col("xent") >= minXent && col("xent") <= maxXent)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
   /** Redact email-shaped tokens and long digit runs (pii_mask's patterns). */
   def maskPii(): CurationPipeline = step("maskPii") {
     _.withColumn("text",

@@ -63,6 +63,21 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == expected)
   }
 
+  test("filterPerplexity keeps exactly the docs inside the cross-entropy band") {
+    val xents = graft.SparkEntry.queries("quality_perplexity")(spark, sf)
+      .select("doc_id", "xent").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // interior band from the observed distribution so the test exercises
+    // drops on BOTH sides regardless of fixture drift
+    val sorted = xents.values.toSeq.sorted
+    val (lo, hi) = (sorted(sorted.size / 10), sorted(sorted.size * 9 / 10))
+    val out = CurationPipeline(docs).filterPerplexity(lo, hi).result
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = xents.filter { case (_, x) => x >= lo && x <= hi }.keySet
+    assert(kept == expected)
+    assert(kept.size < xents.size, "band must drop some docs")
+  }
+
   test("samplePct keeps a deterministic hash-pure fraction") {
     val p20 = CurationPipeline(docs).samplePct(20).result
     val n = docs.count().toDouble
