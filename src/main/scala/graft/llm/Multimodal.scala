@@ -145,12 +145,78 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4 (ISO BMFF) header decode: walks the top-level box list for
+    * `moov`, then its children for `mvhd` (timescale + duration) and each
+    * `trak`'s `tkhd` (16.16 fixed-point presentation width/height — the
+    * first trak with a nonzero width is the video track). O(header) like
+    * the WAV path: boxes are skipped by their declared size, sample data
+    * (`mdat`) is never read. Returns (width, height, nTraks,
+    * durationMicros); None when the payload has no parseable moov/mvhd.
+    */
+  def decodeMp4(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32(i: Int): Long =
+      ((data(i) & 0xFFL) << 24) | ((data(i + 1) & 0xFFL) << 16) |
+        ((data(i + 2) & 0xFFL) << 8) | (data(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    // walk children of [start, end), returning (type → payload offset);
+    // size==1 means 64-bit largesize, size==0 means "to end of enclosure"
+    def boxes(start: Long, end: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = start
+        def hasNext: Boolean = pos + 8 <= end && pos + 8 <= data.length
+        def next(): (String, Long, Long) = {
+          val p = pos.toInt
+          val declared = u32(p)
+          val typ = new String(data, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val (hdr, size) =
+            if (declared == 1 && pos + 16 <= data.length) (16L, u64(p + 8))
+            else if (declared == 0) (8L, end - pos)
+            else (8L, declared)
+          val r = (typ, pos + hdr, pos + math.max(hdr, size))
+          pos += math.max(hdr, size)
+          r
+        }
+      }
+    try {
+      boxes(0, data.length).collectFirst { case ("moov", s, e) =>
+        var dims: Option[(Int, Int)] = None
+        var nTraks = 0
+        var durMicros = 0L
+        for ((typ, bs, be) <- boxes(s, e)) typ match {
+          case "mvhd" if bs + 4 <= data.length =>
+            val v = data(bs.toInt) & 0xFF
+            val (ts, dur) =
+              if (v == 1 && bs + 32 <= be) (u32(bs.toInt + 20), u64(bs.toInt + 24))
+              else if (bs + 24 <= be) (u32(bs.toInt + 12), u32(bs.toInt + 16))
+              else (0L, 0L)
+            if (ts > 0) durMicros = dur * 1000000L / ts
+          case "trak" =>
+            nTraks += 1
+            if (dims.isEmpty)
+              dims = boxes(bs, be).collectFirst {
+                case ("tkhd", ts2, te2) if ts2 + 4 <= data.length =>
+                  val v = data(ts2.toInt) & 0xFF
+                  val wOff = if (v == 1) 88L else 76L // after version+flags
+                  if (ts2 + wOff + 8 <= te2)
+                    ((u32((ts2 + wOff).toInt) >> 16).toInt,
+                      (u32((ts2 + wOff + 4).toInt) >> 16).toInt)
+                  else (0, 0)
+              }.filter(_._1 > 0)
+          case _ => ()
+        }
+        (dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0), nTraks, durMicros)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Decode one payload: real imageio header parse for `image/...` content
     * types, real RIFF header parse for `audio/...` WAV payloads (for audio,
     * `width` carries the sample rate and `height` the duration in millis —
-    * the closest MediaMeta analog of pixel dims), stub for everything else
-    * and for payloads no real parser recognizes. The SHA-256 content hash
-    * is computed either way.
+    * the closest MediaMeta analog of pixel dims), real ISO-BMFF box parse
+    * for `video/...` MP4 payloads (pixel dims from the video trak's tkhd,
+    * `nChannels` carries the track count), stub for everything else and
+    * for payloads no real parser recognizes. The SHA-256 content hash is
+    * computed either way.
     */
   def decode(key: String, contentType: String, data: Array[Byte]): MediaMeta = {
     def sha = graft.sources.shardpack.ShardpackFormat.sha256(data)
@@ -165,6 +231,13 @@ object Multimodal {
         case Some((rate, ch, _, durMicros)) =>
           MediaMeta(key, contentType, data.length,
             width = rate, height = (durMicros / 1000L).toInt, nChannels = ch, sha = sha)
+        case None => decodeStub(key, contentType, data)
+      }
+    else if (contentType != null && contentType.startsWith("video/"))
+      decodeMp4(data) match {
+        case Some((w, h, nTraks, _)) =>
+          MediaMeta(key, contentType, data.length,
+            width = w, height = h, nChannels = nTraks, sha = sha)
         case None => decodeStub(key, contentType, data)
       }
     else decodeStub(key, contentType, data)

@@ -66,6 +66,23 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // TPC-H Q18-shaped: large-volume orders — the HAVING-subquery + 3-way
+  // join shape. The semi-join side is a grouped sum over the fact table
+  // (map-side partial agg, one shuffle on l_orderkey), and the outer
+  // aggregate re-groups the same key, so AQE can reuse the exchange.
+  // ORDER BY (o_totalprice DESC, o_orderkey) is total: totalprice is a
+  // STORED double (no computed-float ordering) and orderkey is unique.
+  private val Q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -349,6 +366,12 @@ object RelationalQueries {
       s.sql(Q5Sql)
     },
 
+    Q("sql_q18", Q18Sql) { (s, d) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q18Sql)
+    },
+
     // ───────────────────── aggregations ─────────────────────
     // TPC-H Q1-shaped: partial (map-side) agg + final agg over 2 shuffle keys.
     Q("agg_group",
@@ -409,6 +432,26 @@ object RelationalQueries {
       lineitem(s, d).groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Two-level sketch MERGE — the 100 TB re-aggregation pattern: build
+    // DataSketches HLL sketches at a fine grain (returnflag × shipmode),
+    // then union them to the coarse grain WITHOUT touching raw rows again.
+    // On a real warehouse the fine-grained sketch table is a materialized
+    // rollup: any coarser distinct-count query becomes a cheap
+    // vocabulary-sized merge instead of a fact-table rescan. The merge is
+    // register-wise max so accuracy survives re-aggregation (the estimate
+    // differs slightly from a direct one-level sketch because union
+    // invalidates the HIP estimator — ApproxDistinctSpec bounds both
+    // against exact). Rows-only: sketch internals are engine-specific.
+    Q.noOracle("agg_hll_union") { (s, d) =>
+      val fine = lineitem(s, d)
+        .groupBy($"l_returnflag", date_trunc("month", $"l_shipdate").as("ship_month"))
+        .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      fine.groupBy($"l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_orders"),
+          count(lit(1)).as("n_sketches"))
         .orderBy($"l_returnflag")
     },
 

@@ -745,6 +745,39 @@ object StatQueries {
         .agg((sum(dec(col("p.value"), 2) * w).cast(DoubleType) /
           sum(w)).as("ewma"))
         .orderBy($"user_id", $"ts", $"event_id")
+    },
+
+    // Exact rolling median over the trailing 10 events per user — the
+    // robust-statistics twin of ts_ewma (outlier-resistant smoothing).
+    // Deterministic because the exact median is a SELECTION plus, for even
+    // frames, ONE linear interpolation lo + (hi−lo)·0.5 — the same formula
+    // Spark's `percentile` and DuckDB's `quantile_cont` both evaluate on
+    // the same stored doubles; no variable-order float accumulation
+    // anywhere. Spark disallows frames on median/percentile windows, so
+    // the trailing frame is the same bounded rn-band self-join as ts_ewma
+    // (≤10 partners/row, one user_id shuffle — scale-invariant shape);
+    // DuckDB keeps the window form of the identical quantile.
+    Q("win_rolling_median",
+      """WITH base AS (SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, event_id,
+        |  quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med
+        |FROM base ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val base = events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .select($"user_id", $"ts", $"event_id", $"value", $"rn")
+      base.as("c").join(base.as("p"),
+          col("p.user_id") === col("c.user_id") &&
+            col("p.rn").between(col("c.rn") - 9, col("c.rn")))
+        .groupBy(col("c.user_id").as("user_id"), col("c.ts").as("ts"),
+          col("c.event_id").as("event_id"))
+        .agg(percentile(col("p.value"), lit(0.5)).as("med"))
+        .orderBy($"user_id", $"ts", $"event_id")
     })
 
   // $"…" sugar without a SparkSession-bound `implicits` import.

@@ -163,6 +163,70 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ogg == Multimodal.decodeStub("a2", "audio/ogg", Array[Byte](79, 103, 103, 83)))
   }
 
+  /** Minimal ISO-BMFF: ftyp + moov{mvhd v0, trak{tkhd}} — no mdat needed,
+    * the parser is header-only by contract.
+    */
+  private def encodeMp4(w: Int, h: Int, timescale: Int, duration: Int,
+      tkhdV1: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(b)
+      o.writeInt(8 + payload.length); o.writeBytes(typ); o.write(payload)
+      b.toByteArray
+    }
+    val mvhd = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(b)
+      o.writeInt(0)             // version 0 + flags
+      o.writeInt(0); o.writeInt(0) // creation, modification
+      o.writeInt(timescale); o.writeInt(duration)
+      o.write(new Array[Byte](80)) // rate/volume/reserved/matrix/predefined/next_track
+      box("mvhd", b.toByteArray)
+    }
+    val tkhd = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(b)
+      if (tkhdV1) {
+        o.writeInt(0x01000000)  // version 1
+        o.writeLong(0L); o.writeLong(0L) // creation, modification
+        o.writeInt(1); o.writeInt(0)     // track id, reserved
+        o.writeLong(duration.toLong)
+      } else {
+        o.writeInt(0)           // version 0 + flags
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(1); o.writeInt(0)
+        o.writeInt(duration)
+      }
+      o.write(new Array[Byte](8))  // reserved
+      o.writeShort(0); o.writeShort(0); o.writeShort(0); o.writeShort(0)
+      o.write(new Array[Byte](36)) // matrix
+      o.writeInt(w << 16); o.writeInt(h << 16) // 16.16 fixed
+      box("tkhd", b.toByteArray)
+    }
+    out.write(box("ftyp", "isomiso2".getBytes))
+    out.write(box("moov", mvhd ++ box("trak", tkhd)))
+    bos.toByteArray
+  }
+
+  test("video/mp4 payloads decode REAL pixel dims and duration from the box tree") {
+    // 640×360, timescale 1000, duration 2500 → 2.5 s
+    val mp4 = encodeMp4(640, 360, 1000, 2500)
+    assert(Multimodal.decodeMp4(mp4).contains((640, 360, 1, 2500000L)))
+    // v1 tkhd has the 64-bit times layout — width sits 12 bytes later
+    val mp4v1 = encodeMp4(1920, 1080, 90000, 90000, tkhdV1 = true)
+    assert(Multimodal.decodeMp4(mp4v1).contains((1920, 1080, 1, 1000000L)))
+    // through decode(): real dims, nChannels carries the track count
+    val m = Multimodal.decode("v1", "video/mp4", mp4)
+    assert(m.width == 640 && m.height == 360 && m.nChannels == 1)
+    // truncated / non-BMFF payloads fall back to the stub, never throw
+    assert(Multimodal.decodeMp4(Array[Byte](0, 0, 0, 1)).isEmpty)
+    assert(Multimodal.decodeMp4(mp4.take(20)).isEmpty)
+    val junk = Multimodal.decode("v2", "video/webm", Array[Byte](1, 2, 3))
+    assert(junk == Multimodal.decodeStub("v2", "video/webm", Array[Byte](1, 2, 3)))
+  }
+
   test("resize survives a crafted header declaring dims whose product overflows Int") {
     // 131072 × 32768 = 2^32 — srcY*w wraps negative in Int arithmetic; the
     // Long index + bounds check must zero-fill instead of throwing AIOOBE
