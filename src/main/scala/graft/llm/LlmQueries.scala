@@ -45,6 +45,27 @@ object LlmQueries {
     "fr" -> Seq("le", "la", "de", "et", "un"),
     "de" -> Seq("der", "die", "das", "und", "ist"))
 
+  /** Shared lang-ID scorer (lang_id + doc_lang_confusion): stopword-lexicon
+    * vote per language, argmax by the lexicographically largest
+    * (score, lang) struct — the same tie order DuckDB's list_max applies.
+    */
+  private def langPred(s: SparkSession, d: String): DataFrame = {
+    val words = split($"text", " ")
+    def score(stops: Seq[String]): Column =
+      aggregate(words, lit(0),
+        (acc, w) => acc + when(w.isin(stops: _*), 1).otherwise(0))
+    val scored = LangLexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
+      struct(score(stops).as("score"), lit(l).as("lang"))
+    }
+    documents(s, d)
+      .select($"doc_id", $"lang",
+        greatest(scored: _*).getField("lang").as("pred_lang"),
+        greatest(scored: _*).getField("score").as("pred_score"))
+      .withColumn("pred_lang",
+        when($"pred_score" > 0, $"pred_lang").otherwise(lit("unk")))
+      .select($"doc_id", $"lang", $"pred_lang", $"pred_score")
+  }
+
   /** Exact-dedup cap for the O(docs²)-flavored demo queries (pairwise
     * near-dup over a bounded sample); the unbounded implementations are the
     * LSH-bucketed ones.
@@ -817,21 +838,33 @@ object LlmQueries {
          |  m.score AS pred_score
          |FROM g ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val words = split($"text", " ")
-      def score(stops: Seq[String]): Column =
-        aggregate(words, lit(0),
-          (acc, w) => acc + when(w.isin(stops: _*), 1).otherwise(0))
-      val scored = LangLexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
-        struct(score(stops).as("score"), lit(l).as("lang"))
-      }
-      documents(s, d)
-        .select($"doc_id", $"lang",
-          greatest(scored: _*).getField("lang").as("pred_lang"),
-          greatest(scored: _*).getField("score").as("pred_score"))
-        .withColumn("pred_lang",
-          when($"pred_score" > 0, $"pred_lang").otherwise(lit("unk")))
-        .select($"doc_id", $"lang", $"pred_lang", $"pred_score")
-        .orderBy($"doc_id")
+      langPred(s, d).orderBy($"doc_id")
+    },
+
+    // Declared-vs-predicted language confusion matrix — the evaluation
+    // companion of lang_id (a curation pipeline tracks this to catch
+    // lexicon drift / mislabeled sources). Same scorer, one extra
+    // vocabulary-sized groupBy: |langs|² output regardless of corpus size.
+    Q("doc_lang_confusion", {
+      def sc(stops: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), " +
+          s"w -> w IN (${stops.map(x => s"'$x'").mkString(",")}))) AS INT)"
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ${sc(LangLexicons("de"))} AS s_de, ${sc(LangLexicons("en"))} AS s_en,
+         |  ${sc(LangLexicons("es"))} AS s_es, ${sc(LangLexicons("fr"))} AS s_fr
+         |FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |  list_max([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+         |            {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'}]) AS m
+         |FROM s)
+         |SELECT lang, CASE WHEN m.score > 0 THEN m.lang ELSE 'unk' END AS pred_lang,
+         |  count(*) AS n
+         |FROM g GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, d) =>
+      langPred(s, d)
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
     },
 
     // Rolling polynomial fingerprint over the token stream (mod 2^31-1) —

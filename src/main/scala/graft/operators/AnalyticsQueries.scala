@@ -356,6 +356,59 @@ object AnalyticsQueries {
         .orderBy($"day")
     },
 
+    // Strict THREE-step funnel: view → click (≤30 min later) → purchase
+    // (≤30 min after the click), same user, ordered. Each hop is the same
+    // bounded per-user interval join as events_funnel — the chain shuffles
+    // all three legs once on user_id and the time bands keep per-user pair
+    // counts linear, so step depth adds joins, never quadratic blowup.
+    // Semi-join de-dups multi-path conversions (a view with 3 qualifying
+    // clicks counts once).
+    Q("events_funnel3",
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s2 AS (SELECT DISTINCT v.event_id
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE),
+        |s3 AS (SELECT DISTINCT v.event_id
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |  JOIN p ON p.user_id = v.user_id
+        |    AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |SELECT CAST(v.ts AS DATE) AS day, count(*) AS n_views,
+        |  CAST(sum(CASE WHEN v.event_id IN (SELECT event_id FROM s2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+        |  CAST(sum(CASE WHEN v.event_id IN (SELECT event_id FROM s3)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+        |FROM v GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val v = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"))
+      val band30 = expr("interval 30 minutes")
+      val s2 = v.join(c,
+          $"cu" === $"user_id" && $"cts" > $"ts" && $"cts" <= $"ts" + band30,
+          "left_semi")
+        .select($"event_id", lit(1).as("c2"))
+      val s3 = v.join(c,
+          $"cu" === $"user_id" && $"cts" > $"ts" && $"cts" <= $"ts" + band30)
+        .join(p,
+          $"pu" === $"user_id" && $"pts" > $"cts" && $"pts" <= $"cts" + band30,
+          "left_semi")
+        .select($"event_id").distinct()
+        .withColumn("c3", lit(1))
+      v.join(s2, Seq("event_id"), "left")
+        .join(s3, Seq("event_id"), "left")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(coalesce($"c2", lit(0))).cast(LongType).as("n_step2"),
+          sum(coalesce($"c3", lit(0))).cast(LongType).as("n_step3"))
+        .orderBy($"day")
+    },
+
     // Ordinal distribution family: quartile assignment (ntile) + relative
     // position (percent_rank, cume_dist) per market segment. ntile numbers
     // ROW POSITIONS, not ranks, so the window ORDER BY must be total
