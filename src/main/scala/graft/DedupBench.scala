@@ -70,6 +70,26 @@ object DedupBench {
         f"naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
       d.unpersist()
     }
+
+    // same A/B for the containment dispatch (threshold 0.8: the prefix is
+    // only (1−t)·n ≈ 20% of tokens, but it probes the FULL token index —
+    // different constants than the jaccard prefix×prefix join)
+    println(f"[dedupbench] containment threshold=0.8")
+    for ((name, docs) <- Seq("benign" -> base, "skew10" -> skewed(10),
+        "skew30" -> skewed(30))) {
+      val d = docs.persist()
+      d.count()
+      val stats = LlmQueries.shingleStats(d)
+      LlmQueries.containmentPairs(d, 0.8).count()
+      LlmQueries.containmentPairsPrefix(d, 0.8).count()
+      val (nNaive, tNaive) = time(LlmQueries.containmentPairs(d, 0.8).count())
+      val (nPrefix, tPrefix) = time(LlmQueries.containmentPairsPrefix(d, 0.8).count())
+      assert(nNaive == nPrefix, s"$name: containment algorithms disagree ($nNaive vs $nPrefix)")
+      val auto = if (stats.blowup <= LlmQueries.JaccardBlowupCutover) "naive" else "prefix"
+      println(f"[dedupbench] $name%-8s T=${stats.tokens}%9d blowup=${stats.blowup}%9.1f " +
+        f"pairs=$nNaive%7d naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
+      d.unpersist()
+    }
     spark.stop()
   }
 }

@@ -145,7 +145,7 @@ object LlmQueries {
       // the auto dispatch, not the naive join directly: all four pair-graph
       // consumers inherit the heavy-tail protection (output-identical either
       // way — LlmSpec pins A/B equality — so the oracle hash is unaffected)
-      _ => jaccardPairsAuto(documents(s, d), t).persist())
+      _ => jaccardPairsAuto(documents(s, d), t, docShingleStats(s, d)).persist())
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin family): order
     * every doc's shingles by a global total order (document frequency asc,
@@ -222,8 +222,102 @@ object LlmQueries {
     * Output-identical either way (LlmSpec pins A/B equality).
     */
   def jaccardPairsAuto(docs: DataFrame, t: Double): DataFrame =
-    if (shingleStats(docs).blowup <= JaccardBlowupCutover) jaccardPairs(docs, t)
+    jaccardPairsAuto(docs, t, shingleStats(docs))
+
+  /** [[jaccardPairsAuto]] with a caller-supplied profile (see
+    * [[docShingleStats]]).
+    */
+  def jaccardPairsAuto(docs: DataFrame, t: Double, stats: ShingleStats): DataFrame =
+    if (stats.blowup <= JaccardBlowupCutover) jaccardPairs(docs, t)
     else jaccardPairsPrefix(docs, t)
+
+  /** Naive inverted-index containment pairs: inter / min(|a|,|b|) ≥ t over
+    * distinct word shingles. Same Σdf² candidate volume as [[jaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, t: Double): DataFrame = {
+    val tok = shingleTok(docs)
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pair = tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val cont = col("inter").cast(DoubleType) / least(col("ca.n"), col("cb.n"))
+    pair
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
+      .filter(cont >= t)
+      .select($"a_id", $"b_id", $"inter", cont.as("cont"))
+  }
+
+  /** PREFIX-FILTERED containment pairs — the one-sided AllPairs variant.
+    * Containment ≥ t is measured against the SMALLER doc s (|s| = min), so
+    * s can miss at most |s| − ⌈t·|s|⌉ of its shingles: by pigeonhole any
+    * fixed |s| − ⌈t·|s|⌉ + 1 of them (we take the globally RAREST, df-asc)
+    * must intersect the partner's full shingle set. Candidates therefore
+    * come from a prefix ⋈ full-token join restricted to (pn,p_id) <
+    * (fn,f_id) — each unordered pair generated exactly once from its
+    * designated smaller side — which at t = 0.8 probes only ~20% of
+    * tokens, the rare-shingle end, against the index. Exact verification
+    * by sorted-array intersection, identical output to
+    * [[containmentPairs]] (LlmSpec pins A/B equality).
+    */
+  def containmentPairsPrefix(docs: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingleTok(docs)
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"w")))
+      .join(cnt, "doc_id")
+      .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id".as("p_id"), $"w".as("pw"), $"n".as("pn"))
+    val full = tok.join(cnt, "doc_id")
+      .select($"doc_id".as("f_id"), $"w".as("fw"), $"n".as("fn"))
+    val cand = prefix.join(full,
+        $"pw" === $"fw" &&
+          ($"pn" < $"fn" || ($"pn" === $"fn" && $"p_id" < $"f_id")))
+      .select(least($"p_id", $"f_id").as("a_id"),
+        greatest($"p_id", $"f_id").as("b_id"))
+      .distinct()
+    val sets = tok.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"w")).as("ws"), count(lit(1)).as("n"))
+    val cont = col("inter").cast(DoubleType) / least(col("na"), col("nb"))
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"ws".as("wa"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"ws".as("wb"), $"n".as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast(LongType))
+      .filter(cont >= t)
+      .select($"a_id", $"b_id", $"inter", cont.as("cont"))
+  }
+
+  /** Df-profile dispatch for containment, sharing [[JaccardBlowupCutover]]:
+    * the candidate volumes differ (Σ df_prefix·df against the naive Σdf²,
+    * with a prefix only (1−t)·n long), but both error modes keep the same
+    * asymmetry — early cutover forfeits a bounded naive edge, late cutover
+    * pays quadratically in hot-shingle df — so the conservative Jaccard
+    * ship point transfers.
+    */
+  def containmentPairsAuto(docs: DataFrame, t: Double): DataFrame =
+    containmentPairsAuto(docs, t, shingleStats(docs))
+
+  /** [[containmentPairsAuto]] with the profile supplied by the caller —
+    * lets registered queries reuse the memoized per-(session, dir) stats
+    * instead of re-paying the O(T) profile pass on every invocation.
+    */
+  def containmentPairsAuto(docs: DataFrame, t: Double, stats: ShingleStats): DataFrame =
+    if (stats.blowup <= JaccardBlowupCutover) containmentPairs(docs, t)
+    else containmentPairsPrefix(docs, t)
+
+  /** Memoized shingle-frequency profile of the `documents` table, keyed like
+    * [[goodPairs]] — the dispatch statistic is a property of the immutable
+    * input dataset, so one O(T) pass per (session, dir) serves every
+    * df-dispatched query.
+    */
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ShingleStats]()
+  private[llm] def docShingleStats(s: SparkSession, d: String): ShingleStats =
+    statsMemo.computeIfAbsent((s, d), _ => shingleStats(documents(s, d)))
 
   /** Shared oracle for dedup_cluster AND its distributed twin
     * [[ScaleDedup]].dedup_cluster_dist: recursive-CTE transitive closure of
@@ -396,18 +490,7 @@ object LlmQueries {
          |JOIN cnt cb ON cb.doc_id = b_id
          |WHERE CAST(inter AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val tok = shingleTok(documents(s, d))
-      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pair = tok.as("a").join(tok.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val cont = col("inter").cast(DoubleType) / least(col("ca.n"), col("cb.n"))
-      pair
-        .join(cnt.as("ca"), col("ca.doc_id") === col("a_id"))
-        .join(cnt.as("cb"), col("cb.doc_id") === col("b_id"))
-        .filter(cont >= 0.8)
-        .select($"a_id", $"b_id", $"inter", cont.as("cont"))
+      containmentPairsAuto(documents(s, d), 0.8, docShingleStats(s, d))
         .orderBy($"a_id", $"b_id")
     },
 
@@ -1048,6 +1131,56 @@ object LlmQueries {
           octet_length($"text".cast(BinaryType)).as("n_bytes"),
           sha2($"text".cast(BinaryType), 256).as("content_hash"))
         .orderBy($"doc_id")
+    },
+
+    // Corpus mixture rebalancing — the data-mixing primitive: downsample
+    // every language stratum to the smallest stratum's token budget with a
+    // DETERMINISTIC per-doc hash gate (affine mod 10^6 vs floor(rate·10^6)
+    // — reproducible across runs/engines, unlike Bernoulli sample()). The
+    // gate is a broadcast of |langs| rates applied inside the scan — no
+    // shuffle touches the full corpus; both rollups are vocabulary-sized.
+    // floor() is explicit: Spark's double→long cast truncates while
+    // DuckDB's rounds, so the raw cast would disagree on the cutoff.
+    Q("corpus_mixture", {
+      val gate = s"${H.sqlAffine(0, "doc_id")} % 1000000"
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |tot AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS total_toks FROM tok GROUP BY lang),
+         |tgt AS (SELECT min(total_toks) AS budget FROM tot),
+         |rate AS (SELECT lang, n_docs, total_toks,
+         |    CAST(budget AS DOUBLE) / total_toks AS rate FROM tot, tgt),
+         |kept AS (SELECT t.lang, count(*) AS kept_docs,
+         |    CAST(sum(t.toks) AS BIGINT) AS kept_toks
+         |  FROM tok t JOIN rate r ON t.lang = r.lang
+         |  WHERE $gate < CAST(floor(r.rate * 1000000) AS BIGINT)
+         |  GROUP BY t.lang)
+         |SELECT r.lang, n_docs, total_toks, rate,
+         |  COALESCE(kept_docs, 0) AS kept_docs,
+         |  COALESCE(kept_toks, 0) AS kept_toks
+         |FROM rate r LEFT JOIN kept k ON r.lang = k.lang
+         |ORDER BY r.lang""".stripMargin
+    }) { (s, d) =>
+      val tok = documents(s, d).select($"doc_id", $"lang",
+        size(split($"text", " ")).cast(LongType).as("toks"))
+      val tot = tok.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("total_toks"))
+      // 1-row global min: a driver scalar, same as the oracle's tgt CTE
+      val budget = tot.agg(min($"total_toks")).head.getLong(0)
+      val rate = tot.withColumn("rate",
+        lit(budget).cast(DoubleType) / $"total_toks")
+      val kept = tok
+        .join(broadcast(rate.select($"lang", $"rate")), "lang")
+        .filter(H.affine(0, $"doc_id") % 1000000L <
+          floor($"rate" * 1000000).cast(LongType))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("kept_docs"), sum($"toks").as("kept_toks"))
+      rate.join(kept, Seq("lang"), "left")
+        .select($"lang", $"n_docs", $"total_toks", $"rate",
+          coalesce($"kept_docs", lit(0L)).as("kept_docs"),
+          coalesce($"kept_toks", lit(0L)).as("kept_toks"))
+        .orderBy($"lang")
     }
   )
 

@@ -409,6 +409,129 @@ object AnalyticsQueries {
         .orderBy($"day")
     },
 
+    // RFM (recency / frequency / monetary) segmentation — the classic
+    // customer-value rollup. Quartile codes come from EXACT global
+    // percentile thresholds (one 1-row aggregate, broadcast back), not
+    // ntile: ntile needs a single-partition global sort over all users,
+    // while threshold bucketing keeps the assignment embarrassingly
+    // parallel — the only shuffle is the per-user aggregate. Thresholds
+    // and values are exact (epoch-day ints, counts, decimal sums), so the
+    // >-comparisons are engine-identical.
+    Q("events_rfm",
+      """WITH a AS (SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+        |    count(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |b AS (SELECT user_id, last_day,
+        |    CAST(date_diff('day', DATE '1970-01-01', last_day) AS BIGINT) AS rdays,
+        |    freq, monetary FROM a),
+        |t AS (SELECT
+        |    quantile_cont(rdays, 0.25) AS r1, quantile_cont(rdays, 0.5) AS r2,
+        |    quantile_cont(rdays, 0.75) AS r3,
+        |    quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+        |    quantile_cont(freq, 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+        |    quantile_cont(monetary, 0.75) AS m3 FROM b)
+        |SELECT user_id, last_day, freq, monetary,
+        |  1 + CAST(rdays > r1 AS INT) + CAST(rdays > r2 AS INT)
+        |    + CAST(rdays > r3 AS INT) AS r_q,
+        |  1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+        |    + CAST(freq > f3 AS INT) AS f_q,
+        |  1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+        |    + CAST(monetary > m3 AS INT) AS m_q
+        |FROM b, t ORDER BY user_id""".stripMargin) { (s, d) =>
+      val a = events(s, d).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(max($"ts").cast(DateType).as("last_day"),
+          count(lit(1)).as("freq"), dsum($"value").as("monetary"))
+        .withColumn("rdays",
+          datediff($"last_day", lit("1970-01-01").cast(DateType)).cast(LongType))
+      val t = a.agg(
+        expr("percentile(rdays, 0.25)").as("r1"), expr("percentile(rdays, 0.5)").as("r2"),
+        expr("percentile(rdays, 0.75)").as("r3"),
+        expr("percentile(freq, 0.25)").as("f1"), expr("percentile(freq, 0.5)").as("f2"),
+        expr("percentile(freq, 0.75)").as("f3"),
+        expr("percentile(monetary, 0.25)").as("m1"), expr("percentile(monetary, 0.5)").as("m2"),
+        expr("percentile(monetary, 0.75)").as("m3"))
+      def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
+        lit(1) + (v > q1).cast(IntegerType) + (v > q2).cast(IntegerType) +
+          (v > q3).cast(IntegerType)
+      a.crossJoin(broadcast(t))
+        .select($"user_id", $"last_day", $"freq", $"monetary",
+          bucket($"rdays", $"r1", $"r2", $"r3").as("r_q"),
+          bucket($"freq", $"f1", $"f2", $"f3").as("f_q"),
+          bucket($"monetary", $"m1", $"m2", $"m3").as("m_q"))
+        .orderBy($"user_id")
+    },
+
+    // Market-basket pair mining: co-occurring part pairs within an order.
+    // The self-join key is l_orderkey, so pair blowup is bounded by
+    // (items/order choose 2) — ≤ ~80 with TPC-H's ≤13 distinct parts per
+    // order — keeping the join output LINEAR in order count at any scale.
+    // Top-k lands in TakeOrdered (no global sort materialization).
+    Q("basket_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
+      val items = lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
+      items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy($"support".desc, $"p1", $"p2")
+        .limit(100)
+    },
+
+    // Running distinct-count per user: "how many event types has this user
+    // seen so far". Window DISTINCT aggregates don't exist; the standard
+    // rewrite is a first-occurrence flag (row_number over (user, type)) +
+    // a running sum — two window passes that BOTH hash-partition on
+    // user_id, so AQE reuses one exchange and nothing is global.
+    Q("win_running_distinct",
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, ts, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS n_types_seen
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val perType = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(perType) === 1, 1).otherwise(0))
+        .select($"user_id", $"ts", $"event_id",
+          sum($"first_seen").over(run).cast(IntegerType).as("n_types_seen"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+
+    // Behavioral trigrams: the event-type path n-gram table (session-mining
+    // / next-action-model features). lead() over the per-user stream — one
+    // user_id shuffle — then a vocabulary-bounded groupBy (≤ |types|³
+    // rows out regardless of corpus size).
+    Q("events_ngrams",
+      """WITH s AS (SELECT user_id, event_type AS t1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, count(*) AS n FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"event_type".as("t1"),
+          lead($"event_type", 1).over(w).as("t2"),
+          lead($"event_type", 2).over(w).as("t3"))
+        .filter($"t3".isNotNull)
+        .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"t1", $"t2", $"t3")
+    },
+
     // Ordinal distribution family: quartile assignment (ntile) + relative
     // position (percent_rank, cume_dist) per market segment. ntile numbers
     // ROW POSITIONS, not ranks, so the window ORDER BY must be total

@@ -83,6 +83,43 @@ object RelationalQueries {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // TPC-H Q6-shaped: the pure scan-side query — every predicate (date
+  // range, discount band, quantity cap) pushes into the parquet scan and
+  // the single global sum is one partial-agg + one 1-row exchange; at
+  // 100 TB the cost is I/O on the pruned row groups, nothing else. The
+  // product sum follows the Q3/Q5 DECIMAL pattern (exact decimal product
+  // sum, ONE cast to double).
+  private val Q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |          CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // TPC-H Q10-shaped: returned-item revenue per customer — fact×fact join
+  // (orders⋈lineitem on orderkey) with a broadcastable customer/nation
+  // tail, grouped on the customer tuple, top-20 by revenue. ORDER BY
+  // (revenue DESC, c_custkey) is total: revenue is an exact decimal sum
+  // cast once to double (bit-identical across engines) and c_custkey is
+  // unique.
+  private val Q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |          (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -370,6 +407,17 @@ object RelationalQueries {
       Seq("customer", "orders", "lineitem")
         .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
       s.sql(Q18Sql)
+    },
+
+    Q("sql_q6", Q6Sql) { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(Q6Sql)
+    },
+
+    Q("sql_q10", Q10Sql) { (s, d) =>
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q10Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────

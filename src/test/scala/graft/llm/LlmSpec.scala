@@ -55,6 +55,25 @@ class LlmSpec extends AnyFunSuite with SparkTestBase {
       pairSet(LlmQueries.jaccardPairs(skewed, 0.5)))
   }
 
+  test("prefix-filtered containment pairs equal the inverted-index join exactly") {
+    val docs = graft.Tables.documents(spark, sf)
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val naive = pairSet(LlmQueries.containmentPairs(docs, 0.8))
+    val prefixed = pairSet(LlmQueries.containmentPairsPrefix(docs, 0.8))
+    assert(naive.nonEmpty, "fixture should contain containment pairs")
+    assert(prefixed == naive,
+      s"containment prefix lost/invented pairs: only-naive=${naive -- prefixed} " +
+        s"only-prefix=${prefixed -- naive}")
+    // and again on a corpus whose sizes tie everywhere EXCEPT the hot
+    // boilerplate — exercises the (pn = fn, p_id < f_id) designated-smaller
+    // branch that the generated corpus rarely hits
+    val hot = (1 to 34).map(i => s"w$i").mkString(" ")
+    val skewed = docs.withColumn("text", concat(col("text"), lit(" " + hot)))
+    assert(pairSet(LlmQueries.containmentPairsAuto(skewed, 0.8)) ==
+      pairSet(LlmQueries.containmentPairs(skewed, 0.8)))
+  }
+
   test("minhash: identical texts collide on every band; estimated jaccard = 1") {
     val q = LlmQueries.queries.find(_.name == "dedup_minhash").get.fn
     // feed duplicated documents through the real query by pointing it at a
