@@ -532,6 +532,69 @@ object AnalyticsQueries {
         .orderBy($"n".desc, $"t1", $"t2", $"t3")
     },
 
+    // Weekly cohort churn: users active in week W with no activity in
+    // W+1. Week = floor(epoch-day-delta / 7) — explicit integer bucket
+    // arithmetic, not date_trunc('week'), so both engines agree on
+    // boundaries without ISO-week conventions. The (wk, user) frame is a
+    // DISTINCT (one shuffle), the W→W+1 probe a self left-anti-shaped
+    // join on user_id — both partition by user-scale keys, output is
+    // week-vocabulary-sized.
+    Q("events_churn",
+      """WITH au AS (SELECT DISTINCT
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS wk,
+        |    user_id FROM events)
+        |SELECT a.wk, count(*) AS active,
+        |  CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM au a LEFT JOIN au b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |GROUP BY a.wk ORDER BY a.wk""".stripMargin) { (s, d) =>
+      val au = events(s, d)
+        .select(floor(datediff($"ts".cast(DateType),
+            lit("2024-01-01").cast(DateType)) / 7).cast(IntegerType).as("wk"),
+          $"user_id")
+        .distinct()
+      au.as("a").join(au.as("b"),
+          col("b.user_id") === col("a.user_id") && col("b.wk") === col("a.wk") + 1,
+          "left")
+        .groupBy(col("a.wk").as("wk"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("b.user_id").isNull, 1).otherwise(0)).cast(LongType)
+            .as("churned"))
+        .orderBy($"wk")
+    },
+
+    // DAU/WAU stickiness per week. Three distinct-user rollups (day grain,
+    // then week grain), all integer counts; the ratio is ONE double
+    // division over an integer product, so engines agree bit-for-bit.
+    // At 100 TB the (day, user) DISTINCT is the only full-data shuffle;
+    // everything above it is vocabulary-sized.
+    Q("events_stickiness",
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+        |wau AS (SELECT CAST(floor(date_diff('day', DATE '2024-01-01', day) / 7) AS INT) AS wk,
+        |    count(DISTINCT user_id) AS wau
+        |  FROM d GROUP BY 1),
+        |wd AS (SELECT CAST(floor(date_diff('day', DATE '2024-01-01', day) / 7) AS INT) AS wk,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau, count(*) AS n_days
+        |  FROM dau GROUP BY 1)
+        |SELECT wd.wk, wau, sum_dau, n_days,
+        |  CAST(sum_dau AS DOUBLE) / (n_days * wau) AS stickiness
+        |FROM wd JOIN wau ON wd.wk = wau.wk ORDER BY wd.wk""".stripMargin) { (s, d) =>
+      val byDay = events(s, d)
+        .select($"ts".cast(DateType).as("day"), $"user_id").distinct()
+      val wkCol = floor(datediff($"day", lit("2024-01-01").cast(DateType)) / 7)
+        .cast(IntegerType).as("wk")
+      val dau = byDay.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = byDay.select(wkCol, $"user_id")
+        .groupBy($"wk").agg(countDistinct($"user_id").as("wau"))
+      val wd = dau.select(wkCol, $"dau")
+        .groupBy($"wk")
+        .agg(sum($"dau").cast(LongType).as("sum_dau"), count(lit(1)).as("n_days"))
+      wd.join(wau, "wk")
+        .select($"wk", $"wau", $"sum_dau", $"n_days",
+          ($"sum_dau".cast(DoubleType) / ($"n_days" * $"wau")).as("stickiness"))
+        .orderBy($"wk")
+    },
+
     // Ordinal distribution family: quartile assignment (ntile) + relative
     // position (percent_rank, cume_dist) per market segment. ntile numbers
     // ROW POSITIONS, not ranks, so the window ORDER BY must be total

@@ -120,6 +120,59 @@ object RelationalQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // TPC-H Q4-shaped: priority count of orders with at least one returned
+  // line — the canonical EXISTS decorrelation. Catalyst plans the subquery
+  // as a LEFT SEMI hash join on orderkey (no row multiplication, no
+  // distinct needed), so the fact×fact touch is one shuffle and the
+  // output is vocabulary-sized. count(*) is BIGINT in both engines.
+  private val Q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // TPC-H Q14-shaped: promo revenue share. Both sums run exact in DECIMAL
+  // and cast to DOUBLE separately; the share is ONE double multiply + ONE
+  // double divide on those bit-identical operands — never a decimal
+  // division, whose scale/rounding rules differ between engines.
+  private val Q14Sql =
+    """WITH r AS (SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |             (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))
+      |        ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |        (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-02-01')
+      |SELECT promo_revenue, total_revenue,
+      |  CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+      |FROM r""".stripMargin
+
+  // TPC-H Q19-shaped: disjunctive OR-of-ANDs over both join sides — the
+  // pushdown stressor. Spark splits the disjunction into per-side
+  // residuals: the p_size/p_brand arm prunes the part scan and the
+  // l_quantity bound reaches the lineitem scan, so the hash join sees
+  // pre-filtered inputs instead of evaluating the whole predicate
+  // post-join. Single-row output, Q3 DECIMAL pattern.
+  private val Q19Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |      (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -418,6 +471,24 @@ object RelationalQueries {
       Seq("customer", "orders", "lineitem", "nation")
         .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
       s.sql(Q10Sql)
+    },
+
+    Q("sql_q4", Q4Sql) { (s, d) =>
+      Seq("orders", "lineitem")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q4Sql)
+    },
+
+    Q("sql_q14", Q14Sql) { (s, d) =>
+      Seq("lineitem", "part")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q14Sql)
+    },
+
+    Q("sql_q19", Q19Sql) { (s, d) =>
+      Seq("lineitem", "part")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q19Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────
