@@ -1181,6 +1181,82 @@ object LlmQueries {
           coalesce($"kept_docs", lit(0L)).as("kept_docs"),
           coalesce($"kept_toks", lit(0L)).as("kept_toks"))
         .orderBy($"lang")
+    },
+
+    // Int8 scalar quantization of the embedding column — the 4×
+    // storage-shrink pass an ANN index runs before bucketing. Per-vector
+    // min/max affine codes (floor((x−vmin)/scale), clamped to [0,255]);
+    // map-only, embarrassingly parallel, no shuffle but the final sort.
+    // Engine-portable by construction: code_sum is an INTEGER fold
+    // (associative), max_abs_err is a MAX (order-independent), and every
+    // double op (sub/div/floor/mul/abs on float-exact inputs) is a fixed
+    // IEEE sequence identical in both engines; /nullif(scale,0) turns the
+    // constant-vector edge into NULL→code 0, err 0 — never inf.
+    Q("embedding_quantize",
+      """WITH m AS (SELECT vec_id, label, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |    (CAST(list_max(embedding) AS DOUBLE) -
+        |     CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, label, vmin, vmax, scale,
+        |    CAST(len(embedding) AS INT) AS n_dims,
+        |    [COALESCE(LEAST(GREATEST(CAST(floor(
+        |        (CAST(x AS DOUBLE) - vmin) / nullif(scale, 0.0)) AS BIGINT),
+        |      0), 255), 0) FOR x IN embedding] AS codes
+        |  FROM m),
+        |e AS (SELECT c.*, m.embedding FROM c JOIN m USING (vec_id, label, vmin, vmax, scale))
+        |SELECT vec_id, label, n_dims, vmin, vmax,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  list_max([abs(CAST(embedding[i] AS DOUBLE) -
+        |      (vmin + (CAST(codes[i] AS DOUBLE) + 0.5) * scale))
+        |    FOR i IN range(1, n_dims + 1)]) AS max_abs_err
+        |FROM e ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+        .withColumn("vmin", array_min($"embedding").cast(DoubleType))
+        .withColumn("vmax", array_max($"embedding").cast(DoubleType))
+        .withColumn("scale", ($"vmax" - $"vmin") / 255.0)
+        .withColumn("sdiv", when($"scale" === 0.0, lit(null)).otherwise($"scale"))
+      def code(x: Column, vmin: Column, sdiv: Column): Column =
+        coalesce(least(greatest(
+          floor((x.cast(DoubleType) - vmin) / sdiv).cast(LongType), lit(0L)),
+          lit(255L)), lit(0L))
+      e.select($"vec_id", $"label",
+          size($"embedding").as("n_dims"), $"vmin", $"vmax",
+          aggregate(transform($"embedding", x => code(x, $"vmin", $"sdiv")),
+            lit(0L), (acc, x) => acc + x).as("code_sum"),
+          array_max(transform($"embedding", x =>
+            abs(x.cast(DoubleType) -
+              ($"vmin" + (code(x, $"vmin", $"sdiv").cast(DoubleType) + 0.5) * $"scale"))))
+            .as("max_abs_err"))
+        .orderBy($"vec_id")
+    },
+
+    // The dedup-planning profile as a first-class operator: the shingle
+    // document-frequency statistics that drive [[jaccardPairsAuto]]'s
+    // naive-vs-prefix dispatch, exposed so a user can profile a corpus
+    // BEFORE committing to a dedup strategy. All integer aggregates
+    // (Σdf and Σdf² exact in BIGINT — the internal ShingleStats keeps
+    // Σdf² in double, the oracle-hashed surface is exact); blowup is one
+    // double division. One shuffle on shingle, one 1-row rollup.
+    Q("corpus_df_profile",
+      s"""WITH tok AS (
+         |  ${sqlShingleTok("documents")}),
+         |df AS (SELECT w, count(*) AS df FROM tok GROUP BY w)
+         |SELECT CAST(SUM(df) AS BIGINT) AS total_tokens,
+         |  count(*) AS distinct_shingles,
+         |  CAST(max(df) AS BIGINT) AS max_df,
+         |  CAST(SUM(df * df) AS BIGINT) AS sum_df2,
+         |  CAST(SUM(df * df) AS DOUBLE) / CAST(SUM(df) AS DOUBLE) AS blowup
+         |FROM df""".stripMargin) { (s, d) =>
+      shingleTok(documents(s, d))
+        .groupBy($"w").agg(count(lit(1)).as("df"))
+        .agg(sum($"df").cast(LongType).as("total_tokens"),
+          count(lit(1)).as("distinct_shingles"),
+          max($"df").cast(LongType).as("max_df"),
+          sum($"df" * $"df").cast(LongType).as("sum_df2"),
+          (sum($"df" * $"df").cast(DoubleType) /
+            sum($"df").cast(DoubleType)).as("blowup"))
     }
   )
 

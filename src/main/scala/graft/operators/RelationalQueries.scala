@@ -173,6 +173,65 @@ object RelationalQueries {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
       |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
 
+  // TPC-H Q7-shaped: bilateral trade volume — the two-sided dimension
+  // filter (nation pair in either direction) with nation joined TWICE
+  // under different roles. Both nation sides broadcast; the
+  // supplier⋈lineitem⋈orders⋈customer chain is the only shuffle work.
+  // year() returns INT in Spark and BIGINT in DuckDB → explicit CAST.
+  private val Q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(vol) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |      (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) AS vol
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) v
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // TPC-H Q15-shaped: top supplier by period revenue — an aggregate CTE
+  // consumed twice (join + scalar-subquery max). Catalyst dedups the two
+  // reads where beneficial; the double-equality against the max is safe
+  // because both sides are THE SAME exact-decimal-sum-cast-once value.
+  private val Q15Sql =
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |        (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q22-shaped: high-balance LAPSED customers — scalar subquery
+  // (global average) + NOT EXISTS anti join + rollup. "Lapsed" = no order
+  // since 2000 (every generated customer has SOME order, so the classic
+  // no-orders-at-all predicate is vacuous here; the dated variant keeps
+  // the anti join selective). The average is sum/count in ONE double
+  // division (never decimal AVG, whose result scale differs between
+  // engines).
+  private val Q22Sql =
+    """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |      / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -489,6 +548,24 @@ object RelationalQueries {
       Seq("lineitem", "part")
         .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
       s.sql(Q19Sql)
+    },
+
+    Q("sql_q7", Q7Sql) { (s, d) =>
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q7Sql)
+    },
+
+    Q("sql_q15", Q15Sql) { (s, d) =>
+      Seq("lineitem", "supplier")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q15Sql)
+    },
+
+    Q("sql_q22", Q22Sql) { (s, d) =>
+      Seq("customer", "orders")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q22Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────
