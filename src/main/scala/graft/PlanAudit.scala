@@ -38,7 +38,8 @@ object PlanAudit {
     "bm25_search" -> Set("NESTED_LOOP"), // build sides = 1-row stats frames (N, avgdl, df)
     "agg_share" -> Set("NESTED_LOOP"), // build side = 1-row grand-total frame
     "quality_perplexity" -> Set("NESTED_LOOP"), // build side = 1-row corpus-total frame
-    "events_rfm" -> Set("NESTED_LOOP")) // build side = 1-row quantile-threshold frame
+    "events_rfm" -> Set("NESTED_LOOP"), // build side = 1-row quantile-threshold frame
+    "sql_q22" -> Set("NESTED_LOOP")) // build side = 1-row global-average frame
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
