@@ -238,6 +238,30 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
           col("n_chunk_tokens")) ++ carried: _*)
     }
 
+  /** Downsample every language stratum to the smallest stratum's token
+    * budget — `corpus_mixture`'s deterministic per-doc hash gate
+    * (affine(doc_id) mod 10⁶ < floor(rate·10⁶)), reproducible across
+    * runs and engines unlike Bernoulli `sample()`. Rates come from the
+    * CURRENT pipeline frame (composes after earlier filters); the gate is
+    * a broadcast |langs|-row join applied in the scan, so no shuffle
+    * touches the full corpus. Note: computing the budget is a 1-row
+    * driver action, so this step eagerly analyzes the upstream plan.
+    */
+  def rebalanceByLang(): CurationPipeline = step("rebalanceByLang") { d =>
+    val tok = d.select(col("lang"),
+      org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast(LongType).as("__toks"))
+    val tot = tok.groupBy(col("lang")).agg(sum(col("__toks")).as("__total"))
+    val budget = tot.agg(min(col("__total"))).head.getLong(0)
+    val rate = tot
+      .select(col("lang"),
+        (lit(budget).cast(DoubleType) / col("__total")).as("__rate"))
+    d.join(broadcast(rate), "lang")
+      .filter(H.affine(0, col("doc_id")) % 1000000L <
+        floor(col("__rate") * 1000000).cast(LongType))
+      .select(d.columns.map(col).toSeq: _*)
+  }
+
   /** The curated frame (lazy). */
   def result: DataFrame = df
 

@@ -35,6 +35,30 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.size == docs.count() - bIds.size)
   }
 
+  test("rebalanceByLang: min stratum intact, others gated toward its budget, deterministic") {
+    val tokCount = size(split(col("text"), " ")).cast("long")
+    val before = docs.groupBy(col("lang")).agg(sum(tokCount).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = before.values.min
+    val minLang = before.minBy(_._2)._1
+    val out = CurationPipeline(docs).rebalanceByLang().result
+    assert(out.columns.sameElements(docs.columns), "schema preserved")
+    val after = out.groupBy(col("lang")).agg(sum(tokCount).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 for the smallest stratum → gate is always-true → intact
+    assert(after(minLang) == budget)
+    // every other stratum lands near the budget (hash gate is exact in
+    // expectation; docs are small so the band is tight-ish)
+    for ((lang, toks) <- after if lang != minLang)
+      assert(toks >= budget / 2 && toks <= budget * 2,
+        s"$lang kept $toks toks vs budget $budget")
+    // deterministic: the kept id set is a pure function of doc_id
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CurationPipeline(docs).rebalanceByLang().result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("chunk produces covering overlapped windows with carried columns") {
     val out = CurationPipeline(docs).chunk(size = 64, stride = 48).result
     assert(out.columns.toSet ==

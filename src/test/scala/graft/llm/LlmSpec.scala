@@ -74,6 +74,27 @@ class LlmSpec extends AnyFunSuite with SparkTestBase {
       pairSet(LlmQueries.containmentPairs(skewed, 0.8)))
   }
 
+  test("embedding_quantize: constant vector yields code 0 / zero error; error bounded by half step") {
+    val q = LlmQueries.queries.find(_.name == "embedding_quantize").get.fn
+    val dir = java.nio.file.Files.createTempDirectory("eq").toString
+    import spark.implicits._
+    Seq(
+      (1L, Array(2.5f, 2.5f, 2.5f, 2.5f), 0),   // constant → scale 0 edge
+      (2L, Array(-1.0f, 0.0f, 0.5f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = q(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(5) /* code_sum */, r.getDouble(6) /* max_abs_err */)).toMap
+    assert(rows(1L) == ((0L, 0.0)), "constant vector must quantize to code 0 with zero error")
+    val (codeSum2, err2) = rows(2L)
+    assert(codeSum2 > 0L)
+    // reconstruction error of the mid-point decoder is ≤ half a step
+    // (+1 step slack at the clamped top code)
+    val step = (1.0 - (-1.0)) / 255.0
+    assert(err2 > 0.0 && err2 <= step, s"err $err2 vs step $step")
+  }
+
   test("minhash: identical texts collide on every band; estimated jaccard = 1") {
     val q = LlmQueries.queries.find(_.name == "dedup_minhash").get.fn
     // feed duplicated documents through the real query by pointing it at a
