@@ -1257,6 +1257,70 @@ object LlmQueries {
           sum($"df" * $"df").cast(LongType).as("sum_df2"),
           (sum($"df" * $"df").cast(DoubleType) /
             sum($"df").cast(DoubleType)).as("blowup"))
+    },
+
+    // The BPE-training inner loop, one iteration: adjacent character-pair
+    // frequencies over lowercased alpha words — the table a tokenizer
+    // trainer maximizes over to pick its next merge. Explode is linear in
+    // corpus chars; the rollup is vocabulary-bounded (≤26² pairs), so the
+    // only full-data shuffle carries 2-char keys. Top-k via TakeOrdered.
+    Q("bpe_pair_counts",
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |p AS (SELECT unnest([substring(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 200""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+        .filter(length($"w") >= 2)
+        .withColumn("cs", split($"w", ""))
+        .select(explode(transform(sequence(lit(1), length($"w") - 1),
+          i => concat(element_at($"cs", i), element_at($"cs", i + 1)))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(200)
+    },
+
+    // Flesch reading ease per document — the classic readability screen.
+    // All inputs are exact integer counts (words, sentence splits, vowel-
+    // group syllable estimate); the score is a FIXED double expression
+    // tree — literals cast to double explicitly so neither engine routes
+    // through decimal — hence bit-identical. Map-only + final sort.
+    Q("text_readability",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) != ''))) AS BIGINT) AS n_sentences,
+        |    CAST(list_sum([GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))
+        |      FOR w IN list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        w -> length(w) > 0)]) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = filter(split(lower($"text"), "[^a-z]+"), w => length(w) > 0)
+      val sentences = greatest(lit(1),
+        size(filter(split($"text", "[.!?]+"), x => trim(x) =!= ""))).cast(LongType)
+      val t = documents(s, d)
+        .withColumn("__words", words)
+        .withColumn("n_words", size($"__words").cast(LongType))
+        .withColumn("n_sentences", sentences)
+        .withColumn("n_syllables",
+          aggregate($"__words", lit(0L), (acc, w) =>
+            acc + greatest(lit(1),
+              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast(LongType)))
+      t.filter($"n_words" > 0)
+        .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+          (lit(206.835) - lit(1.015) *
+              ($"n_words".cast(DoubleType) / $"n_sentences".cast(DoubleType)) -
+            lit(84.6) *
+              ($"n_syllables".cast(DoubleType) / $"n_words".cast(DoubleType)))
+            .as("flesch"))
+        .orderBy($"doc_id")
     }
   )
 

@@ -595,6 +595,39 @@ object AnalyticsQueries {
         .orderBy($"wk")
     },
 
+    // Time-to-convert: first 'view' → first 'purchase' per user. One
+    // conditional-min rollup (a single user_id shuffle — the CASE mins
+    // are partial-aggregable, so map-side combine does most of the work
+    // at 100 TB), then a null/order filter. The delta is exact integer
+    // microseconds (epoch_us/unix_micros); the seconds column is ONE
+    // double division of that integer.
+    Q("events_time_to_convert",
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, first_view, first_purchase,
+        |  epoch_us(first_purchase) - epoch_us(first_view) AS us_to_convert,
+        |  CAST(epoch_us(first_purchase) - epoch_us(first_view) AS DOUBLE)
+        |    / 1000000.0 AS secs_to_convert
+        |FROM f
+        |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |  AND first_view < first_purchase
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("first_view"),
+          min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+        .filter($"first_view".isNotNull && $"first_purchase".isNotNull &&
+          $"first_view" < $"first_purchase")
+        .select($"user_id", $"first_view", $"first_purchase",
+          (unix_micros($"first_purchase") - unix_micros($"first_view"))
+            .as("us_to_convert"),
+          ((unix_micros($"first_purchase") - unix_micros($"first_view"))
+            .cast(DoubleType) / 1000000.0).as("secs_to_convert"))
+        .orderBy($"user_id")
+    },
+
     // Ordinal distribution family: quartile assignment (ntile) + relative
     // position (percent_rank, cume_dist) per market segment. ntile numbers
     // ROW POSITIONS, not ranks, so the window ORDER BY must be total
