@@ -59,6 +59,7 @@ object CurationBench {
     stage("dedupNear")(_.dedupNear())
     stage("filterGopher")(_.filterGopher())
     stage("filterRepetition")(_.filterRepetition())
+    stage("rebalanceByLang")(_.rebalanceByLang())
     stage("decontaminate")(_.decontaminate(benchmark))
     stage("maskPii")(_.maskPii())
     stage("normalize")(_.normalize())
