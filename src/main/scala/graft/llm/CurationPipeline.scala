@@ -262,6 +262,21 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       .select(d.columns.map(col).toSeq: _*)
   }
 
+  /** Materialize the current frame to `dir` (parquet, overwrite) and
+    * continue the pipeline reading FROM that materialization — the
+    * explicit restart point for a long curation chain. At 100 TB a failed
+    * downstream stage resumes from the last checkpoint instead of
+    * recomputing the whole prefix, the artifact is engine-readable (audit,
+    * ad-hoc inspection), and — unlike `localCheckpoint` — it survives the
+    * driver. Checkpoint grain is the caller's: place it after the
+    * expensive joins (dedup/decontaminate), not after map-only filters.
+    */
+  def checkpointTo(dir: String): CurationPipeline =
+    step(s"checkpointTo($dir)") { d =>
+      d.write.mode("overwrite").parquet(dir)
+      d.sparkSession.read.parquet(dir)
+    }
+
   /** The curated frame (lazy). */
   def result: DataFrame = df
 

@@ -59,6 +59,52 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("checkpointTo: identical result, durable restart point, recorded lineage") {
+    val dir = Files.createTempDirectory("ckpt").toString + "/mid"
+    val direct = CurationPipeline(docs).filterGopher().maskPii().result
+    val viaCkpt = CurationPipeline(docs).filterGopher()
+      .checkpointTo(dir).maskPii()
+    assert(viaCkpt.describe.contains(s"checkpointTo($dir)"))
+    val out = viaCkpt.result
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    // the artifact is independently readable and resumes the chain
+    val resumed = CurationPipeline(spark.read.parquet(dir)).maskPii().result
+    assert(resumed.exceptAll(direct).isEmpty && direct.exceptAll(resumed).isEmpty)
+  }
+
+  test("mixture gate admits the identical doc set in batch and streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batchKept = CurationPipeline(docs).rebalanceByLang().result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same rates rebalanceByLang derives, as a static frame
+    val toks = size(split(col("text"), " ")).cast("long")
+    val tot = docs.groupBy(col("lang")).agg(sum(toks).as("total"))
+    val budget = tot.agg(min(col("total"))).head.getLong(0)
+    val rates = tot.select(col("lang"),
+      (lit(budget).cast("double") / col("total")).as("rate"))
+    // the gate is a pure per-row function + a stream-static broadcast
+    // join, so it needs NO state — the property that lets admission
+    // control run at ingest with bounded memory
+    val in = MemoryStream[(Long, String)]
+    val gated = in.toDF().toDF("doc_id", "lang")
+      .join(broadcast(rates), "lang")
+      .filter(graft.functions.CrossHash.affine(0, col("doc_id")) % 1000000L <
+        floor(col("rate") * 1000000).cast("long"))
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select(col("doc_id"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("gate_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept)
+    } finally q.stop()
+  }
+
   test("chunk produces covering overlapped windows with carried columns") {
     val out = CurationPipeline(docs).chunk(size = 64, stride = 48).result
     assert(out.columns.toSet ==
