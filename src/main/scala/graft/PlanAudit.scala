@@ -39,7 +39,10 @@ object PlanAudit {
     "agg_share" -> Set("NESTED_LOOP"), // build side = 1-row grand-total frame
     "quality_perplexity" -> Set("NESTED_LOOP"), // build side = 1-row corpus-total frame
     "events_rfm" -> Set("NESTED_LOOP"), // build side = 1-row quantile-threshold frame
-    "sql_q22" -> Set("NESTED_LOOP")) // build side = 1-row global-average frame
+    "sql_q22" -> Set("NESTED_LOOP"), // build side = 1-row global-average frame
+    // build sides = 1-row hour-mean frame + vocabulary-bounded busy-hours
+    // frame (≤ hours in the corpus window); the fact side streams once
+    "join_interval_overlap" -> Set("NESTED_LOOP"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

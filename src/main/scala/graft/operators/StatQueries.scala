@@ -238,6 +238,66 @@ object StatQueries {
         .orderBy($"user_id", $"sess")
     },
 
+    // Interval-overlap join: user sessions × globally busy hours (hour
+    // buckets with >1.1× the mean event count). The busy side is
+    // VOCABULARY-BOUNDED (hours in the corpus window — 720/month
+    // regardless of row count), so the range join broadcasts it and
+    // streams sessions once; at 100 TB the same plan holds because the
+    // interval dimension, not the fact table, carries the non-equi
+    // predicate. Overlap compares exact integer microseconds.
+    Q("join_interval_overlap",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         |              > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |sn AS (
+         |  SELECT user_id, ts,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM e),
+         |sess AS (SELECT user_id, CAST(sess AS BIGINT) AS sess,
+         |    min(ts) AS s_start, max(ts) AS s_end
+         |  FROM sn GROUP BY user_id, sess),
+         |h AS (SELECT date_trunc('hour', ts) AS h_start, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |stat AS (SELECT CAST(SUM(n) AS DOUBLE) / count(*) AS avg_n FROM h),
+         |busy AS (SELECT h_start FROM h, stat
+         |  WHERE CAST(n AS DOUBLE) > 1.1 * avg_n)
+         |SELECT user_id, sess, s_start, s_end, count(*) AS n_busy_hours
+         |FROM sess JOIN busy
+         |  ON epoch_us(s_start) < epoch_us(h_start) + 3600000000
+         | AND epoch_us(s_end) >= epoch_us(h_start)
+         |GROUP BY user_id, sess, s_start, s_end
+         |ORDER BY user_id, sess""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag($"ts", 1).over(w)
+      val sess = events(s, d)
+        .select($"user_id", $"event_id", $"ts",
+          when(prev.isNull ||
+            unix_micros($"ts") - unix_micros(prev) > SessionGapUs, 1)
+            .otherwise(0).as("brk"))
+        .select($"user_id", $"ts", sum($"brk").over(run).cast(LongType).as("sess"))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+      val h = events(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("h_start"))
+        .agg(count(lit(1)).as("n"))
+      val stat = h.agg((sum($"n").cast(DoubleType) / count(lit(1))).as("avg_n"))
+      val busy = h.crossJoin(broadcast(stat))
+        .filter($"n".cast(DoubleType) > lit(1.1) * $"avg_n")
+        .select($"h_start")
+      sess.join(broadcast(busy),
+          unix_micros($"s_start") < unix_micros($"h_start") + 3600000000L &&
+            unix_micros($"s_end") >= unix_micros($"h_start"))
+        .groupBy($"user_id", $"sess", $"s_start", $"s_end")
+        .agg(count(lit(1)).as("n_busy_hours"))
+        .orderBy($"user_id", $"sess")
+    },
+
     // Conditional aggregation via the SQL FILTER clause — several
     // differently-filtered measures in ONE pass over the data (the
     // dashboard-metrics shape; the alternative is N scans or N CASE
