@@ -42,7 +42,8 @@ object PlanAudit {
     "sql_q22" -> Set("NESTED_LOOP"), // build side = 1-row global-average frame
     // build sides = 1-row hour-mean frame + vocabulary-bounded busy-hours
     // frame (≤ hours in the corpus window); the fact side streams once
-    "join_interval_overlap" -> Set("NESTED_LOOP"))
+    "join_interval_overlap" -> Set("NESTED_LOOP"),
+    "corpus_drift" -> Set("NESTED_LOOP")) // build sides = two 1-row snapshot totals
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1321,6 +1321,111 @@ object LlmQueries {
               ($"n_syllables".cast(DoubleType) / $"n_words".cast(DoubleType)))
             .as("flesch"))
         .orderBy($"doc_id")
+    },
+
+    // Incremental (cross-dataset) near-dup: a NEW batch deduped against an
+    // EXISTING corpus — the daily-crawl admission shape, distinct from
+    // self-dedup: candidates come only from batch⋈corpus band-bucket
+    // collisions (never batch×batch or corpus×corpus), so the daily cost
+    // scales with |batch|·bucket-hit-rate, not the corpus. Here the halves
+    // are doc_id parity over the same table; in production the corpus side's
+    // band table is a PRECOMPUTED index that the batch probes.
+    Q("dedup_incremental", {
+      val sigColsSql = (0 until 32)
+        .map(i => s"min(${H.sqlAffine(i, "x")}) AS h$i").mkString(", ")
+      val bandSql = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"${H.sqlFoldHash((0 until 4).map(r => s"h${b * 4 + r}"))} AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      val agreeSql = (0 until 32)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  ${sqlShingleTok("documents")}),
+         |x AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x FROM tok),
+         |sig AS (SELECT doc_id, $sigColsSql FROM x GROUP BY doc_id),
+         |band AS ($bandSql),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM band b JOIN band c
+         |  ON b.band = c.band AND b.bh = c.bh
+         |  AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+         |SELECT batch_id, corpus_id,
+         |  CAST(($agreeSql) AS DOUBLE) / 32 AS est_jac
+         |FROM cand JOIN sig sa ON sa.doc_id = batch_id
+         |JOIN sig sb ON sb.doc_id = corpus_id
+         |WHERE CAST(($agreeSql) AS DOUBLE) / 32 >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    }) { (s, d) =>
+      val numHashes = 32
+      val bands = 8
+      val rows = numHashes / bands
+      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
+      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
+      val sig = tok.groupBy($"doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select($"doc_id",
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        .persist()
+      val banded = sig.select($"doc_id",
+          posexplode(array((0 until bands).map(b =>
+            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val cand = banded.filter($"doc_id" % 2 === 1).as("b")
+        .join(banded.filter($"doc_id" % 2 === 0).as("c"),
+          col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+        .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+        .distinct()
+      cand
+        .join(sig.select($"doc_id".as("batch_id"), $"sig".as("sa")), Seq("batch_id"))
+        .join(sig.select($"doc_id".as("corpus_id"), $"sig".as("sb")), Seq("corpus_id"))
+        .withColumn("est_jac",
+          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+        .filter($"est_jac" >= 0.5)
+        .select($"batch_id", $"corpus_id", $"est_jac")
+        .orderBy($"batch_id", $"corpus_id")
+    },
+
+    // Corpus drift between two snapshots (doc_id-parity halves standing in
+    // for yesterday/today): per-language share shift. Shares are ONE double
+    // division of exact counts; delta is an IEEE subtraction of those; the
+    // log-ratio goes through round(,6) — the ln() grid precedent — because
+    // libm last-ulps differ between engines. Two vocabulary-sized rollups.
+    Q("corpus_drift",
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY lang),
+        |b AS (SELECT lang, count(*) AS n_b FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY lang),
+        |ta AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a FROM a),
+        |tb AS (SELECT CAST(SUM(n_b) AS DOUBLE) AS t_b FROM b)
+        |SELECT COALESCE(a.lang, b.lang) AS lang,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CAST(COALESCE(n_a, 0) AS DOUBLE) / t_a AS p_a,
+        |  CAST(COALESCE(n_b, 0) AS DOUBLE) / t_b AS p_b,
+        |  CAST(COALESCE(n_a, 0) AS DOUBLE) / t_a
+        |    - CAST(COALESCE(n_b, 0) AS DOUBLE) / t_b AS delta,
+        |  CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0
+        |    THEN round(ln((CAST(n_a AS DOUBLE) / t_a)
+        |                / (CAST(n_b AS DOUBLE) / t_b)), 6) END AS log_ratio
+        |FROM a FULL JOIN b ON a.lang = b.lang, ta, tb
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val a = docs.filter($"doc_id" % 2 === 0)
+        .groupBy($"lang").agg(count(lit(1)).as("n_a"))
+      val b = docs.filter($"doc_id" % 2 === 1)
+        .groupBy($"lang").agg(count(lit(1)).as("n_b"))
+      val ta = a.agg(sum($"n_a").cast(DoubleType).as("t_a"))
+      val tb = b.agg(sum($"n_b").cast(DoubleType).as("t_b"))
+      val pa = coalesce($"n_a", lit(0L)).cast(DoubleType) / $"t_a"
+      val pb = coalesce($"n_b", lit(0L)).cast(DoubleType) / $"t_b"
+      a.join(b, Seq("lang"), "full")
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .select($"lang",
+          coalesce($"n_a", lit(0L)).as("n_a"), coalesce($"n_b", lit(0L)).as("n_b"),
+          pa.as("p_a"), pb.as("p_b"), (pa - pb).as("delta"),
+          when(coalesce($"n_a", lit(0L)) > 0 && coalesce($"n_b", lit(0L)) > 0,
+            round(log(($"n_a".cast(DoubleType) / $"t_a") /
+              ($"n_b".cast(DoubleType) / $"t_b")), 6)).as("log_ratio"))
+        .orderBy($"lang")
     }
   )
 
