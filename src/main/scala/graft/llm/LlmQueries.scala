@@ -354,6 +354,44 @@ object LlmQueries {
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashMemo.computeIfAbsent((s, d), _ => minhashPairsOf(documents(s, d)))
 
+  /** dedup_incremental's asymmetric (batch ⋈ corpus) band-join pipeline,
+    * memoized per (session, dir) like [[minhashPairs]] so the persisted
+    * signature frame is allocated once, not per invocation.
+    */
+  private val incrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def incrementalPairs(s: SparkSession, d: String): DataFrame =
+    incrMemo.computeIfAbsent((s, d), _ => {
+      val numHashes = 32
+      val bands = 8
+      val rows = numHashes / bands
+      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
+      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
+      val sig = tok.groupBy($"doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select($"doc_id",
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        .persist()
+      val banded = sig.select($"doc_id",
+          posexplode(array((0 until bands).map(b =>
+            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val cand = banded.filter($"doc_id" % 2 === 1).as("b")
+        .join(banded.filter($"doc_id" % 2 === 0).as("c"),
+          col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+        .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+        .distinct()
+      cand
+        .join(sig.select($"doc_id".as("batch_id"), $"sig".as("sa")), Seq("batch_id"))
+        .join(sig.select($"doc_id".as("corpus_id"), $"sig".as("sb")), Seq("corpus_id"))
+        .withColumn("est_jac",
+          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+        .filter($"est_jac" >= 0.5)
+        .select($"batch_id", $"corpus_id", $"est_jac")
+        .persist()
+    })
+
   /** The band-join pipeline over an arbitrary document frame (doc_id,
     * text) — the memoized entry above binds it to the driver tables;
     * [[CurationPipeline.dedupNear]] applies it mid-pipeline.
@@ -1355,34 +1393,7 @@ object LlmQueries {
          |WHERE CAST(($agreeSql) AS DOUBLE) / 32 >= 0.5
          |ORDER BY batch_id, corpus_id""".stripMargin
     }) { (s, d) =>
-      val numHashes = 32
-      val bands = 8
-      val rows = numHashes / bands
-      val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
-      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-      val sig = tok.groupBy($"doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select($"doc_id",
-          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        .persist()
-      val banded = sig.select($"doc_id",
-          posexplode(array((0 until bands).map(b =>
-            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      val cand = banded.filter($"doc_id" % 2 === 1).as("b")
-        .join(banded.filter($"doc_id" % 2 === 0).as("c"),
-          col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
-        .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
-        .distinct()
-      cand
-        .join(sig.select($"doc_id".as("batch_id"), $"sig".as("sa")), Seq("batch_id"))
-        .join(sig.select($"doc_id".as("corpus_id"), $"sig".as("sb")), Seq("corpus_id"))
-        .withColumn("est_jac",
-          aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
-        .filter($"est_jac" >= 0.5)
-        .select($"batch_id", $"corpus_id", $"est_jac")
-        .orderBy($"batch_id", $"corpus_id")
+      incrementalPairs(s, d).orderBy($"batch_id", $"corpus_id")
     },
 
     // Corpus drift between two snapshots (doc_id-parity halves standing in
