@@ -43,7 +43,8 @@ object PlanAudit {
     // build sides = 1-row hour-mean frame + vocabulary-bounded busy-hours
     // frame (≤ hours in the corpus window); the fact side streams once
     "join_interval_overlap" -> Set("NESTED_LOOP"),
-    "corpus_drift" -> Set("NESTED_LOOP")) // build sides = two 1-row snapshot totals
+    "corpus_drift" -> Set("NESTED_LOOP"), // build sides = two 1-row snapshot totals
+    "sim_ann_recall" -> Set("NESTED_LOOP")) // build side = 1-row query vector (as sim_topk)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -778,6 +778,63 @@ object LlmQueries {
         .limit(10)
     },
 
+    // ANN quality, MEASURED: recall@10 of the LSH bucket search against
+    // the exact brute-force top-10 for the same query vector — "measure,
+    // don't guess" applied to the index itself (the number an ANN
+    // deployment watches when tuning planes/probes). Both sides share the
+    // bucket/cosine arithmetic of sim_ann_lsh/sim_topk, identical
+    // ORDER BY ties, so the sets — and the exact integer hit count — are
+    // engine-identical. Output is one row: k, n_hit, recall.
+    Q("sim_ann_recall", {
+      // 6 planes (64 cells), not sim_ann_lsh's 12: recall is only a
+      // meaningful measurement when the probed cell is populated at the
+      // smallest verify SF (500 vectors / 4096 cells would probe an empty
+      // bucket and measure nothing)
+      val bucketSql = AnnSigns.take(6).zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
+        case (acc, (sv, _)) =>
+          val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
+          s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
+      }
+      s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1),
+         |ann AS (SELECT b.vec_id FROM b, q WHERE b.bkt = q.qbkt AND b.vec_id <> 1
+         |  ORDER BY CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) DESC, b.vec_id
+         |  LIMIT 10),
+         |exact AS (SELECT b.vec_id FROM b, q WHERE b.vec_id <> 1
+         |  ORDER BY CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) DESC, b.vec_id
+         |  LIMIT 10)
+         |SELECT 10 AS k, count(*) AS n_hit,
+         |  CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+         |FROM exact JOIN ann USING (vec_id)""".stripMargin
+    }) { (s, d) =>
+      val e0 = embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("v"))
+        .withColumn("n2", qnorm2($"v"))
+        .repartition(col("vec_id"))
+      val bucket = AnnSigns.take(6).foldLeft(lit(0L): Column) { (acc, sv) =>
+        val proj = qdot($"v", array(sv.map(lit(_)): _*))
+        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }
+      val b = e0.withColumn("bkt", bucket)
+      val q = b.filter($"vec_id" === 1)
+        .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
+      val cos = qdot($"v", $"qv").cast(DoubleType) /
+        (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
+      val ann = b.join(broadcast(q), $"bkt" === $"qbkt")
+        .filter($"vec_id" =!= 1)
+        .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
+      val exact = b.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= 1)
+        .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
+      exact.join(ann, "vec_id")
+        .agg(lit(10).as("k"), count(lit(1)).as("n_hit"),
+          (count(lit(1)).cast(DoubleType) / 10).as("recall_at_10"))
+        .select($"k", $"n_hit", $"recall_at_10")
+    },
+
     // IVF ANN: coarse-quantize to the nearest of 16 fixed centroids (the
     // first 16 vectors — deterministic, standing in for trained k-means
     // cells), then probe only the query's 2 nearest cells. Centroids are
