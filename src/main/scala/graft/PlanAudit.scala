@@ -44,7 +44,8 @@ object PlanAudit {
     // frame (≤ hours in the corpus window); the fact side streams once
     "join_interval_overlap" -> Set("NESTED_LOOP"),
     "corpus_drift" -> Set("NESTED_LOOP"), // build sides = two 1-row snapshot totals
-    "sim_ann_recall" -> Set("NESTED_LOOP")) // build side = 1-row query vector (as sim_topk)
+    "sim_ann_recall" -> Set("NESTED_LOOP"), // build side = 1-row query vector (as sim_topk)
+    "sim_ann_multiprobe" -> Set("NESTED_LOOP")) // build side = 1-row query vector (as sim_ann_lsh)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -354,6 +354,25 @@ object LlmQueries {
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashMemo.computeIfAbsent((s, d), _ => minhashPairsOf(documents(s, d)))
 
+  /** Shared 6-plane LSH frame (vec_id, label, v, bkt, n2), materialized
+    * behind an exchange and memoized per (session, dir) — the "build the
+    * LSH index" pass shared by sim_ann_multiprobe and sim_ann_recall.
+    */
+  private val lshMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lshFrame(s: SparkSession, d: String): DataFrame =
+    lshMemo.computeIfAbsent((s, d), _ => {
+      val e0 = embeddings(s, d)
+        .select($"vec_id", $"label", quantize($"embedding").as("v"))
+        .withColumn("n2", qnorm2($"v"))
+        .repartition(col("vec_id"))
+      val bucket = AnnSigns.take(6).foldLeft(lit(0L): Column) { (acc, sv) =>
+        val proj = qdot($"v", array(sv.map(lit(_)): _*))
+        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }
+      e0.withColumn("bkt", bucket).persist()
+    })
+
   /** dedup_incremental's asymmetric (batch ⋈ corpus) band-join pipeline,
     * memoized per (session, dir) like [[minhashPairs]] so the persisted
     * signature frame is allocated once, not per invocation.
@@ -785,54 +804,100 @@ object LlmQueries {
     // bucket/cosine arithmetic of sim_ann_lsh/sim_topk, identical
     // ORDER BY ties, so the sets — and the exact integer hit count — are
     // engine-identical. Output is one row: k, n_hit, recall.
-    Q("sim_ann_recall", {
-      // 6 planes (64 cells), not sim_ann_lsh's 12: recall is only a
-      // meaningful measurement when the probed cell is populated at the
-      // smallest verify SF (500 vectors / 4096 cells would probe an empty
-      // bucket and measure nothing)
+    // Multi-probe LSH: probe the query's cell PLUS its 6 Hamming-1
+    // neighbor cells (flip one hyperplane sign each) — the standard
+    // recall lever that keeps the bucket-pruning shape: 7 of 64 cells
+    // ≈ 11% of the corpus scanned instead of 100%, and the probe set is
+    // computed on the driver-free broadcast side. 6 planes, matching
+    // sim_ann_recall's measurement geometry.
+    Q("sim_ann_multiprobe", {
       val bucketSql = AnnSigns.take(6).zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
         case (acc, (sv, _)) =>
           val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
           s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
       }
+      val probeSql = (Seq("b.bkt = q.qbkt") ++
+        (0 until 6).map(i => s"b.bkt = xor(q.qbkt, ${1L << i})")).mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1)
+         |SELECT b.vec_id, b.label, b.bkt,
+         |  CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) AS cos
+         |FROM b, q WHERE $probeSql
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val b = lshFrame(s, d)
+      val q = b.filter($"vec_id" === 1)
+        .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
+      val probe = (Seq($"bkt" === $"qbkt") ++
+        (0 until 6).map(i => $"bkt" === $"qbkt".bitwiseXOR(lit(1L << i))))
+        .reduce(_ || _)
+      val cos = qdot($"v", $"qv").cast(DoubleType) /
+        (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
+      b.join(broadcast(q), probe)
+        .select($"vec_id", $"label", $"bkt", cos.as("cos"))
+        .orderBy($"cos".desc, $"vec_id")
+        .limit(10)
+    },
+
+    Q("sim_ann_recall", {
+      // 6 planes (64 cells), not sim_ann_lsh's 12: recall is only a
+      // meaningful measurement when the probed cell is populated at the
+      // smallest verify SF (500 vectors / 4096 cells would probe an empty
+      // bucket and measure nothing). Reports single-probe vs multi-probe
+      // side by side. Measured finding on the SYNTHETIC fixture: ~0.1-0.2
+      // for both — the generated embeddings are isotropic (top-10 cosines
+      // ≈ 0.37, labels uncorrelated with proximity), and on isotropic
+      // vectors ANY hyperplane scheme's recall ≈ fraction of cells
+      // probed. That diagnosis is this operator's JOB: it tells a corpus
+      // owner whether their embeddings have the cluster structure LSH
+      // exploits (recall ≫ coverage) or need IVF/brute force (recall ≈
+      // coverage, as here).
+      val bucketSql = AnnSigns.take(6).zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
+        case (acc, (sv, _)) =>
+          val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
+          s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
+      }
+      val cosSql = s"CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) / " +
+        "(sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))"
+      val probeSql = (Seq("b.bkt = q.qbkt") ++
+        (0 until 6).map(i => s"b.bkt = xor(q.qbkt, ${1L << i})")).mkString(" OR ")
       s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
          |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1),
-         |ann AS (SELECT b.vec_id FROM b, q WHERE b.bkt = q.qbkt AND b.vec_id <> 1
-         |  ORDER BY CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
-         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) DESC, b.vec_id
-         |  LIMIT 10),
+         |single AS (SELECT b.vec_id FROM b, q WHERE b.bkt = q.qbkt AND b.vec_id <> 1
+         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10),
+         |multi AS (SELECT b.vec_id FROM b, q WHERE ($probeSql) AND b.vec_id <> 1
+         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10),
          |exact AS (SELECT b.vec_id FROM b, q WHERE b.vec_id <> 1
-         |  ORDER BY CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
-         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) DESC, b.vec_id
-         |  LIMIT 10)
-         |SELECT 10 AS k, count(*) AS n_hit,
-         |  CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
-         |FROM exact JOIN ann USING (vec_id)""".stripMargin
+         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10)
+         |SELECT 10 AS k,
+         |  (SELECT count(*) FROM exact JOIN single USING (vec_id)) AS n_hit_single,
+         |  CAST((SELECT count(*) FROM exact JOIN single USING (vec_id)) AS DOUBLE) / 10
+         |    AS recall_single,
+         |  (SELECT count(*) FROM exact JOIN multi USING (vec_id)) AS n_hit_multi,
+         |  CAST((SELECT count(*) FROM exact JOIN multi USING (vec_id)) AS DOUBLE) / 10
+         |    AS recall_multi""".stripMargin
     }) { (s, d) =>
-      val e0 = embeddings(s, d)
-        .select($"vec_id", quantize($"embedding").as("v"))
-        .withColumn("n2", qnorm2($"v"))
-        .repartition(col("vec_id"))
-      val bucket = AnnSigns.take(6).foldLeft(lit(0L): Column) { (acc, sv) =>
-        val proj = qdot($"v", array(sv.map(lit(_)): _*))
-        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
-      }
-      val b = e0.withColumn("bkt", bucket)
+      val b = lshFrame(s, d)
       val q = b.filter($"vec_id" === 1)
         .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
       val cos = qdot($"v", $"qv").cast(DoubleType) /
         (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
-      val ann = b.join(broadcast(q), $"bkt" === $"qbkt")
-        .filter($"vec_id" =!= 1)
-        .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
-      val exact = b.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= 1)
-        .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
-      exact.join(ann, "vec_id")
-        .agg(lit(10).as("k"), count(lit(1)).as("n_hit"),
-          (count(lit(1)).cast(DoubleType) / 10).as("recall_at_10"))
-        .select($"k", $"n_hit", $"recall_at_10")
+      val probe = (Seq($"bkt" === $"qbkt") ++
+        (0 until 6).map(i => $"bkt" === $"qbkt".bitwiseXOR(lit(1L << i))))
+        .reduce(_ || _)
+      def topIds(pred: Column): DataFrame =
+        b.join(broadcast(q), pred).filter($"vec_id" =!= 1)
+          .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
+      val exact = topIds(lit(true))
+      val nSingle = exact.join(topIds($"bkt" === $"qbkt"), "vec_id").count()
+      val nMulti = exact.join(topIds(probe), "vec_id").count()
+      val spark = s
+      import spark.implicits._
+      Seq((10, nSingle, nSingle / 10.0, nMulti, nMulti / 10.0))
+        .toDF("k", "n_hit_single", "recall_single", "n_hit_multi", "recall_multi")
     },
 
     // IVF ANN: coarse-quantize to the nearest of 16 fixed centroids (the
