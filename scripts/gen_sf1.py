@@ -48,50 +48,66 @@ def copy(sql: str, name: str) -> None:
 
 REP = f"(SELECT unnest(range({R})) AS r)"
 
+
+def off(table: str, key: str) -> int:
+    """Replica key stride = max(key)+1 DERIVED FROM THE SOURCE, not a
+    hardcoded sf0.1 size — any src_sf_dir replicates without collisions."""
+    return con.sql(f"SELECT max({key}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+
+O_CUST = off("customer", "c_custkey")
+O_SUPP = off("supplier", "s_suppkey")
+O_PART = off("part", "p_partkey")
+O_ORD = off("orders", "o_orderkey")
+O_EVT = off("events", "event_id")
+O_USER = off("events", "user_id")
+O_DOC = off("documents", "doc_id")
+O_VEC = off("embeddings", "vec_id")
+
 for t in ("region", "nation"):
     copy(f"SELECT * FROM '{SRC}/{t}.parquet'", t)
 
 copy(
-    f"""SELECT c_custkey + r*15000 AS c_custkey, c_name, c_nationkey,
+    f"""SELECT c_custkey + r*{O_CUST} AS c_custkey, c_name, c_nationkey,
                c_acctbal, c_mktsegment
         FROM '{SRC}/customer.parquet', {REP}""",
     "customer",
 )
 copy(
-    f"""SELECT s_suppkey + r*1000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+    f"""SELECT s_suppkey + r*{O_SUPP} AS s_suppkey, s_name, s_nationkey, s_acctbal
         FROM '{SRC}/supplier.parquet', {REP}""",
     "supplier",
 )
 copy(
-    f"""SELECT p_partkey + r*20000 AS p_partkey, p_name, p_brand, p_type,
+    f"""SELECT p_partkey + r*{O_PART} AS p_partkey, p_name, p_brand, p_type,
                p_size, p_retailprice
         FROM '{SRC}/part.parquet', {REP}""",
     "part",
 )
 copy(
-    f"""SELECT o_orderkey + r*150000 AS o_orderkey,
-               o_custkey + r*15000 AS o_custkey,
+    f"""SELECT o_orderkey + r*{O_ORD} AS o_orderkey,
+               o_custkey + r*{O_CUST} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet', {REP}""",
     "orders",
 )
 copy(
-    f"""SELECT l_orderkey + r*150000 AS l_orderkey,
-               l_partkey + r*20000 AS l_partkey,
-               l_suppkey + r*1000 AS l_suppkey,
+    f"""SELECT l_orderkey + r*{O_ORD} AS l_orderkey,
+               l_partkey + r*{O_PART} AS l_partkey,
+               l_suppkey + r*{O_SUPP} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
         FROM '{SRC}/lineitem.parquet', {REP}""",
     "lineitem",
 )
 copy(
-    f"""SELECT event_id + r*100000 AS event_id, ts,
-               user_id + r*1500 AS user_id, event_type, value, props
+    f"""SELECT event_id + r*{O_EVT} AS event_id, ts,
+               user_id + r*{O_USER} AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet', {REP}""",
     "events",
 )
 copy(
-    f"""SELECT doc_id + r*5000 AS doc_id,
+    f"""SELECT doc_id + r*{O_DOC} AS doc_id,
                CASE WHEN r = 0 THEN text
                     ELSE regexp_replace(text, '(\\S+)', '\\1r' || r, 'g')
                END AS text,
@@ -103,7 +119,7 @@ copy(
     "documents",
 )
 copy(
-    f"""SELECT vec_id + r*2000 AS vec_id,
+    f"""SELECT vec_id + r*{O_VEC} AS vec_id,
                CASE WHEN r = 0 THEN embedding
                     ELSE list_concat(embedding[r+1:], embedding[1:r])
                END AS embedding,

@@ -40,8 +40,11 @@ object CurationBench {
     val t0 = System.nanoTime()
 
     def stage(name: String)(f: CurationPipeline => CurationPipeline): Unit = {
-      val stepped = f(CurationPipeline(cur)).result
+      // timer starts BEFORE f(): steps that eagerly run Spark jobs during
+      // pipeline construction (rebalanceByLang's budget aggregation) must
+      // be charged to their own stage, or the marginal-cost table lies
       val t = System.nanoTime()
+      val stepped = f(CurationPipeline(cur)).result
       // localCheckpoint (eager): materializes AND truncates the logical
       // plan, so each stage is timed against materialized input and later
       // stages don't pay re-analysis of the whole prefix tree

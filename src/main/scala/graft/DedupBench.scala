@@ -51,45 +51,43 @@ object DedupBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    println(f"[dedupbench] corpus=$sfDir threshold=0.5")
-    for ((name, docs) <- Seq("benign" -> base, "skew10" -> skewed(10),
-        "skew30" -> skewed(30))) {
-      val d = docs.persist()
-      d.count()
-      val stats = LlmQueries.shingleStats(d)
-      // warm both once (JIT/codegen/shuffle-service spin-up), THEN measure —
-      // the calibration numbers must not include one-time cold-start cost
-      LlmQueries.jaccardPairs(d, 0.5).count()
-      LlmQueries.jaccardPairsPrefix(d, 0.5).count()
-      val (nNaive, tNaive) = time(LlmQueries.jaccardPairs(d, 0.5).count())
-      val (nPrefix, tPrefix) = time(LlmQueries.jaccardPairsPrefix(d, 0.5).count())
-      assert(nNaive == nPrefix, s"$name: algorithms disagree ($nNaive vs $nPrefix)")
-      val auto = if (stats.blowup <= LlmQueries.JaccardBlowupCutover) "naive" else "prefix"
-      println(f"[dedupbench] $name%-8s T=${stats.tokens}%9d sumDf2=${stats.sumDf2}%1.3e " +
-        f"maxDf=${stats.maxDf}%7d blowup=${stats.blowup}%9.1f pairs=$nNaive%7d " +
-        f"naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
-      d.unpersist()
+    // One A/B harness serves both dispatch families (same warm-then-
+    // measure methodology — calibration numbers must not include one-time
+    // cold-start cost, the round-4 lesson).
+    def ab(label: String, naive: DataFrame => DataFrame,
+        prefix: DataFrame => DataFrame, detail: Boolean): Unit = {
+      println(s"[dedupbench] $label")
+      for ((name, docs) <- Seq("benign" -> base, "skew10" -> skewed(10),
+          "skew30" -> skewed(30))) {
+        val d = docs.persist()
+        d.count()
+        val stats = LlmQueries.shingleStats(d)
+        naive(d).count()
+        prefix(d).count()
+        val (nNaive, tNaive) = time(naive(d).count())
+        val (nPrefix, tPrefix) = time(prefix(d).count())
+        assert(nNaive == nPrefix,
+          s"$label/$name: algorithms disagree ($nNaive vs $nPrefix)")
+        val auto =
+          if (stats.blowup <= LlmQueries.JaccardBlowupCutover) "naive" else "prefix"
+        val mid =
+          if (detail) f"sumDf2=${stats.sumDf2}%1.3e maxDf=${stats.maxDf}%7d " else ""
+        println(f"[dedupbench] $name%-8s T=${stats.tokens}%9d $mid%s" +
+          f"blowup=${stats.blowup}%9.1f pairs=$nNaive%7d " +
+          f"naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
+        d.unpersist()
+      }
     }
 
-    // same A/B for the containment dispatch (threshold 0.8: the prefix is
-    // only (1−t)·n ≈ 20% of tokens, but it probes the FULL token index —
-    // different constants than the jaccard prefix×prefix join)
-    println(f"[dedupbench] containment threshold=0.8")
-    for ((name, docs) <- Seq("benign" -> base, "skew10" -> skewed(10),
-        "skew30" -> skewed(30))) {
-      val d = docs.persist()
-      d.count()
-      val stats = LlmQueries.shingleStats(d)
-      LlmQueries.containmentPairs(d, 0.8).count()
-      LlmQueries.containmentPairsPrefix(d, 0.8).count()
-      val (nNaive, tNaive) = time(LlmQueries.containmentPairs(d, 0.8).count())
-      val (nPrefix, tPrefix) = time(LlmQueries.containmentPairsPrefix(d, 0.8).count())
-      assert(nNaive == nPrefix, s"$name: containment algorithms disagree ($nNaive vs $nPrefix)")
-      val auto = if (stats.blowup <= LlmQueries.JaccardBlowupCutover) "naive" else "prefix"
-      println(f"[dedupbench] $name%-8s T=${stats.tokens}%9d blowup=${stats.blowup}%9.1f " +
-        f"pairs=$nNaive%7d naive=$tNaive%6.2fs prefix=$tPrefix%6.2fs auto->$auto")
-      d.unpersist()
-    }
+    ab(s"corpus=$sfDir threshold=0.5",
+      LlmQueries.jaccardPairs(_, 0.5), LlmQueries.jaccardPairsPrefix(_, 0.5),
+      detail = true)
+    // containment dispatch (threshold 0.8: the prefix is only (1−t)·n
+    // ≈ 20% of tokens, but it probes the FULL token index — different
+    // constants than the jaccard prefix×prefix join)
+    ab("containment threshold=0.8",
+      LlmQueries.containmentPairs(_, 0.8), LlmQueries.containmentPairsPrefix(_, 0.8),
+      detail = false)
     spark.stop()
   }
 }

@@ -252,14 +252,21 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       org.apache.spark.sql.functions.size(split(col("text"), " "))
         .cast(LongType).as("__toks"))
     val tot = tok.groupBy(col("lang")).agg(sum(col("__toks")).as("__total"))
-    val budget = tot.agg(min(col("__total"))).head.getLong(0)
-    val rate = tot
-      .select(col("lang"),
-        (lit(budget).cast(DoubleType) / col("__total")).as("__rate"))
-    d.join(broadcast(rate), "lang")
-      .filter(H.affine(0, col("doc_id")) % 1000000L <
-        floor(col("__rate") * 1000000).cast(LongType))
-      .select(d.columns.map(col).toSeq: _*)
+    val budgetRow = tot.agg(min(col("__total"))).head
+    // empty upstream frame (every doc filtered out earlier, or lang all
+    // NULL): min is NULL — nothing to rebalance, pass the frame through
+    // rather than NPE at pipeline-construction time
+    if (budgetRow.isNullAt(0)) d
+    else {
+      val budget = budgetRow.getLong(0)
+      val rate = tot
+        .select(col("lang"),
+          (lit(budget).cast(DoubleType) / col("__total")).as("__rate"))
+      d.join(broadcast(rate), "lang")
+        .filter(H.affine(0, col("doc_id")) % 1000000L <
+          floor(col("__rate") * 1000000).cast(LongType))
+        .select(d.columns.map(col).toSeq: _*)
+    }
   }
 
   /** Materialize the current frame to `dir` (parquet, overwrite) and

@@ -357,7 +357,11 @@ object LlmQueries {
   /** Shared 6-plane LSH frame (vec_id, label, v, bkt, n2), materialized
     * behind an exchange and memoized per (session, dir) — the "build the
     * LSH index" pass shared by sim_ann_multiprobe and sim_ann_recall.
+    * The plane count, probe set, and cosine expression live HERE, once,
+    * in both their SQL and Column forms: they appear in two queries ×
+    * two engines, and a drifted copy is a silent oracle divergence.
     */
+  private val LshPlanes = 6
   private val lshMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def lshFrame(s: SparkSession, d: String): DataFrame =
@@ -366,12 +370,37 @@ object LlmQueries {
         .select($"vec_id", $"label", quantize($"embedding").as("v"))
         .withColumn("n2", qnorm2($"v"))
         .repartition(col("vec_id"))
-      val bucket = AnnSigns.take(6).foldLeft(lit(0L): Column) { (acc, sv) =>
+      val bucket = AnnSigns.take(LshPlanes).foldLeft(lit(0L): Column) { (acc, sv) =>
         val proj = qdot($"v", array(sv.map(lit(_)): _*))
         acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
       }
       e0.withColumn("bkt", bucket).persist()
     })
+
+  /** DuckDB fold mirroring lshFrame's bucket column. */
+  private def lshBucketSql: String =
+    AnnSigns.take(LshPlanes).foldLeft("CAST(0 AS BIGINT)") { (acc, sv) =>
+      val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
+      s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
+    }
+
+  /** Query cell + Hamming-1 neighbors (flip one plane each), both forms. */
+  private def lshProbeSql: String = (Seq("b.bkt = q.qbkt") ++
+    (0 until LshPlanes).map(i => s"b.bkt = xor(q.qbkt, ${1L << i})")).mkString(" OR ")
+  private def lshProbeCol: Column = (Seq($"bkt" === $"qbkt") ++
+    (0 until LshPlanes).map(i => $"bkt" === $"qbkt".bitwiseXOR(lit(1L << i))))
+    .reduce(_ || _)
+
+  /** Fixed-op-order cosine over the lshFrame/q column names, both forms. */
+  private def lshCosSql: String =
+    s"CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) / " +
+      "(sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))"
+  private def lshCosCol: Column =
+    qdot($"v", $"qv").cast(DoubleType) /
+      (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
+  private def lshQueryFrame(b: DataFrame): DataFrame =
+    b.filter($"vec_id" === 1)
+      .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
 
   /** dedup_incremental's asymmetric (batch ⋈ corpus) band-join pipeline,
     * memoized per (session, dir) like [[minhashPairs]] so the persisted
@@ -810,33 +839,16 @@ object LlmQueries {
     // ≈ 11% of the corpus scanned instead of 100%, and the probe set is
     // computed on the driver-free broadcast side. 6 planes, matching
     // sim_ann_recall's measurement geometry.
-    Q("sim_ann_multiprobe", {
-      val bucketSql = AnnSigns.take(6).zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
-        case (acc, (sv, _)) =>
-          val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
-          s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
-      }
-      val probeSql = (Seq("b.bkt = q.qbkt") ++
-        (0 until 6).map(i => s"b.bkt = xor(q.qbkt, ${1L << i})")).mkString(" OR ")
+    Q("sim_ann_multiprobe",
       s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
-         |b AS (SELECT vec_id, label, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |b AS (SELECT vec_id, label, v, $lshBucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
          |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1)
-         |SELECT b.vec_id, b.label, b.bkt,
-         |  CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) /
-         |    (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) AS cos
-         |FROM b, q WHERE $probeSql
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-    }) { (s, d) =>
+         |SELECT b.vec_id, b.label, b.bkt, $lshCosSql AS cos
+         |FROM b, q WHERE $lshProbeSql
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val b = lshFrame(s, d)
-      val q = b.filter($"vec_id" === 1)
-        .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
-      val probe = (Seq($"bkt" === $"qbkt") ++
-        (0 until 6).map(i => $"bkt" === $"qbkt".bitwiseXOR(lit(1L << i))))
-        .reduce(_ || _)
-      val cos = qdot($"v", $"qv").cast(DoubleType) /
-        (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
-      b.join(broadcast(q), probe)
-        .select($"vec_id", $"label", $"bkt", cos.as("cos"))
+      b.join(broadcast(lshQueryFrame(b)), lshProbeCol)
+        .select($"vec_id", $"label", $"bkt", lshCosCol.as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
     },
@@ -854,24 +866,15 @@ object LlmQueries {
       // owner whether their embeddings have the cluster structure LSH
       // exploits (recall ≫ coverage) or need IVF/brute force (recall ≈
       // coverage, as here).
-      val bucketSql = AnnSigns.take(6).zipWithIndex.foldLeft("CAST(0 AS BIGINT)") {
-        case (acc, (sv, _)) =>
-          val proj = sqlQdot("v", sv.mkString("[", ",", "]"))
-          s"(($acc) * 2 + CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
-      }
-      val cosSql = s"CAST(${sqlQdot("b.v", "q.qv")} AS DOUBLE) / " +
-        "(sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))"
-      val probeSql = (Seq("b.bkt = q.qbkt") ++
-        (0 until 6).map(i => s"b.bkt = xor(q.qbkt, ${1L << i})")).mkString(" OR ")
       s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |b AS (SELECT vec_id, v, $lshBucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
          |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1),
          |single AS (SELECT b.vec_id FROM b, q WHERE b.bkt = q.qbkt AND b.vec_id <> 1
-         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10),
-         |multi AS (SELECT b.vec_id FROM b, q WHERE ($probeSql) AND b.vec_id <> 1
-         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10),
+         |  ORDER BY $lshCosSql DESC, b.vec_id LIMIT 10),
+         |multi AS (SELECT b.vec_id FROM b, q WHERE ($lshProbeSql) AND b.vec_id <> 1
+         |  ORDER BY $lshCosSql DESC, b.vec_id LIMIT 10),
          |exact AS (SELECT b.vec_id FROM b, q WHERE b.vec_id <> 1
-         |  ORDER BY $cosSql DESC, b.vec_id LIMIT 10)
+         |  ORDER BY $lshCosSql DESC, b.vec_id LIMIT 10)
          |SELECT 10 AS k,
          |  (SELECT count(*) FROM exact JOIN single USING (vec_id)) AS n_hit_single,
          |  CAST((SELECT count(*) FROM exact JOIN single USING (vec_id)) AS DOUBLE) / 10
@@ -881,19 +884,13 @@ object LlmQueries {
          |    AS recall_multi""".stripMargin
     }) { (s, d) =>
       val b = lshFrame(s, d)
-      val q = b.filter($"vec_id" === 1)
-        .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
-      val cos = qdot($"v", $"qv").cast(DoubleType) /
-        (sqrt($"n2".cast(DoubleType)) * sqrt($"qn2".cast(DoubleType)))
-      val probe = (Seq($"bkt" === $"qbkt") ++
-        (0 until 6).map(i => $"bkt" === $"qbkt".bitwiseXOR(lit(1L << i))))
-        .reduce(_ || _)
+      val q = lshQueryFrame(b)
       def topIds(pred: Column): DataFrame =
         b.join(broadcast(q), pred).filter($"vec_id" =!= 1)
-          .orderBy(cos.desc, $"vec_id").limit(10).select($"vec_id")
+          .orderBy(lshCosCol.desc, $"vec_id").limit(10).select($"vec_id")
       val exact = topIds(lit(true))
       val nSingle = exact.join(topIds($"bkt" === $"qbkt"), "vec_id").count()
-      val nMulti = exact.join(topIds(probe), "vec_id").count()
+      val nMulti = exact.join(topIds(lshProbeCol), "vec_id").count()
       val spark = s
       import spark.implicits._
       Seq((10, nSingle, nSingle / 10.0, nMulti, nMulti / 10.0))

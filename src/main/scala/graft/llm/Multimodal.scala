@@ -127,7 +127,7 @@ object Multimodal {
         val p = pos.toInt
         val id = new String(data, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = u32(p + 4)
-        if (id == "fmt " && pos + 24 <= data.length) {
+        if (id == "fmt " && size >= 16 && pos + 24 <= data.length) {
           val ch = u16(p + 10)
           val rate = u32(p + 12)
           val byteRate = u32(p + 16)
@@ -230,7 +230,11 @@ object Multimodal {
       decodeWav(data) match {
         case Some((rate, ch, _, durMicros)) =>
           MediaMeta(key, contentType, data.length,
-            width = rate, height = (durMicros / 1000L).toInt, nChannels = ch, sha = sha)
+            // saturate: a crafted byteRate=1 header can declare a duration
+            // past Int range; wrap would put a negative ms in MediaMeta
+            width = rate,
+            height = math.min(durMicros / 1000L, Int.MaxValue.toLong).toInt,
+            nChannels = ch, sha = sha)
         case None => decodeStub(key, contentType, data)
       }
     else if (contentType != null && contentType.startsWith("video/"))
