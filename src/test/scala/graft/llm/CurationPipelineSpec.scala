@@ -59,6 +59,25 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("filterPerplexity keeps exactly the quality_perplexity band (A/B pin)") {
+    // the pipeline step re-implements the registered query's xent pipeline
+    // (no shared helper — see review note); this pin is what makes a
+    // silent de-sync of tokenizer/grid/formula between the two impossible
+    // sf0.001's xent spans only [3.35, 3.68] (uniform synthetic vocab) —
+    // the band brackets the median so both sides of the filter are hit
+    val (minX, maxX) = (3.36, 3.37)
+    val kept = CurationPipeline(docs).filterPerplexity(minX, maxX).result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oracle = TextRankQueries.queries.find(_.name == "quality_perplexity").get
+      .fn(spark, sf).collect()
+      .filter(r => r.getDouble(2) >= minX && r.getDouble(2) <= maxX)
+      .map(_.getLong(0)).toSet
+    assert(oracle.nonEmpty && oracle.size < docs.count(),
+      "band must be selective for the pin to mean anything")
+    assert(kept == oracle,
+      s"only-filter=${kept -- oracle} only-query=${oracle -- kept}")
+  }
+
   test("checkpointTo: identical result, durable restart point, recorded lineage") {
     val dir = Files.createTempDirectory("ckpt").toString + "/mid"
     val direct = CurationPipeline(docs).filterGopher().maskPii().result
