@@ -42,23 +42,29 @@ object Bench {
     // timings stay comparable per query
     val results = SparkEntry.all.map { q =>
       var lastShuffle = 0L
+      var failed = false
       val times = (1 to runs).map { _ =>
         val s0 = drained()
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         val sec = (System.nanoTime() - t0) / 1e9
         lastShuffle = drained() - s0
         sec
       }
-      q.name -> ((times.min, lastShuffle))
+      q.name -> ((times.min, lastShuffle, failed))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // a throwing query is reported as "failed", never min-folded into the
+    // timing map: a broken query's wall-clock is not a benchmark number
+    val ok = results.filter(!_._2._3)
+    val qs = ok.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, b)) =>
+    val sh = ok.map { case (k, (_, b, _)) =>
       s"\"" + k + "\":" + (math.round(b / 1e5) / 10.0)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
+    val fails = results.filter(_._2._3).map(k => s"\"" + k._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = ok.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -259,10 +259,14 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     if (budgetRow.isNullAt(0)) d
     else {
       val budget = budgetRow.getLong(0)
+      // null-safe join (<=>): a NULL-lang stratum is gated like any other
+      // — it already participates in the budget min via groupBy's null
+      // group, so dropping its docs with an inner equi-join would let it
+      // set every other language's rate while its own docs vanish
       val rate = tot
-        .select(col("lang"),
+        .select(col("lang").as("__rlang"),
           (lit(budget).cast(DoubleType) / col("__total")).as("__rate"))
-      d.join(broadcast(rate), "lang")
+      d.join(broadcast(rate), col("lang") <=> col("__rlang"))
         .filter(H.affine(0, col("doc_id")) % 1000000L <
           floor(col("__rate") * 1000000).cast(LongType))
         .select(d.columns.map(col).toSeq: _*)

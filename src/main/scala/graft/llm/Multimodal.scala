@@ -189,7 +189,11 @@ object Multimodal {
               if (v == 1 && bs + 32 <= be) (u32(bs.toInt + 20), u64(bs.toInt + 24))
               else if (bs + 24 <= be) (u32(bs.toInt + 12), u32(bs.toInt + 16))
               else (0L, 0L)
-            if (ts > 0) durMicros = dur * 1000000L / ts
+            // dur is an attacker-controlled u64: saturate like the WAV
+            // path rather than letting the ×1e6 wrap Long negative
+            if (ts > 0) durMicros =
+              if (dur < 0L || dur > Long.MaxValue / 1000000L) Long.MaxValue
+              else dur * 1000000L / ts
           case "trak" =>
             nTraks += 1
             if (dims.isEmpty)

@@ -589,22 +589,26 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       // sum_disc_price/sum_charge in exact INTEGER units (cents × pct ×
-      // pct), BIGINT-summed, ONE double division at the end: decimal sums
-      // cast to double diverge between engines once the scaled magnitude
-      // crosses 2^53 (DuckDB's int128→double then ÷10^scale double-rounds
-      // where Spark's BigDecimal→double rounds once — found at sf1 where
-      // sum_charge ≈ 5.2e10 · 10^6 units), while int64→double conversion
-      // and a single division of identical exact operands are
-      // correctly-rounded in both engines.
+      // pct), summed as DECIMAL(38,0) — exact and overflow-safe — with ONE
+      // double division at the end. Per-row products are ~1e11, so a raw
+      // BIGINT sum wraps silently around 9e7 rows/group (sf~60-100) while
+      // DuckDB promotes SUM(BIGINT) to INT128; DECIMAL(38,0) matches that
+      // headroom (1e38 » 1e23 at 1e12 rows). Scale-0 decimals avoid the
+      // earlier engine divergence (DuckDB's int128→double then ÷10^scale
+      // double-rounds where Spark's BigDecimal→double rounds once — found
+      // at sf1 where sum_charge ≈ 5.2e10 · 10^6 units): an exact integer
+      // sum casts to double correctly-rounded in both engines, and the
+      // single explicit division of identical operands is too.
       val extC = (dec($"l_extendedprice", 2) * 100).cast(LongType)
       val disc100 = lit(100L) - (dec($"l_discount", 2) * 100).cast(LongType)
       val tax100 = lit(100L) + (dec($"l_tax", 2) * 100).cast(LongType)
+      val big = DecimalType(38, 0)
       lineitem(s, d).groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          (sum(extC * disc100).cast(DoubleType) / 10000.0).as("sum_disc_price"),
-          (sum(extC * disc100 * tax100).cast(DoubleType) / 1000000.0).as("sum_charge"),
+          (sum((extC * disc100).cast(big)).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sum((extC * disc100 * tax100).cast(big)).cast(DoubleType) / 1000000.0).as("sum_charge"),
           davg($"l_quantity").as("avg_qty"),
           davg($"l_extendedprice").as("avg_price"),
           davg($"l_discount").as("avg_disc"),
