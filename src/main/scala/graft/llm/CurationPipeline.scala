@@ -108,18 +108,10 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     */
   def filterPerplexity(minXent: Double = 2.0, maxXent: Double = 9.0): CurationPipeline =
     step(s"filterPerplexity($minXent,$maxXent)") { d =>
-      val tk = d
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 3)
-      val c = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val t = tk.agg(count(lit(1)).as("tot"))
-      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
-      val keep = m.join(c, "w").crossJoin(t)
-        .select(col("doc_id"), col("m"),
-          round(col("m") * log(col("c").cast(DoubleType) / col("tot")) * -1000000L, 0)
-            .cast(LongType).as("g"))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m"))).as("xent"))
+      // one scorer, two surfaces: the same xentFrame backs the
+      // quality_perplexity registry query, so the gate band is measured on
+      // exactly the metric that query reports
+      val keep = TextRankQueries.xentFrame(TextRankQueries.wordTok(d))
         .filter(col("xent") >= minXent && col("xent") <= maxXent)
         .select(col("doc_id"))
       d.join(keep, Seq("doc_id"), "left_semi")

@@ -28,10 +28,31 @@ object TextRankQueries {
     * BM25 tokenization unit. 3-gram shingles (LlmQueries) stay the DEDUP
     * unit; relevance scoring wants unigram term statistics.
     */
-  private def wordTok(docs: DataFrame): DataFrame =
+  private[llm] def wordTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), "[^a-z]+"),
         w => length(w) >= 3)).as("w"))
+
+  /** Per-doc unigram-LM cross-entropy: (doc_id, n_words, xent) from a
+    * (doc_id, w) token frame. THE shared scorer behind `quality_perplexity`
+    * and [[CurationPipeline.filterPerplexity]] — one definition, so the
+    * filter band and the reported metric can never drift (the A/B pin spec
+    * in CurationPipelineSpec remains the behavioral lock). Each m·ln(c/T)
+    * term is snapped onto the 1e-6 integer grid and summed as BIGINT
+    * (order-independent → partial aggregation can't wobble the hash).
+    */
+  private[llm] def xentFrame(tk: DataFrame): DataFrame = {
+    val c = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val t = tk.agg(count(lit(1)).as("tot"))
+    val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+    m.join(c, "w").crossJoin(t)
+      .select(col("doc_id"), col("m"),
+        round(col("m") * log(col("c").cast(DoubleType) / col("tot")) * -1000000L, 0)
+          .cast(LongType).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_words"),
+        (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m"))).as("xent"))
+  }
 
   /** Session-cached token table shared by tfidf_topterms, bm25_search and
     * quality_rarity — the same shared-intermediate contract as
@@ -366,18 +387,8 @@ object TextRankQueries {
          |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS xent,
          |  round(exp(CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m)), 6) AS ppl
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tk = tok(s, d)
-      val c = tk.groupBy($"w").agg(count(lit(1)).as("c"))
-      val t = tk.agg(count(lit(1)).as("tot"))
-      val m = tk.groupBy($"doc_id", $"w").agg(count(lit(1)).as("m"))
-      val xent = sum($"g").cast(DoubleType) / 1000000L / sum($"m")
-      m.join(c, "w").crossJoin(t)
-        .select($"doc_id", $"m",
-          round($"m" * log($"c".cast(DoubleType) / $"tot") * -1000000L, 0)
-            .cast(LongType).as("g"))
-        .groupBy($"doc_id")
-        .agg(sum($"m").as("n_words"), xent.as("xent"),
-          round(exp(xent), 6).as("ppl"))
+      xentFrame(tok(s, d))
+        .select($"doc_id", $"n_words", $"xent", round(exp($"xent"), 6).as("ppl"))
         .orderBy($"doc_id")
     },
 
