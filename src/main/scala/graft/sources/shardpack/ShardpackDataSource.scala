@@ -81,6 +81,14 @@ object ShardpackDataSource {
 
   val FileSuffix = ".shardpack"
 
+  /** Schemes whose `rename` is a server-side COPY (+ delete): batch writes
+    * there skip staging and conditional-put straight to final names — at
+    * 400k shards a copy-per-shard commit is real money and wall-clock.
+    * `abfs(s)` is excluded: hierarchical-namespace accounts rename
+    * atomically, so staging costs nothing extra there.
+    */
+  val ObjectStoreSchemes: Set[String] = Set("s3", "s3a", "s3n", "s3x", "gs", "oss", "cos", "swift")
+
   /** Bucketed writers name shards `…-b<bucket>-<seq>.shardpack`. */
   val BucketedName = """-b(\d+)-\d+\.shardpack$""".r
 
@@ -1221,7 +1229,8 @@ final class ShardpackWriteBuilder(path: String, info: LogicalWriteInfo,
           opts.getOrDefault("compression", Codec.None),
           opts.getLong("shardCapBytes", DefaultShardCap),
           Option(opts.get("shardMetadata")).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray),
-          bucketN)
+          bucketN,
+          directOpt = Option(opts.get("directCommit")).map(_.toBoolean))
       }
       override def toBatch: BatchWrite = batchWrite
       // Structured Streaming sink: each micro-batch appends its own shard
@@ -1261,7 +1270,34 @@ final case class ShardpackCommit(files: Seq[(String, String)]) extends WriterCom
 
 final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     codec: String, shardCap: Long, shardMeta: Array[Byte],
-    bucketN: Option[Int] = None) extends BatchWrite {
+    bucketN: Option[Int] = None, directOpt: Option[Boolean] = None) extends BatchWrite {
+
+  /** Direct-commit mode: BATCH task writers conditional-put shards straight
+    * to their final names (`create(overwrite=false)` — the portable spelling
+    * of S3's `If-None-Match: *` PUT) and job commit promotes NOTHING: zero
+    * renames, and on an object store zero server-side copies. Auto-enabled
+    * when the path's scheme is in [[ShardpackDataSource.ObjectStoreSchemes]];
+    * `.option("directCommit", true/false)` overrides. Tradeoffs, explicit:
+    *   - a shard becomes visible at task completion, not job commit — the
+    *     transient old+new window an overwrite already had mid-promotion
+    *     widens to the job's duration (object PUTs are atomic, so readers
+    *     see whole shards or nothing, never a torn file);
+    *   - a failed ATTEMPT's completed shards are visible until job
+    *     commit/abort sweeps them (names embed the jobUuid, so the sweep is
+    *     exact and cannot touch a concurrent job's output);
+    *   - streaming epochs NEVER use direct mode: epoch-replay idempotence
+    *     needs the deterministic-final-name + commit-time-dedup protocol,
+    *     and a replayed epoch's half-written direct shard would be
+    *     indistinguishable from a published one on a non-atomic-PUT FS.
+    * The real-S3 refinement (initiate multipart upload in the task, complete
+    * at job commit — invisible until commit AND zero-copy) needs the
+    * AWS SDK, not the Hadoop FileSystem contract; this path is the closest
+    * contract-expressible protocol and removes the per-shard copy.
+    */
+  private[shardpack] val direct: Boolean = directOpt.getOrElse {
+    val scheme = Option(new Path(path).toUri.getScheme).getOrElse("")
+    ShardpackDataSource.ObjectStoreSchemes.contains(scheme)
+  }
 
   // Validate the incoming schema up front (positions may differ; names must match).
   private val keyIdx = schema.fieldIndex("key")
@@ -1277,7 +1313,7 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
   private[shardpack] def writerFactory: ShardpackWriterFactory =
     ShardpackWriterFactory(path, jobUuid, keyIdx, metaIdx, entriesIdx,
       entryFieldIndexes(), codec, shardCap, shardMeta, HadoopConfs.serializable(),
-      bucketN)
+      bucketN, direct)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
@@ -1315,7 +1351,10 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
     committed.foreach { case (tmp, finalName) =>
       val src = fs.makeQualified(new Path(tmp))
       val dst = fs.makeQualified(new Path(dir, finalName))
-      if (fs.exists(dst)) {
+      if (src == dst) {
+        // direct-write commit: the shard was conditional-put at its final
+        // name by the task — nothing to promote, zero renames/copies
+      } else if (fs.exists(dst)) {
         // replayed epoch commit: destination already published; drop the temp
         if (fs.exists(src)) fs.delete(src, false)
       } else if (!fs.rename(src, dst)) {
@@ -1325,15 +1364,21 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
     // overwrite: old generation goes away only after the new one is visible
     previous.filterNot(p => finalNames.contains(p.getName))
       .foreach(p => fs.delete(p, false))
-    // Sweep uncommitted temp files (qualified-path comparison). Scoped to
-    // THIS job's uuid prefix: a concurrent append job's staged temps carry a
-    // different jobUuid and are left for its own commit/abort to resolve.
+    // Sweep uncommitted leftovers (qualified-path comparison). Scoped to
+    // THIS job's uuid: a concurrent append job's staged temps and
+    // direct-written shards carry a different jobUuid and are left for its
+    // own commit/abort to resolve. Direct mode's failed-attempt orphans sit
+    // at FINAL names, so the sweep also covers visible `part-…-$jobUuid-…`
+    // shards not named in any commit message (a task that completed shards,
+    // then failed and was retried under a fresh attempt uuid).
     val committedTemps = committed.map(t => fs.makeQualified(new Path(t._1)).toString).toSet
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(s".graft-tmp-$jobUuid-") &&
-          !committedTemps.contains(fs.makeQualified(st.getPath).toString))
-        fs.delete(st.getPath, false)
+      val staleTemp = n.startsWith(s".graft-tmp-$jobUuid-") &&
+        !committedTemps.contains(fs.makeQualified(st.getPath).toString)
+      val staleDirect = direct && n.startsWith("part-") && n.contains(s"-$jobUuid-") &&
+        n.endsWith(ShardpackDataSource.FileSuffix) && !finalNames.contains(n)
+      if (staleTemp || staleDirect) fs.delete(st.getPath, false)
     }
   }
 
@@ -1348,15 +1393,19 @@ final class ShardpackBatchWrite(path: String, schema: StructType, truncateFirst:
 final case class ShardpackWriterFactory(path: String, jobUuid: String, keyIdx: Int,
     metaIdx: Int, entriesIdx: Int, entryIdxs: (Int, Int, Int, Int), codec: String,
     shardCap: Long, shardMeta: Array[Byte],
-    hconf: SerializableHadoopConf, bucketN: Option[Int] = None) extends DataWriterFactory {
+    hconf: SerializableHadoopConf, bucketN: Option[Int] = None,
+    direct: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardpackDataWriter(path, jobUuid, partitionId, taskId, None, keyIdx, metaIdx,
-      entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN)
+      entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN, direct)
 
-  /** Streaming variant: epoch-deterministic final shard names. */
+  /** Streaming variant: epoch-deterministic final shard names. Always
+    * staged (direct=false) — see [[ShardpackBatchWrite.direct]].
+    */
   def createEpochWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ShardpackDataWriter(path, jobUuid, partitionId, taskId, Some(epochId), keyIdx,
-      metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN)
+      metaIdx, entriesIdx, entryIdxs, codec, shardCap, shardMeta, hconf.value, bucketN,
+      direct = false)
 }
 
 /** Task-local shard writer: encodes rows to record blocks, rolls a new shard
@@ -1369,7 +1418,7 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     taskId: Long, epochId: Option[Long], keyIdx: Int, metaIdx: Int, entriesIdx: Int,
     entryIdxs: (Int, Int, Int, Int), codec: String, shardCap: Long,
     shardMeta: Array[Byte], hadoopConf: Configuration = new Configuration(),
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None, direct: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val (fnIdx, ctIdx, encIdx, dataIdx) = entryIdxs
@@ -1403,19 +1452,24 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
     finishShard()
     // Temp names are attempt-unique (uuid) so retried attempts never collide
     // on create; FINAL names are attempt-independent for streaming epochs so
-    // a replayed epoch is idempotent at commit (batch keeps the uuid — names
-    // only need job-uniqueness there).
+    // a replayed epoch is idempotent at commit. Batch final names embed BOTH
+    // the jobUuid (so direct-mode commit can sweep a failed attempt's
+    // orphans without touching a concurrent job's shards) and the attempt
+    // uuid (job-uniqueness across retried/speculative attempts).
     // bucketed shards carry their bucket id in the name (read-side grouping)
     val bTag = if (bucketN.isDefined) f"-b$currentBucket%d" else ""
     val finalName = epochId match {
       case Some(e) =>
         f"epoch-$e%06d-part-$partitionId%05d$bTag-$seq%04d${ShardpackDataSource.FileSuffix}"
       case None =>
-        f"part-$partitionId%05d-$taskId-$uuid$bTag-$seq%04d${ShardpackDataSource.FileSuffix}"
+        f"part-$partitionId%05d-$taskId-$jobUuid-$uuid$bTag-$seq%04d${ShardpackDataSource.FileSuffix}"
     }
     val tempName = s".graft-tmp-$jobUuid-$uuid-$finalName"
     seq += 1
-    val p = new Path(path, tempName)
+    // direct mode: conditional-put the shard at its FINAL name (create-if-
+    // absent = the FileSystem-contract spelling of S3 If-None-Match) — job
+    // commit then has nothing to rename or copy
+    val p = new Path(path, if (direct) finalName else tempName)
     files += (p.toString -> finalName)
     out = fs.create(p, false)
     writer = new ShardFileWriter(out, shardMeta)

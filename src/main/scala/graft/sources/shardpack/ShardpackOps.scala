@@ -1,7 +1,7 @@
 package graft.sources.shardpack
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,10 +82,39 @@ object ShardpackOps {
     * rewritten.) Footer probes run on the driver here; at very large shard
     * counts the same ranges would come from a sidecar summary built once.
     */
+  /** Publish a rewritten generation over `dir`: run `write` to produce the
+    * replacement shards, make them visible, then drop `old` and invalidate
+    * the sidecar. On object-store schemes the write goes DIRECTLY into the
+    * live dir — batch writers conditional-put to final task-unique names
+    * (never clashing with live shards), so the swap performs zero
+    * per-shard copies; elsewhere it stages in a sibling dir and renames in
+    * (one metadata op per shard on a real filesystem). Both orders are
+    * crash-safe the same way: new rows become visible before old ones
+    * disappear, so a crash mid-swap leaves transient duplicates, never
+    * data loss or emptiness.
+    */
+  private def swapIn(fs: FileSystem, dir: String, old: Seq[FileStatus], tag: String)(
+      write: String => Unit): Unit = {
+    val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("")
+    if (ShardpackDataSource.ObjectStoreSchemes.contains(scheme)) {
+      write(dir)
+    } else {
+      val staging = s"$dir-$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+      write(staging)
+      ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
+        val dst = new Path(dir, st.getPath.getName)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"$tag: rename ${st.getPath} -> $dst failed")
+      }
+      fs.delete(new Path(staging), true)
+    }
+    old.foreach(st => fs.delete(st.getPath, false))
+    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
+  }
+
   def deleteKeys(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
     import spark.implicits._
     val keySet = keys.toSet
-    val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
     val fs = new Path(dir).getFileSystem(HadoopConfs.session())
     // snapshot the old generation BEFORE making the new one visible;
     // envelopes come sidecar-first (one read), footer probes only for
@@ -100,21 +129,15 @@ object ShardpackOps {
     // read ONLY the affected shards (each is a valid single-file table path)
     val affectedDf = affected.map(st =>
       spark.read.format("shardpack").load(st.getPath.toString)).reduce(_ union _)
-    affectedDf
-      .join(broadcast(keys.toDF("key")), Seq("key"), "left_anti")
-      .write.format("shardpack").mode("append").save(staging)
-    // rename the new generation IN first (task-unique names never clash),
-    // then drop the old: a crash mid-swap leaves transient duplicates, never
-    // an empty bucket — the previous delete-then-rename order had an
+    // new generation becomes visible first (task-unique names never clash),
+    // then the old drops: a crash mid-swap leaves transient duplicates,
+    // never an empty bucket — the previous delete-then-rename order had an
     // unbounded data-loss window
-    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
-      val dst = new Path(dir, st.getPath.getName)
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"deleteKeys: rename ${st.getPath} -> $dst failed")
+    swapIn(fs, dir, affected, "rewrite") { out =>
+      affectedDf
+        .join(broadcast(keys.toDF("key")), Seq("key"), "left_anti")
+        .write.format("shardpack").mode("append").save(out)
     }
-    affected.foreach(st => fs.delete(st.getPath, false))
-    fs.delete(new Path(staging), true)
-    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
   }
 
   /** Compact undersized shards into full-cap ones: the maintenance op for
@@ -161,24 +184,17 @@ object ShardpackOps {
     val small = ShardpackDataSource.listShards(fs, new Path(dir))
       .filter(_.getLen < threshold)
     if (small.length < 2) return 0 // one small shard compacts to itself
-    val staging = s"$dir-compact-${java.util.UUID.randomUUID().toString.take(8)}"
     // target partition count so each writer task fills ~one cap-sized shard
     val parts = math.max(1, (small.map(_.getLen).sum / shardCap).toInt + 1)
-    small.map(st => spark.read.format("shardpack").load(st.getPath.toString))
-      .reduce(_ union _)
-      .coalesce(parts)
-      .write.format("shardpack")
-      .option("compression", compression)
-      .option("shardCapBytes", shardCap)
-      .mode("append").save(staging)
-    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
-      val dst = new Path(dir, st.getPath.getName)
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"compact: rename ${st.getPath} -> $dst failed")
+    swapIn(fs, dir, small.toSeq, "compact") { out =>
+      small.map(st => spark.read.format("shardpack").load(st.getPath.toString))
+        .reduce(_ union _)
+        .coalesce(parts)
+        .write.format("shardpack")
+        .option("compression", compression)
+        .option("shardCapBytes", shardCap)
+        .mode("append").save(out)
     }
-    small.foreach(st => fs.delete(st.getPath, false))
-    fs.delete(new Path(staging), true)
-    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
     small.length
   }
 
@@ -201,19 +217,12 @@ object ShardpackOps {
         ShardpackFormat.KeyOrd.lt(mn, hi) => st
     }
     if (affected.isEmpty) return
-    val staging = s"$dir-rewrite-${java.util.UUID.randomUUID().toString.take(8)}"
-    affected.map(st => spark.read.format("shardpack").load(st.getPath.toString))
-      .reduce(_ union _)
-      .filter(col("key") < lo || col("key") >= hi)
-      .write.format("shardpack").mode("append").save(staging)
-    ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
-      val dst = new Path(dir, st.getPath.getName)
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"deleteRange: rename ${st.getPath} -> $dst failed")
+    swapIn(fs, dir, affected, "rewrite") { out =>
+      affected.map(st => spark.read.format("shardpack").load(st.getPath.toString))
+        .reduce(_ union _)
+        .filter(col("key") < lo || col("key") >= hi)
+        .write.format("shardpack").mode("append").save(out)
     }
-    affected.foreach(st => fs.delete(st.getPath, false))
-    fs.delete(new Path(staging), true)
-    ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
   }
 
   /** MERGE (upsert): rows of `updates` replace same-key records in the
@@ -271,18 +280,11 @@ object ShardpackOps {
           .map(st => spark.read.format("shardpack").load(st.getPath.toString))
           .reduce(_ union _)
           .join(up.select("key"), Seq("key"), "left_anti")
-        val staging = s"$dir-merge-${java.util.UUID.randomUUID().toString.take(8)}"
-        survivors.union(up)
-          .write.format("shardpack").option("compression", compression)
-          .mode("append").save(staging)
-        ShardpackDataSource.listShards(fs, new Path(staging)).foreach { st =>
-          val dst = new Path(dir, st.getPath.getName)
-          if (!fs.rename(st.getPath, dst))
-            throw new java.io.IOException(s"merge: rename ${st.getPath} -> $dst failed")
+        swapIn(fs, dir, affected, "merge") { out =>
+          survivors.union(up)
+            .write.format("shardpack").option("compression", compression)
+            .mode("append").save(out)
         }
-        affected.foreach(st => fs.delete(st.getPath, false))
-        fs.delete(new Path(staging), true)
-        ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
       }
     } finally up.unpersist(false)
   }

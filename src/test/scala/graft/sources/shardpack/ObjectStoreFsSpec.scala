@@ -17,11 +17,19 @@ import graft.SparkTestBase
   * consistent store (which S3 has been since 2020 — listing consistency is
   * no longer the hazard; rename semantics are).
   */
+object S3xFileSystem {
+  /** Server-side copy counter (each rename = 1 copy on an object store) —
+    * lets specs assert the direct-commit happy path performs ZERO of them.
+    */
+  val renameCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class S3xFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "s3x"
   override def getUri: URI = URI.create("s3x:///")
 
   override def rename(src: Path, dst: Path): Boolean = {
+    S3xFileSystem.renameCalls.incrementAndGet()
     if (!exists(src)) return false
     if (exists(dst)) return false // object stores do not overwrite-by-rename
     // copy-then-delete: the visible state passes through {src+dst} — any
@@ -70,9 +78,14 @@ class ObjectStoreFsSpec extends AnyFunSuite with SparkTestBase {
         encode(format_string("payload-%05d", $"id"), "UTF-8").as("data"))).as("entries"))
   }
 
+  // The staged-temp + checked-rename FALLBACK must also survive object-store
+  // semantics (a user can force it with directCommit=false); pin the option
+  // so these cases keep covering the rename path now that s3x auto-selects
+  // direct commit.
   test("append commit survives copy+delete rename: write, scan, keyed lookup") {
     val dir = s3xDir()
-    docsDf(200).write.format("shardpack").mode("append").save(dir)
+    docsDf(200).write.format("shardpack").option("directCommit", false)
+      .mode("append").save(dir)
     val back = spark.read.format("shardpack").load(dir)
     assert(back.count() === 200)
     // pushdown lookup still prunes through the envelope path
@@ -87,13 +100,73 @@ class ObjectStoreFsSpec extends AnyFunSuite with SparkTestBase {
 
   test("second append and overwrite both commit on the no-overwrite-rename store") {
     val dir = s3xDir()
-    docsDf(50).write.format("shardpack").mode("append").save(dir)
-    docsDf(50).write.format("shardpack").mode("append").save(dir)
+    docsDf(50).write.format("shardpack").option("directCommit", false)
+      .mode("append").save(dir)
+    docsDf(50).write.format("shardpack").option("directCommit", false)
+      .mode("append").save(dir)
     assert(spark.read.format("shardpack").load(dir).count() === 100)
     // overwrite: new generation renamed in BEFORE the old one is deleted —
     // both renames target fresh names, so no-overwrite-rename never trips
-    docsDf(30).write.format("shardpack").mode("overwrite").save(dir)
+    docsDf(30).write.format("shardpack").option("directCommit", false)
+      .mode("overwrite").save(dir)
     assert(spark.read.format("shardpack").load(dir).count() === 30)
+  }
+
+  test("direct commit is auto-selected on s3x and performs ZERO renames/copies") {
+    val dir = s3xDir()
+    val before = S3xFileSystem.renameCalls.get()
+    docsDf(200).write.format("shardpack").mode("append").save(dir)
+    val delta = S3xFileSystem.renameCalls.get() - before
+    assert(delta === 0, s"direct commit should not rename, saw $delta rename calls")
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() === 200)
+    assert(back.filter(col("key") === "key00123").count() === 1)
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith(".graft-tmp-")), "direct commit staged temps")
+    assert(names.forall(_.endsWith(ShardpackDataSource.FileSuffix)))
+  }
+
+  test("direct overwrite replaces the generation with zero renames") {
+    val dir = s3xDir()
+    docsDf(60).write.format("shardpack").mode("append").save(dir)
+    val before = S3xFileSystem.renameCalls.get()
+    docsDf(25).write.format("shardpack").mode("overwrite").save(dir)
+    assert(S3xFileSystem.renameCalls.get() - before === 0)
+    assert(spark.read.format("shardpack").load(dir).count() === 25)
+  }
+
+  test("conditional put (create-if-absent) refuses an existing destination") {
+    val dir = s3xDir()
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val p = new Path(dir, "part-00000-0-aa-bb-0000" + ShardpackDataSource.FileSuffix)
+    val o = fs.create(p, false); o.write(1); o.close()
+    intercept[java.io.IOException] { fs.create(p, false) }
+  }
+
+  test("direct-commit sweep is jobUuid-scoped: a concurrent job's shards survive") {
+    val dir = s3xDir()
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    fs.mkdirs(new Path(dir))
+    // a concurrent direct-mode job's already-visible shard (different jobUuid)
+    val foreign = new Path(dir,
+      "part-00000-7-deadbeef-cafef00d-0000" + ShardpackDataSource.FileSuffix)
+    val o = fs.create(foreign, false); o.write(0); o.close()
+    docsDf(40).write.format("shardpack").mode("append").save(dir)
+    assert(fs.exists(foreign),
+      "commit sweep deleted a concurrent job's direct-written shard")
+  }
+
+  test("row-level delete commits with direct replacement shards") {
+    val dir = s3xDir()
+    docsDf(80).write.format("shardpack").mode("append").save(dir)
+    val before = S3xFileSystem.renameCalls.get()
+    ShardpackOps.deleteKeys(spark, dir, Seq("key00010", "key00020"))
+    assert(S3xFileSystem.renameCalls.get() - before === 0,
+      "replace-write on s3x should conditional-put, not rename")
+    val back = spark.read.format("shardpack").load(dir)
+    assert(back.count() === 78)
+    assert(back.filter(col("key") === "key00010").count() === 0)
   }
 
   test("sidecar index builds and serves envelope pruning over s3x") {
