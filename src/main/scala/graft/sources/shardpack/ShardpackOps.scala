@@ -173,7 +173,21 @@ object ShardpackOps {
       st.isFile && st.getPath.getName.startsWith(".graft-tmp-") &&
         st.getModificationTime < cutoff)
     stale.foreach(st => fs.delete(st.getPath, false))
-    stale.length
+    // a rewrite op (deleteKeys/deleteRange/compact/merge) that crashed
+    // between its staging write and the rename-in sweep leaves a sibling
+    // `<dir>-<tag>-<uuid>` staging directory: invisible to readers, but a
+    // disk leak — swept here under the same age guard so an IN-FLIGHT
+    // op's staging is never touched
+    val parent = d.getParent
+    val stagingRe = (java.util.regex.Pattern.quote(d.getName) +
+      "-(rewrite|compact|merge)-[0-9a-f]{8}").r
+    val staleDirs =
+      if (parent == null) Array.empty[FileStatus]
+      else fs.listStatus(parent).filter(st =>
+        st.isDirectory && stagingRe.pattern.matcher(st.getPath.getName).matches() &&
+          st.getModificationTime < cutoff)
+    staleDirs.foreach(st => fs.delete(st.getPath, true))
+    stale.length + staleDirs.length
   }
 
   def compact(spark: SparkSession, dir: String, minFill: Double = 0.5,
