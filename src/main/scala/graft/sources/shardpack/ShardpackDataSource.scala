@@ -109,9 +109,70 @@ object ShardpackDataSource {
     (h % 100).toInt
   }
 
+  /** Deferred-deletion tombstones: `<dir>/.graft-tombstones` lists shard
+    * names retired by a generation swap (compact with a grace period) plus
+    * the earliest time each may be physically deleted. A tombstoned shard
+    * keeps its bytes at its original path — a scan PLANNED against the old
+    * generation still reads exactly the files it planned — but vanishes
+    * from every fresh [[listShards]] listing, so new plans see only the
+    * current generation, never a mix. [[ShardpackOps.vacuum]] deletes the
+    * bytes once the deadline passes. Format: `<name>\t<deadlineEpochMs>`
+    * per line. Unlike the sidecar, absence is NOT harmless (a lost
+    * tombstone file resurfaces retired shards next to their replacements —
+    * duplicate rows), so the publish must be atomic: staged + renamed on
+    * filesystems, a single overwriting PUT on object stores (whose PUTs
+    * replace atomically and whose renames are the non-atomic op).
+    */
+  val TombstoneFile = ".graft-tombstones"
+
+  def readTombstones(fs: FileSystem, dir: Path): Map[String, Long] = {
+    val p = new Path(dir, TombstoneFile)
+    // only a true not-found may read as "no tombstones" (vacuum completed
+    // between the listing and this read); any other IO failure must
+    // propagate — degrading it to Map.empty would resurface retired shards
+    // next to their replacements (duplicate rows)
+    try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(n, d) if d.forall(_.isDigit) => Some(n -> d.toLong)
+          case _ => None
+        }).toMap
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => Map.empty }
+  }
+
+  def writeTombstones(fs: FileSystem, dir: Path, ts: Map[String, Long]): Unit = {
+    val dst = new Path(dir, TombstoneFile)
+    if (ts.isEmpty) { fs.delete(dst, false); return }
+    val bytes = ts.toSeq.sorted.map { case (n, d) => s"$n\t$d" }
+      .mkString("\n").getBytes("UTF-8")
+    val scheme = Option(dir.toUri.getScheme).getOrElse("")
+    if (ObjectStoreSchemes.contains(scheme)) {
+      // object store: one overwriting PUT is the atomic publish; a staged
+      // rename would open a no-tombstone window (delete+copy)
+      val os = fs.create(dst, true)
+      try os.write(bytes) finally os.close()
+    } else {
+      val tmp = new Path(dir, s".graft-tombstones-tmp-${UUID.randomUUID().toString.take(8)}")
+      val os = fs.create(tmp, true)
+      try os.write(bytes) finally os.close()
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"tombstone publish failed: $tmp -> $dst")
+    }
+  }
+
   def listShards(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
+    else {
+      val all = fs.listStatus(dir).toSeq
+      // only pay the tombstone read when the listing shows the file exists
+      val dead =
+        if (all.exists(_.getPath.getName == TombstoneFile)) readTombstones(fs, dir).keySet
+        else Set.empty[String]
+      all.filter(st => !dead.contains(st.getPath.getName))
+    }
       .filter(st => st.isFile && st.getPath.getName.endsWith(FileSuffix) &&
         !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.getName)

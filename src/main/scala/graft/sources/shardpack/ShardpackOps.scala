@@ -92,8 +92,15 @@ object ShardpackOps {
     * crash-safe the same way: new rows become visible before old ones
     * disappear, so a crash mid-swap leaves transient duplicates, never
     * data loss or emptiness.
+    *
+    * `graceMs` > 0 retires `old` via tombstones instead of deleting: the
+    * bytes stay at their paths (a scan planned against generation N keeps
+    * reading exactly generation N) while fresh listings see only N+1;
+    * [[vacuum]] reclaims the space once the grace deadline passes. Size the
+    * grace to the longest query a cluster runs against the bucket.
     */
-  private def swapIn(fs: FileSystem, dir: String, old: Seq[FileStatus], tag: String)(
+  private def swapIn(fs: FileSystem, dir: String, old: Seq[FileStatus], tag: String,
+      graceMs: Long = 0L)(
       write: String => Unit): Unit = {
     val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("")
     if (ShardpackDataSource.ObjectStoreSchemes.contains(scheme)) {
@@ -108,7 +115,13 @@ object ShardpackOps {
       }
       fs.delete(new Path(staging), true)
     }
-    old.foreach(st => fs.delete(st.getPath, false))
+    if (graceMs > 0L) {
+      val deadline = System.currentTimeMillis() + graceMs
+      val d = new Path(dir)
+      ShardpackDataSource.writeTombstones(fs, d,
+        ShardpackDataSource.readTombstones(fs, d) ++
+          old.map(_.getPath.getName -> deadline))
+    } else old.foreach(st => fs.delete(st.getPath, false))
     ShardpackIndex.invalidate(fs, new Path(dir)) // sidecar is per-generation
   }
 
@@ -170,7 +183,8 @@ object ShardpackOps {
     if (!fs.exists(d)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
     val stale = fs.listStatus(d).filter(st =>
-      st.isFile && st.getPath.getName.startsWith(".graft-tmp-") &&
+      st.isFile && (st.getPath.getName.startsWith(".graft-tmp-") ||
+        st.getPath.getName.startsWith(".graft-tombstones-tmp-")) &&
         st.getModificationTime < cutoff)
     stale.foreach(st => fs.delete(st.getPath, false))
     // a rewrite op (deleteKeys/deleteRange/compact/merge) that crashed
@@ -187,12 +201,27 @@ object ShardpackOps {
         st.isDirectory && stagingRe.pattern.matcher(st.getPath.getName).matches() &&
           st.getModificationTime < cutoff)
     staleDirs.foreach(st => fs.delete(st.getPath, true))
-    stale.length + staleDirs.length
+    // expired tombstones: the grace deadline each entry carries is the
+    // authority (it already encodes the retire-time grace), so vacuum
+    // reclaims exactly the shards whose window has closed
+    val now = System.currentTimeMillis()
+    val ts = ShardpackDataSource.readTombstones(fs, d)
+    val (expired, live) = ts.partition(_._2 <= now)
+    if (expired.nonEmpty) {
+      // order matters for crash-safety: delete bytes FIRST, then shrink
+      // the manifest — a crash in between leaves tombstones naming
+      // already-deleted files (harmless, cleaned next vacuum), never a
+      // de-tombstoned shard resurfacing beside its replacement
+      expired.keys.foreach(n => fs.delete(new Path(d, n), false))
+      ShardpackDataSource.writeTombstones(fs, d, live)
+    }
+    stale.length + staleDirs.length + expired.size
   }
 
   def compact(spark: SparkSession, dir: String, minFill: Double = 0.5,
       shardCap: Long = ShardpackFormat.DefaultShardCap,
-      compression: String = ShardpackFormat.Codec.None): Int = {
+      compression: String = ShardpackFormat.Codec.None,
+      graceMs: Long = 0L): Int = {
     val fs = new Path(dir).getFileSystem(HadoopConfs.session())
     val threshold = math.max(1L, (shardCap * minFill).toLong)
     val small = ShardpackDataSource.listShards(fs, new Path(dir))
@@ -200,7 +229,7 @@ object ShardpackOps {
     if (small.length < 2) return 0 // one small shard compacts to itself
     // target partition count so each writer task fills ~one cap-sized shard
     val parts = math.max(1, (small.map(_.getLen).sum / shardCap).toInt + 1)
-    swapIn(fs, dir, small.toSeq, "compact") { out =>
+    swapIn(fs, dir, small.toSeq, "compact", graceMs) { out =>
       small.map(st => spark.read.format("shardpack").load(st.getPath.toString))
         .reduce(_ union _)
         .coalesce(parts)

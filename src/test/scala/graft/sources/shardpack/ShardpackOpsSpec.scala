@@ -117,6 +117,74 @@ class ShardpackOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(names2 == untouched)
   }
 
+  test("a scan planned against generation N completes on N while compact publishes N+1") {
+    val dir = tmp() + "/docs"
+    (1 to 5).foreach(i => writeDocs(dir, (f"k$i%02d", s"body-$i")))
+    val expected = (1 to 5).map(i => f"k$i%02d")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val genN = ShardpackDataSource.listShards(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    assert(genN.length >= 5)
+
+    // capture the stale plan: force input-partition planning (the shard
+    // listing is resolved HERE, against generation N)
+    val staleRdd = spark.read.format("shardpack").load(dir)
+      .select("key").queryExecution.toRdd
+    assert(staleRdd.partitions.nonEmpty)
+
+    // generation swap with a grace period: N is tombstoned, not deleted
+    assert(ShardpackOps.compact(spark, dir, graceMs = 600000L) == genN.length)
+
+    // a FRESH plan sees exactly generation N+1 — never a mix with the
+    // tombstoned shards still physically present next to it
+    val freshShards = ShardpackDataSource
+      .listShards(fs, new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(freshShards.length < genN.length)
+    assert(freshShards.toSet.intersect(genN.toSet).isEmpty)
+    val freshKeys = spark.read.format("shardpack").load(dir)
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(freshKeys == expected, s"fresh read mixed generations: $freshKeys")
+
+    // the STALE plan still completes and returns exactly generation N's
+    // rows: its planned files are intact for the length of the grace
+    val staleKeys = staleRdd.map(_.copy()).collect()
+      .map(_.getUTF8String(0).toString).sorted.toSeq
+    assert(staleKeys == expected, s"stale plan diverged: $staleKeys")
+
+    // raw dir listing shows both generations coexisting under the manifest
+    val physical = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(ShardpackDataSource.FileSuffix))
+    assert(physical.toSet == genN.toSet ++ freshShards.toSet)
+  }
+
+  test("vacuum reclaims tombstoned shards only after their grace deadline") {
+    val dir = tmp() + "/docs"
+    (1 to 4).foreach(i => writeDocs(dir, (s"k$i", s"body-$i")))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(HadoopConfs.session())
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val genN = ShardpackDataSource.listShards(fs, d).map(_.getPath.getName).toSet
+    assert(ShardpackOps.compact(spark, dir, graceMs = 600000L) == genN.size)
+
+    // deadline far in the future: vacuum must not touch the retired bytes
+    assert(ShardpackOps.vacuum(dir, olderThanMs = 0L) == 0)
+    val phys1 = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(ShardpackDataSource.FileSuffix)).toSet
+    assert(genN.subsetOf(phys1), "vacuum deleted shards inside their grace window")
+
+    // force-expire the deadlines, then vacuum reclaims exactly those files
+    // and drops the manifest
+    val ts = ShardpackDataSource.readTombstones(fs, d)
+    assert(ts.keySet == genN)
+    ShardpackDataSource.writeTombstones(fs, d, ts.map { case (k, _) => k -> 0L })
+    assert(ShardpackOps.vacuum(dir, olderThanMs = 0L) == genN.size)
+    val phys2 = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(ShardpackDataSource.FileSuffix)).toSet
+    assert(phys2.intersect(genN).isEmpty, "expired tombstoned shards survived vacuum")
+    assert(ShardpackDataSource.readTombstones(fs, d).isEmpty)
+    // rows unaffected throughout
+    assert(spark.read.format("shardpack").load(dir).count() == 4)
+  }
+
   test("alignedJoin merges per-column shardpacks into one entry list") {
     val leftDir = tmp() + "/left"
     val rightDir = tmp() + "/right"
