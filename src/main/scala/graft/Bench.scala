@@ -64,7 +64,14 @@ object Bench {
     val fails = results.filter(_._2._3).map(k => s"\"" + k._1 + "\"")
       .mkString("[", ",", "]")
     val total = ok.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    println(json)
+    // also persist the full line: the driver's committed BENCH_rN.json is a
+    // 2000-char log tail that truncates mid-JSON on a 186-query registry
+    // (round-5 verdict "What's wrong" #3), so keep a self-contained artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
