@@ -64,7 +64,24 @@ object Bench {
     val fails = results.filter(_._2._3).map(k => s"\"" + k._1 + "\"")
       .mkString("[", ",", "]")
     val total = ok.map(_._2._1).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    // shuffle-budget gate (ShuffleBudget scaladoc): Bench owns the "sf0.1"
+    // section — regenerate with SPARK_GRAFT_REGEN_BUDGET=1 after a
+    // deliberate plan change; otherwise any query over budget (or missing
+    // an entry, budget -1) lands in "shuffle_over_budget" in the committed
+    // bench JSON. Other scales (sf1 runs) are measured, not gated.
+    val shuffleMb = ok.map { case (k, (_, b, _)) => k -> b / 1e6 }.toMap
+    val scale = new java.io.File(sfDir).getName
+    val over =
+      if (scale != "sf0.1") Seq.empty
+      else if (sys.env.get("SPARK_GRAFT_REGEN_BUDGET").contains("1")) {
+        ShuffleBudget.saveSection("sf0.1", shuffleMb)
+        System.err.println(s"rebaselined sf0.1 section of ${ShuffleBudget.DefaultPath}")
+        Seq.empty
+      } else ShuffleBudget.check("sf0.1", shuffleMb)
+    val overJson = over.map { case (q, m, b) =>
+      s"\"" + q + s"\":{\"measured_mb\":$m,\"budget_mb\":$b}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"shuffle_over_budget":$overJson,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(json)
     // also persist the full line: the driver's committed BENCH_rN.json is a
     // 2000-char log tail that truncates mid-JSON on a 186-query registry
