@@ -402,6 +402,41 @@ object LlmQueries {
     b.filter($"vec_id" === 1)
       .select($"v".as("qv"), $"bkt".as("qbkt"), $"n2".as("qn2"))
 
+  /** Fixed-op-order cosine between a (v, n2) row and a centroid (cv, cn2),
+    * Column + SQL forms — shared by the IVF family (sim_ann_ivf,
+    * sim_ann_ivf_kmeans); a drifted copy is a silent oracle divergence.
+    */
+  private def ivfCosCol(v: Column, n2: Column, cv: Column, cn2: Column): Column =
+    qdot(v, cv).cast(DoubleType) /
+      (sqrt(n2.cast(DoubleType)) * sqrt(cn2.cast(DoubleType)))
+  private def sqlIvfCos(dv: String, dn: String, cv: String, cn: String): String =
+    s"CAST(${sqlQdot(dv, cv)} AS DOUBLE) / " +
+      s"(sqrt(CAST($dn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE)))"
+
+  /** Driver-side replica of the same op order, for probe-cell selection
+    * over collected centroids (the bounded "load the index" state).
+    */
+  private def qcosArr(x: Array[Long], y: Array[Long]): Double = {
+    var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  /** argmax-cosine cell assignment against broadcast literal centroids:
+    * array_max over (cos, -cid) structs = highest cosine, ties to the
+    * smaller cid — lexicographic struct ordering, a pure map, no shuffle.
+    */
+  private def ivfCellCol(cents: Seq[(Long, Array[Long])]): Column = {
+    val centLit = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    -array_max(transform(centLit, c => struct(
+      ivfCosCol($"v", $"n2", c.getField("cv"), qnorm2(c.getField("cv"))).as("cos"),
+      (-c.getField("cid")).as("ncid")))).getField("ncid")
+  }
+
   /** dedup_incremental's asymmetric (batch ⋈ corpus) band-join pipeline,
     * memoized per (session, dir) like [[minhashPairs]] so the persisted
     * signature frame is allocated once, not per invocation.
@@ -975,6 +1010,122 @@ object LlmQueries {
           .filter($"cell".isin(probeCells: _*))
           .select($"vec_id", $"label", $"cell",
             colCos($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
+          .orderBy($"cos".desc, $"vec_id")
+          .limit(10)
+      }
+    },
+
+    // Recall-vs-probes CURVE over the 6-plane LSH geometry: top-10 recall
+    // when probing the Hamming-ball of radius r ∈ {0,1,2} around the query
+    // cell (1, 7, 22 of 64 cells — the probe predicate is one bit_count on
+    // the bucket ids, so "more probes" is a filter constant, not a plan
+    // change). This is the tuning table an ANN deployment reads: on the
+    // isotropic driver fixture recall ≈ cell coverage (the sim_ann_recall
+    // diagnosis); on clustered embeddings (AnnCalibrationSpec's planted
+    // fixture) radius 2 reaches recall ≥ 0.8 while scanning ~1/3 of cells.
+    Q("sim_ann_recall_curve", {
+      def top(alias: String, cond: String) =
+        s"$alias AS (SELECT b.vec_id FROM b, q WHERE $cond AND b.vec_id <> 1 " +
+          s"ORDER BY $lshCosSql DESC, b.vec_id LIMIT 10)"
+      def row(r: Int, cells: Int, t: String) =
+        s"SELECT CAST($r AS INT) AS probe_radius, CAST($cells AS INT) AS cells_probed, " +
+          s"(SELECT count(*) FROM exact JOIN $t USING (vec_id)) AS n_hit, " +
+          s"CAST((SELECT count(*) FROM exact JOIN $t USING (vec_id)) AS DOUBLE) / 10 AS recall"
+      s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $lshBucketSql AS bkt, ${sqlQnorm2("v")} AS n2 FROM e),
+         |q AS (SELECT v AS qv, bkt AS qbkt, n2 AS qn2 FROM b WHERE vec_id = 1),
+         |${top("exact", "true")},
+         |${top("h0", "bit_count(xor(b.bkt, q.qbkt)) <= 0")},
+         |${top("h1", "bit_count(xor(b.bkt, q.qbkt)) <= 1")},
+         |${top("h2", "bit_count(xor(b.bkt, q.qbkt)) <= 2")}
+         |${row(0, 1, "h0")} UNION ALL ${row(1, 7, "h1")} UNION ALL ${row(2, 22, "h2")}
+         |ORDER BY probe_radius""".stripMargin
+    }) { (s, d) =>
+      val b = lshFrame(s, d)
+      val q = lshQueryFrame(b)
+      def topIds(pred: Column): DataFrame =
+        b.join(broadcast(q), pred).filter($"vec_id" =!= 1)
+          .orderBy(lshCosCol.desc, $"vec_id").limit(10).select($"vec_id")
+      val exact = topIds(lit(true))
+      val cellsAt = Seq(1, 7, 22) // Σ_{j≤r} C(6, j)
+      val rows = (0 to 2).map { r =>
+        val hit = exact
+          .join(topIds(bit_count($"bkt".bitwiseXOR($"qbkt")) <= r), "vec_id")
+          .count()
+        (r, cellsAt(r), hit, hit / 10.0)
+      }
+      val spark = s
+      import spark.implicits._
+      rows.toDF("probe_radius", "cells_probed", "n_hit", "recall")
+    },
+
+    // IVF with DATA-SEEDED centroids: one exact-arithmetic Lloyd round from
+    // the same 16 cold-start centroids sim_ann_ivf uses. Assignment is the
+    // no-shuffle broadcast-literal map; the refinement is ONE bounded
+    // groupBy (nCent×dim rows collected — the "train the index" step, which
+    // at 100 TB is the same job shape with centroids checkpointed). Refined
+    // centroid elements are floor(sum/count) where the per-cell sums stay
+    // ≪ 2^53 (|element| ≤ ~2e7 fixed-point × ≤ 2^25 rows/cell at sf1), so
+    // the double division is exact and DuckDB replays the training
+    // bit-for-bit via the same floor — the k-means step stays inside the
+    // rows+schema+hash oracle gate rather than dropping to rows-only.
+    Q("sim_ann_ivf_kmeans",
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+         |a0 AS (SELECT n.vec_id, n.v,
+         |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c0.cv", "c0.cn2")},
+         |                   'ncid': -c0.cid}))).ncid AS cell
+         |  FROM n, c0 GROUP BY n.vec_id, n.v, n.n2),
+         |sums AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0),
+         |ref AS (SELECT cell, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+         |  FROM sums GROUP BY cell, pos),
+         |cents AS (SELECT cell AS cid, list(ci ORDER BY pos) AS cv FROM ref GROUP BY cell),
+         |cn AS (SELECT cid, cv, ${sqlQnorm2("cv")} AS cn2 FROM cents),
+         |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
+         |probe AS (SELECT cid FROM cn, qv
+         |  ORDER BY ${sqlIvfCos("qv.v", "qv.n2", "cn.cv", "cn.cn2")} DESC, cid LIMIT 2),
+         |a1 AS (SELECT n.vec_id, n.label, n.v, n.n2,
+         |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "cn.cv", "cn.cn2")},
+         |                   'ncid': -cn.cid}))).ncid AS cell
+         |  FROM n, cn GROUP BY n.vec_id, n.label, n.v, n.n2)
+         |SELECT a1.vec_id, a1.label, a1.cell,
+         |  ${sqlIvfCos("a1.v", "a1.n2", "qv.v", "qv.n2")} AS cos
+         |FROM a1, qv WHERE a1.cell IN (SELECT cid FROM probe)
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val nCent = 16
+      val nProbe = 2
+      // shared persisted (vec_id, label, v, n2) index pass — bkt unused here
+      val eq = lshFrame(s, d)
+      val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      val qvOpt = initRows.find(_._1 == 1L).map(_._2)
+      if (qvOpt.isEmpty)
+        eq.select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
+          .filter(lit(false))
+      else {
+        val qv = qvOpt.get
+        // one Lloyd round: assign to cold-start cells, then per-cell
+        // element-wise mean via a bounded (cells×dim) aggregate collect
+        val dim = qv.length
+        val sums = eq.withColumn("cell", ivfCellCol(initRows))
+          .select($"cell", posexplode($"v"))
+          .groupBy($"cell", $"pos").agg(sum($"col").as("sx"), count(lit(1)).as("cnt"))
+          .collect()
+        val refined = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rs) =>
+          val arr = new Array[Long](dim)
+          rs.foreach(r => arr(r.getInt(1)) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+          (cell, arr)
+        }.sortBy(_._1)
+        val probeCells = refined.map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(nProbe).map(_._1)
+        val qn2 = qv.map(x => x * x).sum
+        eq.withColumn("cell", ivfCellCol(refined))
+          .filter($"cell".isin(probeCells: _*))
+          .select($"vec_id", $"label", $"cell",
+            ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
       }

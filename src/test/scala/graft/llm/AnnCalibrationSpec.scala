@@ -1,0 +1,75 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** ANN calibration on the planted-cluster fixture ([[PlantedEmbeddings]]) —
+  * the positive control the isotropic driver fixture can't provide. The
+  * registry's recall/IVF queries run UNCHANGED against the fixture dir (same
+  * `$dir/embeddings.parquet` contract), so what's asserted here is the
+  * behavior of the shipped operators, not of test-only code paths:
+  *
+  *  - `sim_ann_recall_curve`: recall@10 must be monotone in probe radius and
+  *    reach ≥ 0.8 within radius 2 (22 of 64 cells) — on clustered data the
+  *    Hamming ball around the query cell captures the cluster.
+  *  - `sim_ann_ivf_kmeans`: the Lloyd-refined index must retrieve the query
+  *    vector's own planted cluster (≥ 8 of top-10 share its label) — the
+  *    end-to-end "the index finds true neighbors" check.
+  */
+class AnnCalibrationSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("planted-emb").toString
+    PlantedEmbeddings.write(spark, d)
+    d
+  }
+
+  private def query(name: String) =
+    LlmQueries.queries.find(_.name == name)
+      .getOrElse(fail(s"$name not registered")).fn(spark, dir)
+
+  test("recall curve is monotone in probe radius and reaches 0.8 by radius 2") {
+    val rows = query("sim_ann_recall_curve").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    info(s"planted-fixture recall curve (radius, cells, hits, recall): ${rows.toSeq}")
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    val recalls = rows.map(_._4).toSeq
+    assert(recalls == recalls.sorted,
+      s"recall must be monotone in probe radius: $recalls")
+    assert(recalls.last >= 0.8,
+      s"radius-2 recall ${recalls.last} < 0.8 on planted clusters — " +
+        "bucketing is not capturing neighborhood structure")
+  }
+
+  test("kmeans-seeded IVF retrieves the query's planted cluster") {
+    val rows = query("sim_ann_ivf_kmeans").collect()
+    assert(rows.length == 10, s"expected top-10, got ${rows.length}")
+    // vec_id 1 (the query) is in cluster 1 % 50 = 1
+    val own = rows.count(_.getInt(1) == 1)
+    assert(own >= 8,
+      s"only $own of top-10 from the query's planted cluster — " +
+        "refined centroids are not separating the clusters")
+    // the query itself must be its own nearest neighbor (cos = 1)
+    val first = rows.head
+    assert(first.getLong(0) == 1L && math.abs(first.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("single-probe recall on planted data beats the isotropic coverage floor") {
+    // On isotropic data, recall at radius r ≈ cells probed / 64 (the
+    // sim_ann_recall diagnosis) — 0.016 at radius 0. On planted clusters the
+    // query cell concentrates the query's own cluster, so single-cell recall
+    // must sit an order of magnitude above that floor. (It is NOT expected
+    // to approach 1: at σ=0.05 each of the 6 planes splits a neighbor pair
+    // with p ≈ 0.17, so only ~(1−p)⁶ ≈ 1/3 of true neighbors share the
+    // exact cell — that mass moves into the Hamming-1/2 shells, which is
+    // what the curve test asserts.)
+    val r0 = query("sim_ann_recall_curve").collect()
+      .find(_.getInt(0) == 0).get.getDouble(3)
+    assert(r0 >= 0.3, s"radius-0 recall $r0 — below 20× the 0.016 isotropic " +
+      "coverage floor; the query cell lost its planted cluster")
+  }
+}
