@@ -38,11 +38,16 @@ object ShardpackOps {
 
   /** Pack every file under `inputDir` into a shardpack table at `outDir`.
     * Key = path relative to `inputDir`; content type inferred from the
-    * extension; one entry per record named after the file.
+    * extension; one entry per record named after the file. `metadata`
+    * key/value pairs (the CLI's repeatable `--metadata creator=MyName`,
+    * `docs/draft.md:142,147`) are stored shard-level: JSON-encoded into the
+    * footer envelope's user-metadata slot via the writer's `shardMetadata`
+    * option, readable back through `shardpack_metadata`'s footer path.
     */
   def pack(spark: SparkSession, inputDir: String, outDir: String,
       compression: String = ShardpackFormat.Codec.None,
-      recordSizeLimit: Long = 1L << 30): Unit = {
+      recordSizeLimit: Long = 1L << 30,
+      metadata: Map[String, String] = Map.empty): Unit = {
     // binaryFile yields fully-qualified URIs (file:/…, s3a://…)
     val fs = new Path(inputDir).getFileSystem(HadoopConfs.session())
     // Path.toString matches the path column's form (file:/… single-slash)
@@ -67,8 +72,24 @@ object ShardpackOps {
           lit("").as("encoding"),
           col("content").as("data"))).as("entries"))
       .write.format("shardpack").option("compression", compression)
+      .options(if (metadata.isEmpty) Map.empty[String, String]
+        else Map("shardMetadata" -> metaJson(metadata)))
       .mode("append").save(outDir)
   }
+
+  /** Deterministic (key-sorted) JSON object for the shard-level user
+    * metadata — sorted so identical CLI invocations produce byte-identical
+    * footers regardless of flag order.
+    */
+  private[shardpack] def metaJson(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Delete records by key: rewrite surviving records of the AFFECTED
     * shards only to a new generation, then swap. Never edits a shard in

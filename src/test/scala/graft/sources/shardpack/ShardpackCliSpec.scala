@@ -1,0 +1,90 @@
+package graft.sources.shardpack
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The argv surface of the spec's `shardpack` tool
+  * (`/root/reference/docs/draft.md:136-148`): flag parsing is strict, and
+  * `create` round-trips files → shards → read-back including the
+  * shard-level `--metadata` pairs and the `--record-size-limit` filter.
+  */
+class ShardpackCliSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("parseSize accepts bare bytes and binary units, rejects junk") {
+    assert(ShardpackCli.parseSize("123") == 123L)
+    assert(ShardpackCli.parseSize("4KB") == 4096L)
+    assert(ShardpackCli.parseSize("2MB") == 2L << 20)
+    assert(ShardpackCli.parseSize("1gb") == 1L << 30)
+    intercept[IllegalArgumentException](ShardpackCli.parseSize("1.5GB"))
+    intercept[IllegalArgumentException](ShardpackCli.parseSize("GB"))
+    intercept[IllegalArgumentException](ShardpackCli.parseSize("10TB"))
+  }
+
+  test("strict flag parsing: unknown flag, missing value, duplicate, bad metadata") {
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input", "x", "--output", "y",
+        "--record-size-limt", "1GB"))) // the typo the scaladoc warns about
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input")))
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input", "a", "--input", "b",
+        "--output", "y")))
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input", "x", "--output", "y",
+        "--metadata", "noequals")))
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input", "x", "--output", "y",
+        "--compression", "brotli")))
+    intercept[IllegalArgumentException](ShardpackCli.run(spark, Seq("frobnicate")))
+    intercept[IllegalArgumentException](ShardpackCli.run(spark, Seq.empty))
+  }
+
+  test("create packs a directory, honors --record-size-limit, stamps --metadata") {
+    val in = tmp("cli-in")
+    Files.write(java.nio.file.Paths.get(in, "a.txt"), "hello".getBytes)
+    Files.write(java.nio.file.Paths.get(in, "b.json"), "{\"k\":1}".getBytes)
+    Files.write(java.nio.file.Paths.get(in, "big.bin"), new Array[Byte](5000))
+    val out = tmp("cli-out")
+    ShardpackCli.run(spark, Seq("create", "--input", in, "--output", out,
+      "--record-size-limit", "4KB", "--compression", "lz4",
+      "--metadata", "creator=MyName", "--metadata", "training=true"))
+
+    val back = spark.read.format("shardpack").load(out)
+    import org.apache.spark.sql.functions._
+    val keys = back.select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("a.txt", "b.json"), // big.bin over the 4KB limit
+      s"unexpected keys: $keys")
+    val entries = back.filter(col("key") === "b.json")
+      .selectExpr("entries[0].content_type", "entries[0].data").head()
+    assert(entries.getString(0) == "application/json")
+    assert(new String(entries.getAs[Array[Byte]](1)) == "{\"k\":1}")
+
+    // shard-level user metadata: footer envelope carries the sorted-JSON
+    // pairs; read back via the same unwrap path shardpack_metadata uses
+    val shard = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".shardpack")).head
+    val raf = new java.io.RandomAccessFile(shard, "r")
+    val footer = try ShardpackFormat.readFooter(raf.length(), (off, len) => {
+      val buf = new Array[Byte](len); raf.seek(off); raf.readFully(buf); buf
+    }) finally raf.close()
+    val user = new String(ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._2)
+    assert(user == """{"creator":"MyName","training":"true"}""", user)
+  }
+
+  test("delete verb removes keys through the CLI") {
+    val in = tmp("cli-in2")
+    Files.write(java.nio.file.Paths.get(in, "x.txt"), "x".getBytes)
+    Files.write(java.nio.file.Paths.get(in, "y.txt"), "y".getBytes)
+    val out = tmp("cli-out2")
+    ShardpackCli.run(spark, Seq("create", "--input", in, "--output", out))
+    ShardpackCli.run(spark, Seq("delete", "--dir", out, "--keys", "x.txt"))
+    val keys = spark.read.format("shardpack").load(out)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("y.txt"))
+  }
+}
