@@ -64,20 +64,24 @@ object Bench {
     val fails = results.filter(_._2._3).map(k => s"\"" + k._1 + "\"")
       .mkString("[", ",", "]")
     val total = ok.map(_._2._1).sum
-    // shuffle-budget gate (ShuffleBudget scaladoc): Bench owns the "sf0.1"
-    // section — regenerate with SPARK_GRAFT_REGEN_BUDGET=1 after a
-    // deliberate plan change; otherwise any query over budget (or missing
-    // an entry, budget -1) lands in "shuffle_over_budget" in the committed
-    // bench JSON. Other scales (sf1 runs) are measured, not gated.
+    // shuffle-budget gate (ShuffleBudget scaladoc): Bench owns the section
+    // named after the SF dir it ran against ("sf0.1", "testdata-sf1", …) —
+    // regenerate with SPARK_GRAFT_REGEN_BUDGET=1 after a deliberate plan
+    // change; otherwise any query over budget (or missing an entry, budget
+    // -1) lands in "shuffle_over_budget" in the committed bench JSON. A
+    // scale with no recorded section is measured, not gated (check() is
+    // empty then) — arming a new scale is one REGEN run. Gating sf1
+    // matters beyond proportional volume: it is the scale where plan SHAPE
+    // changes surface (AQE broadcast→shuffle demotions cross their size
+    // thresholds between sf0.1 and sf1).
     val shuffleMb = ok.map { case (k, (_, b, _)) => k -> b / 1e6 }.toMap
     val scale = new java.io.File(sfDir).getName
     val over =
-      if (scale != "sf0.1") Seq.empty
-      else if (sys.env.get("SPARK_GRAFT_REGEN_BUDGET").contains("1")) {
-        ShuffleBudget.saveSection("sf0.1", shuffleMb)
-        System.err.println(s"rebaselined sf0.1 section of ${ShuffleBudget.DefaultPath}")
+      if (sys.env.get("SPARK_GRAFT_REGEN_BUDGET").contains("1")) {
+        ShuffleBudget.saveSection(scale, shuffleMb)
+        System.err.println(s"rebaselined $scale section of ${ShuffleBudget.DefaultPath}")
         Seq.empty
-      } else ShuffleBudget.check("sf0.1", shuffleMb)
+      } else ShuffleBudget.check(scale, shuffleMb)
     val overJson = over.map { case (q, m, b) =>
       s"\"" + q + s"\":{\"measured_mb\":$m,\"budget_mb\":$b}"
     }.mkString("{", ",", "}")

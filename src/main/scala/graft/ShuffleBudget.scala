@@ -11,14 +11,16 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * new exchange". Round-5 verdict: the measurement existed (`shuffle_mb` in
   * Bench) but nothing failed when a query regressed into a shuffle it
   * didn't have. The budget file pins, per query, the measured warm-run
-  * shuffle-read MB plus slack, at two scales with two enforcers:
+  * shuffle-read MB plus slack, per scale, with two enforcers:
   *
   *  - `"sf0.01"` — measured by [[graft.ShuffleBudgetSpec]] under the test
   *    session (local[4], 4 shuffle partitions); enforced on every
   *    `sbt test`.
-  *  - `"sf0.1"` — measured by [[Bench]] under its own session (local[32],
-  *    32 partitions); enforced on every bench run, breaches land in the
-  *    committed bench JSON as `"shuffle_over_budget"`.
+  *  - Bench scales (`"sf0.1"`, `"testdata-sf1"`, …) — measured by [[Bench]]
+  *    under its own session (local[32], 32 partitions), section named after
+  *    the SF dir; enforced on every bench run at an armed scale, breaches
+  *    land in the committed bench JSON as `"shuffle_over_budget"`. A scale
+  *    without a section is measured, not gated.
   *
   * Each measurer owns its section: rerunning it with
   * `SPARK_GRAFT_REGEN_BUDGET=1` rebaselines that section only, so the two
