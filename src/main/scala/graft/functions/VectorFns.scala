@@ -32,6 +32,13 @@ object VectorFns {
   def qnorm2(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
+  /** Exact integer squared L2 distance of two quantized vectors. Safe in
+    * Long for any realistic embedding range: |element| ≤ 2e8 at the 1e-7
+    * fixed point (|x| ≤ 20), diff² ≤ 1.6e17, ×64 dims < 2^63.
+    */
+  def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
   /** Deterministic cosine from quantized inputs; fixed op sequence
     * `dot / (sqrt(n_a) * sqrt(n_b))` matches the oracle SQL exactly.
     */
@@ -62,4 +69,8 @@ object VectorFns {
   /** DuckDB SQL fragment: exact integer squared norm. */
   def sqlQnorm2(a: String): String =
     s"CAST(list_sum([x*x FOR x IN $a]) AS BIGINT)"
+
+  /** DuckDB SQL fragment mirroring [[qdist2]]. */
+  def sqlQdist2(a: String, b: String): String =
+    s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) FOR i IN range(1, len($a)+1)]) AS BIGINT)"
 }

@@ -451,6 +451,87 @@ object LlmQueries {
       (-c.getField("cid")).as("ncid")))).getField("ncid")
   }
 
+  /** Product-quantization geometry shared by `embedding_pq` /
+    * `sim_ann_adc`: M=8 subspaces × S=8 dims, K=16 codewords per subspace.
+    * Codebook = subvectors of the vectors with `vec_id < K` (the same
+    * bounded cold-start "load the index" collect as the IVF family; at
+    * 100 TB the codebook is trained offline and broadcast — these literals
+    * ARE that broadcast). Codes address codewords by their source vec_id,
+    * not positional index, so a fixture with sparse low ids stays correct.
+    */
+  private val PqM = 8; private val PqS = 8; private val PqK = 16
+
+  /** Per-subspace codebook: for each m, the (code, subvector) rows. */
+  private def pqCodebook(eq: DataFrame): IndexedSeq[Seq[(Long, Array[Long])]] = {
+    val rows = eq.filter($"vec_id" < PqK).select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    (0 until PqM).map(m =>
+      rows.map { case (k, v) => (k, v.slice(m * PqS, m * PqS + PqS)) })
+  }
+
+  /** Argmin-distance (d, k) struct for subspace m: array_min over the
+    * literal codebook — lexicographic struct ordering = smallest exact
+    * integer L2², ties to the smaller code. A pure map, no shuffle.
+    */
+  private def pqAssign(cb: IndexedSeq[Seq[(Long, Array[Long])]], m: Int): Column = {
+    val lits = array(cb(m).map { case (k, cv) =>
+      struct(array(cv.map(lit(_)): _*).as("cv"), lit(k).as("k"))
+    }: _*)
+    array_min(transform(lits, c => struct(
+      qdist2(slice($"v", m * PqS + 1, PqS), c.getField("cv")).as("d"),
+      c.getField("k").as("k"))))
+  }
+
+  /** (vec_id, label, codes ARRAY<INT>, err BIGINT) — the PQ encoding as a
+    * single projection over the shared quantized-index frame.
+    */
+  private def pqCodesFrame(eq: DataFrame, cb: IndexedSeq[Seq[(Long, Array[Long])]]): DataFrame = {
+    val asn = (0 until PqM).map(m => pqAssign(cb, m))
+    eq.select($"vec_id", $"label",
+      array(asn.map(_.getField("k").cast(IntegerType)): _*).as("codes"),
+      asn.map(_.getField("d")).reduce(_ + _).cast(LongType).as("err"))
+  }
+
+  /** Driver-side exact integer L2² (codebook/LUT construction). */
+  private def qdist2Arr(x: Array[Long], y: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < x.length) { val dd = x(i) - y(i); s += dd * dd; i += 1 }
+    s
+  }
+
+  /** ADC distance over a `codes` column: Σ_m LUT_m[code_m], the 128-entry
+    * query-vs-codeword table as broadcast map literals keyed by code VALUE
+    * (element_at on a map, not positional array indexing — stays correct if
+    * low vec_ids are sparse). Shared by `sim_ann_adc` / `sim_ann_ivf_pq`.
+    */
+  private def adcCol(cb: IndexedSeq[Seq[(Long, Array[Long])]], qv: Array[Long]): Column = {
+    val luts = (0 until PqM).map { m =>
+      val qsub = qv.slice(m * PqS, m * PqS + PqS)
+      map_from_arrays(
+        array(cb(m).map { case (k, _) => lit(k.toInt) }: _*),
+        array(cb(m).map { case (_, cv) => lit(qdist2Arr(qsub, cv)) }: _*))
+    }
+    (0 until PqM).map(m => element_at(luts(m), $"codes".getItem(m))).reduce(_ + _)
+  }
+
+  /** DuckDB CTE block shared by the PQ oracle queries: subvectors, the
+    * vec_id<K codebook, and the per-subspace argmin assignment (same
+    * tie-break as [[pqAssign]]: {'d','k'} struct min).
+    */
+  private def sqlPqCtes(withLabel: Boolean): String = {
+    val lbl = if (withLabel) ", label" else ""
+    val slbl = if (withLabel) ", s.label" else ""
+    s"""e AS (SELECT vec_id$lbl, ${sqlQuantize("embedding")} AS v FROM embeddings),
+       |ms AS (SELECT unnest(range($PqM)) AS m),
+       |sub AS (SELECT vec_id$lbl, m, v[m*$PqS+1 : m*$PqS+$PqS] AS sv FROM e, ms),
+       |csub AS (SELECT vec_id AS k, m, v[m*$PqS+1 : m*$PqS+$PqS] AS cv
+       |  FROM e, ms WHERE vec_id < $PqK),
+       |asn AS (SELECT s.vec_id$slbl, s.m,
+       |  (list_min(list({'d': ${sqlQdist2("s.sv", "c.cv")}, 'k': c.k}))).d AS d,
+       |  (list_min(list({'d': ${sqlQdist2("s.sv", "c.cv")}, 'k': c.k}))).k AS k
+       |  FROM sub s JOIN csub c ON s.m = c.m GROUP BY s.vec_id$slbl, s.m, s.sv)""".stripMargin
+  }
+
   /** dedup_incremental's asymmetric (batch ⋈ corpus) band-join pipeline,
     * memoized per (session, dir) like [[minhashPairs]] so the persisted
     * signature frame is allocated once, not per invocation.
@@ -1141,6 +1222,115 @@ object LlmQueries {
             ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
+      }
+    },
+
+    // PRODUCT QUANTIZATION encode: 8 subspaces × 8 dims, 16 codewords each
+    // — 64 float dims compress to 8 small ints (32× vs float32), the
+    // memory step that makes billion-vector ANN fit a cluster at all.
+    // Assignment is a pure map against the broadcast literal codebook
+    // (argmin of exact integer L2² per subspace, ties to smaller code), so
+    // the encode plan is scan → project → sort, no shuffle; `err` is the
+    // exact integer reconstruction error Σ_m d(sv_m, codeword)² — the
+    // quality number a PQ deployment monitors (cf. embedding_quantize's
+    // affine-int8 reconstruction check).
+    Q("embedding_pq",
+      s"""WITH ${sqlPqCtes(withLabel = false)}
+         |SELECT vec_id, list(CAST(k AS INTEGER) ORDER BY m) AS codes,
+         |  CAST(sum(d) AS BIGINT) AS err
+         |FROM asn GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val eq = lshFrame(s, d)
+      pqCodesFrame(eq, pqCodebook(eq)).drop("label").orderBy($"vec_id")
+    },
+
+    // ADC (asymmetric distance computation) top-k over the PQ codes: the
+    // query stays full-precision, each candidate is scored from its 8
+    // codes via a 128-entry lookup table — the scan reads CODES ONLY
+    // (64 bits/vector), never the embedding column. The LUT is a
+    // broadcast map literal built from the collected codebook (the same
+    // bounded driver state as the IVF centroid load), so the plan is a
+    // map-only projection + TakeOrdered — zero exchanges; exact integer
+    // distances make the ranking engine-identical, ties to smaller
+    // vec_id.
+    Q("sim_ann_adc",
+      s"""WITH ${sqlPqCtes(withLabel = true)},
+         |q AS (SELECT m, sv FROM sub WHERE vec_id = 1),
+         |lut AS (SELECT c.m, c.k, ${sqlQdist2("q.sv", "c.cv")} AS ld
+         |  FROM csub c JOIN q ON q.m = c.m),
+         |adc AS (SELECT a.vec_id, a.label, CAST(sum(l.ld) AS BIGINT) AS adc
+         |  FROM asn a JOIN lut l ON l.m = a.m AND l.k = a.k
+         |  GROUP BY a.vec_id, a.label)
+         |SELECT vec_id, label, adc FROM adc WHERE vec_id <> 1
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val eq = lshFrame(s, d)
+      val cb = pqCodebook(eq)
+      val qRowOpt = eq.filter($"vec_id" === 1).select($"v").collect().headOption
+      qRowOpt match {
+        case scala.None =>
+          eq.select($"vec_id", $"label", lit(0L).as("adc")).filter(lit(false))
+        case Some(qRow) =>
+          val qv = qRow.getSeq[Long](0).toArray
+          pqCodesFrame(eq, cb)
+            .select($"vec_id", $"label", adcCol(cb, qv).cast(LongType).as("adc"))
+            .filter($"vec_id" =!= 1)
+            .orderBy($"adc", $"vec_id").limit(10)
+      }
+    },
+
+    // IVF-PQ: the composed production ANN path — the coarse quantizer
+    // routes the query to nprobe=2 of 16 cells (pure map against broadcast
+    // centroids), then ADC scores ONLY the probed cells' vectors from
+    // their 8 codes. At 100 TB this is the plan that wins: the cell filter
+    // prunes ~7/8 of the corpus before any distance work, the survivors
+    // are scored from 64-bit codes without touching the embedding column,
+    // and the whole search is scan → filter → project → TakeOrdered —
+    // zero exchanges. Exact integer LUT distances keep the ranking
+    // engine-identical (ties to smaller vec_id).
+    Q("sim_ann_ivf_pq",
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+         |a0 AS (SELECT n.vec_id,
+         |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c0.cv", "c0.cn2")},
+         |                   'ncid': -c0.cid}))).ncid AS cell
+         |  FROM n, c0 GROUP BY n.vec_id, n.v, n.n2),
+         |qn AS (SELECT v, n2 FROM n WHERE vec_id = 1),
+         |probe AS (SELECT cid FROM c0, qn
+         |  ORDER BY ${sqlIvfCos("qn.v", "qn.n2", "c0.cv", "c0.cn2")} DESC, cid LIMIT 2),
+         |cand AS (SELECT vec_id FROM a0 WHERE cell IN (SELECT cid FROM probe)),
+         |ms AS (SELECT unnest(range($PqM)) AS m),
+         |sub AS (SELECT vec_id, label, m, v[m*$PqS+1 : m*$PqS+$PqS] AS sv FROM e, ms),
+         |csub AS (SELECT vec_id AS k, m, v[m*$PqS+1 : m*$PqS+$PqS] AS cv
+         |  FROM e, ms WHERE vec_id < $PqK),
+         |asn AS (SELECT s.vec_id, s.label, s.m,
+         |  (list_min(list({'d': ${sqlQdist2("s.sv", "c.cv")}, 'k': c.k}))).k AS k
+         |  FROM sub s JOIN csub c ON s.m = c.m
+         |  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY s.vec_id, s.label, s.m, s.sv),
+         |q AS (SELECT m, sv FROM sub WHERE vec_id = 1),
+         |lut AS (SELECT c.m, c.k, ${sqlQdist2("q.sv", "c.cv")} AS ld
+         |  FROM csub c JOIN q ON q.m = c.m),
+         |adc AS (SELECT a.vec_id, a.label, CAST(sum(l.ld) AS BIGINT) AS adc
+         |  FROM asn a JOIN lut l ON l.m = a.m AND l.k = a.k
+         |  GROUP BY a.vec_id, a.label)
+         |SELECT vec_id, label, adc FROM adc WHERE vec_id <> 1
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val nProbe = 2
+      val eq = lshFrame(s, d)
+      val cb = pqCodebook(eq)
+      val initRows = eq.filter($"vec_id" < PqK).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      initRows.find(_._1 == 1L) match {
+        case scala.None =>
+          eq.select($"vec_id", $"label", lit(0L).as("adc")).filter(lit(false))
+        case Some((_, qv)) =>
+          val probeCells = initRows.map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
+            .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+          pqCodesFrame(eq.withColumn("cell", ivfCellCol(initRows))
+              .filter($"cell".isin(probeCells: _*)), cb)
+            .select($"vec_id", $"label", adcCol(cb, qv).cast(LongType).as("adc"))
+            .filter($"vec_id" =!= 1)
+            .orderBy($"adc", $"vec_id").limit(10)
       }
     },
 

@@ -58,6 +58,48 @@ class AnnCalibrationSpec extends AnyFunSuite with SparkTestBase {
     assert(first.getLong(0) == 1L && math.abs(first.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("ADC search over PQ codes retrieves the query's planted cluster") {
+    // Coarse codebook (16 codewords/subspace from the first 16 vectors,
+    // one per planted cluster): a cluster member's subvectors code to its
+    // own cluster's codeword, so ADC distance separates cluster 1 from the
+    // rest even though the scan reads 64-bit codes, not embeddings. A
+    // broken assignment (e.g. positional instead of value-keyed LUT)
+    // collapses this to arbitrary labels.
+    val rows = query("sim_ann_adc").collect()
+    assert(rows.length == 10)
+    val own = rows.count(_.getInt(1) == 1)
+    assert(own >= 8,
+      s"only $own of ADC top-10 from the query's planted cluster — " +
+        "PQ codes are not preserving neighborhood structure")
+  }
+
+  test("composed IVF-PQ search retrieves the query's planted cluster") {
+    // the production path: coarse-quantize to 2 of 16 probed cells, then
+    // ADC-score only those cells' codes. On planted data the query's cell
+    // concentrates its cluster, so pruning ~7/8 of the corpus must NOT
+    // cost the true neighbors.
+    val rows = query("sim_ann_ivf_pq").collect()
+    assert(rows.length == 10)
+    val own = rows.count(_.getInt(1) == 1)
+    assert(own >= 8,
+      s"only $own of IVF-PQ top-10 from the query's planted cluster — " +
+        "cell routing or ADC scoring lost the true neighbors")
+  }
+
+  test("PQ self-encoding is exact for codebook vectors") {
+    // vectors with vec_id < 16 ARE the codebook: their own subvectors are
+    // codewords, so reconstruction error must be exactly 0 and codes must
+    // be their own vec_id in every subspace
+    val rows = query("embedding_pq").collect()
+      .filter(_.getLong(0) < 16)
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getSeq[Int](1).forall(_ == id), s"codes of $id: ${r.getSeq[Int](1)}")
+      assert(r.getLong(2) == 0L, s"nonzero self reconstruction err for $id")
+    }
+  }
+
   test("single-probe recall on planted data beats the isotropic coverage floor") {
     // On isotropic data, recall at radius r ≈ cells probed / 64 (the
     // sim_ann_recall diagnosis) — 0.016 at radius 0. On planted clusters the
