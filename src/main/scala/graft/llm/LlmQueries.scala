@@ -461,62 +461,26 @@ object LlmQueries {
     */
   private val PqM = 8; private val PqS = 8; private val PqK = 16
 
-  /** Per-subspace codebook: for each m, the (code, subvector) rows. */
-  private def pqCodebook(eq: DataFrame): IndexedSeq[Seq[(Long, Array[Long])]] = {
-    val rows = eq.filter($"vec_id" < PqK).select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
-    (0 until PqM).map(m =>
-      rows.map { case (k, v) => (k, v.slice(m * PqS, m * PqS + PqS)) })
-  }
-
-  /** Argmin-distance (d, k) struct for subspace m: array_min over the
-    * literal codebook — lexicographic struct ordering = smallest exact
-    * integer L2², ties to the smaller code. A pure map, no shuffle.
+  /** The PQ/ADC machinery lives in the PUBLIC [[VectorIndex]] API (the
+    * user-facing surface a pipeline calls directly; streaming-parity
+    * spec'd there) — these thin aliases keep the registry queries reading
+    * like their oracle SQL.
     */
-  private def pqAssign(cb: IndexedSeq[Seq[(Long, Array[Long])]], m: Int): Column = {
-    val lits = array(cb(m).map { case (k, cv) =>
-      struct(array(cv.map(lit(_)): _*).as("cv"), lit(k).as("k"))
-    }: _*)
-    array_min(transform(lits, c => struct(
-      qdist2(slice($"v", m * PqS + 1, PqS), c.getField("cv")).as("d"),
-      c.getField("k").as("k"))))
-  }
+  private def pqCodebook(eq: DataFrame): VectorIndex.Codebook =
+    VectorIndex.codebook(eq)
 
-  /** (vec_id, label, codes ARRAY<INT>, err BIGINT) — the PQ encoding as a
-    * single projection over the shared quantized-index frame.
+  /** (vec_id, label, codes ARRAY<INT>, err BIGINT) over the shared
+    * quantized-index frame.
     */
-  private def pqCodesFrame(eq: DataFrame, cb: IndexedSeq[Seq[(Long, Array[Long])]]): DataFrame = {
-    val asn = (0 until PqM).map(m => pqAssign(cb, m))
-    eq.select($"vec_id", $"label",
-      array(asn.map(_.getField("k").cast(IntegerType)): _*).as("codes"),
-      asn.map(_.getField("d")).reduce(_ + _).cast(LongType).as("err"))
-  }
+  private def pqCodesFrame(eq: DataFrame, cb: VectorIndex.Codebook): DataFrame =
+    VectorIndex.encode(eq, cb).select($"vec_id", $"label", $"codes", $"err")
 
-  /** Driver-side exact integer L2² (codebook/LUT construction). */
-  private def qdist2Arr(x: Array[Long], y: Array[Long]): Long = {
-    var s = 0L; var i = 0
-    while (i < x.length) { val dd = x(i) - y(i); s += dd * dd; i += 1 }
-    s
-  }
-
-  /** ADC distance over a `codes` column: Σ_m LUT_m[code_m], the 128-entry
-    * query-vs-codeword table as broadcast map literals keyed by code VALUE
-    * (element_at on a map, not positional array indexing — stays correct if
-    * low vec_ids are sparse). Shared by `sim_ann_adc` / `sim_ann_ivf_pq`.
-    */
-  private def adcCol(cb: IndexedSeq[Seq[(Long, Array[Long])]], qv: Array[Long]): Column = {
-    val luts = (0 until PqM).map { m =>
-      val qsub = qv.slice(m * PqS, m * PqS + PqS)
-      map_from_arrays(
-        array(cb(m).map { case (k, _) => lit(k.toInt) }: _*),
-        array(cb(m).map { case (_, cv) => lit(qdist2Arr(qsub, cv)) }: _*))
-    }
-    (0 until PqM).map(m => element_at(luts(m), $"codes".getItem(m))).reduce(_ + _)
-  }
+  private def adcCol(cb: VectorIndex.Codebook, qv: Array[Long]): Column =
+    VectorIndex.adcScore(cb, qv)
 
   /** DuckDB CTE block shared by the PQ oracle queries: subvectors, the
     * vec_id<K codebook, and the per-subspace argmin assignment (same
-    * tie-break as [[pqAssign]]: {'d','k'} struct min).
+    * tie-break as [[VectorIndex.encode]]: {'d','k'} struct min).
     */
   private def sqlPqCtes(withLabel: Boolean): String = {
     val lbl = if (withLabel) ", label" else ""
@@ -1318,16 +1282,14 @@ object LlmQueries {
       val nProbe = 2
       val eq = lshFrame(s, d)
       val cb = pqCodebook(eq)
-      val initRows = eq.filter($"vec_id" < PqK).select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      val initRows = VectorIndex.centroids(eq, PqK)
       initRows.find(_._1 == 1L) match {
         case scala.None =>
           eq.select($"vec_id", $"label", lit(0L).as("adc")).filter(lit(false))
         case Some((_, qv)) =>
-          val probeCells = initRows.map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
-            .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
-          pqCodesFrame(eq.withColumn("cell", ivfCellCol(initRows))
-              .filter($"cell".isin(probeCells: _*)), cb)
+          val probed = VectorIndex.probeCells(initRows, qv, nProbe)
+          pqCodesFrame(VectorIndex.assignCells(eq, initRows)
+              .filter($"cell".isin(probed: _*)), cb)
             .select($"vec_id", $"label", adcCol(cb, qv).cast(LongType).as("adc"))
             .filter($"vec_id" =!= 1)
             .orderBy($"adc", $"vec_id").limit(10)
