@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Vector (embedding) column helpers over `ARRAY<FLOAT>`, built entirely from
@@ -24,20 +25,25 @@ object VectorFns {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast(DoubleType) * lit(1e7)).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * [[QVecDot]] kernel (one primitive loop per vector; the former
+    * `aggregate(zip_with(...))` formulation paid a boxed lambda dispatch
+    * per ELEMENT and dominated the sf1 ANN profile).
+    */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    Bridge.column(QVecDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Exact integer squared L2 norm of a quantized vector. */
+  /** Exact integer squared L2 norm of a quantized vector ([[QVecNorm2]]). */
   def qnorm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    Bridge.column(QVecNorm2(Bridge.expression(a)))
 
-  /** Exact integer squared L2 distance of two quantized vectors. Safe in
-    * Long for any realistic embedding range: |element| ≤ 2e8 at the 1e-7
-    * fixed point (|x| ≤ 20), diff² ≤ 1.6e17, ×64 dims < 2^63.
+  /** Exact integer squared L2 distance of two quantized vectors
+    * ([[QVecDist2]]). Safe in Long for any realistic embedding range:
+    * |element| ≤ 2e8 at the 1e-7 fixed point (|x| ≤ 20), diff² ≤ 1.6e17,
+    * ×64 dims < 2^63.
     */
   def qdist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    Bridge.column(QVecDist2(Bridge.expression(a), Bridge.expression(b)))
 
   /** Deterministic cosine from quantized inputs; fixed op sequence
     * `dot / (sqrt(n_a) * sqrt(n_b))` matches the oracle SQL exactly.

@@ -443,11 +443,15 @@ object LlmQueries {
     * smaller cid — lexicographic struct ordering, a pure map, no shuffle.
     */
   private def ivfCellCol(cents: Seq[(Long, Array[Long])]): Column = {
+    // centroid norms are constants — stamp them as literals instead of
+    // re-running the 64-element qnorm2 aggregate 16× PER ROW (measured ~2×
+    // assignment cost at sf1 before this)
     val centLit = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"),
+        lit(cv.map(x => x * x).sum).as("cn2"))
     }: _*)
     -array_max(transform(centLit, c => struct(
-      ivfCosCol($"v", $"n2", c.getField("cv"), qnorm2(c.getField("cv"))).as("cos"),
+      ivfCosCol($"v", $"n2", c.getField("cv"), c.getField("cn2")).as("cos"),
       (-c.getField("cid")).as("ncid")))).getField("ncid")
   }
 
@@ -1023,13 +1027,11 @@ object LlmQueries {
       // any IVF index — the collect here is the "load the index" step, tiny
       // and bounded by nCent. If the bucket lacks vec_id 1 (the query) the
       // query degrades to an empty result like its LSH sibling would.
-      // Exchange barrier: materialize (v, n2) once per row, or project
-      // collapsing recomputes quantize() inside all 16 centroid cosines
-      // (the "build the IVF index" pass at scale — see sim_ann_lsh).
-      val eq = embeddings(s, d)
-        .select($"vec_id", $"label", quantize($"embedding").as("v"))
-        .withColumn("n2", qnorm2($"v"))
-        .repartition(col("vec_id"))
+      // Reads the SAME memoized persisted (v, n2) index pass as the rest
+      // of the ANN family (build-once-share contract): a private
+      // quantize+repartition per invocation re-paid the index build on
+      // every call (~2 s of the sf1 warm time before round 6).
+      val eq = lshFrame(s, d)
       val centRows = eq.filter($"vec_id" < nCent)
         .select($"vec_id", $"v").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -1053,8 +1055,10 @@ object LlmQueries {
           .map { case (cid, cv) => (cid, qcos(qv, cv)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
           .take(nProbe).map(_._1)
+        // centroid norms stamped as literals — not recomputed per row
         val centLit = array(centRows.map { case (cid, cv) =>
-          struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+          struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"),
+            lit(cv.map(x => x * x).sum).as("cn2"))
         }: _*)
         def colCos(v: Column, n2: Column, cv: Column, cn2: Column): Column =
           qdot(v, cv).cast(DoubleType) /
@@ -1062,7 +1066,7 @@ object LlmQueries {
         // array_max over (cos, -cid) structs = argmax cosine, ties to the
         // smaller cid — lexicographic struct ordering, no shuffle.
         val cell = -array_max(transform(centLit, c => struct(
-          colCos($"v", $"n2", c.getField("cv"), qnorm2(c.getField("cv"))).as("cos"),
+          colCos($"v", $"n2", c.getField("cv"), c.getField("cn2")).as("cos"),
           (-c.getField("cid")).as("ncid")))).getField("ncid")
         eq.withColumn("cell", cell)
           .filter($"cell".isin(probeCells: _*))

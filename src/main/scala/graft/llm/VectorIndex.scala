@@ -123,16 +123,23 @@ object VectorIndex {
     * literal centroids, ties to the smaller centroid id. Pure map.
     */
   def assignCells(df: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
+    // centroid norms are constants → literals; the row's own norm is
+    // computed ONCE (reusing an existing `n2` column when the caller has
+    // one) instead of once per centroid — 16 redundant 64-element
+    // aggregates per row otherwise
     val centLit = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"),
+        lit(cv.map(x => x * x).sum).as("cn2"))
     }: _*)
-    val cos = (c: Column) =>
-      qdot(col("v"), c).cast(DoubleType) /
-        (sqrt(qnorm2(col("v")).cast(DoubleType)) * sqrt(qnorm2(c).cast(DoubleType)))
-    df.withColumn("cell",
+    val hasN2 = df.columns.contains("n2")
+    val base = if (hasN2) df else df.withColumn("n2", qnorm2(col("v")))
+    val out = base.withColumn("cell",
       -array_max(transform(centLit, c => struct(
-        cos(c.getField("cv")).as("cos"),
+        (qdot(col("v"), c.getField("cv")).cast(DoubleType) /
+          (sqrt(col("n2").cast(DoubleType)) *
+            sqrt(c.getField("cn2").cast(DoubleType)))).as("cos"),
         (-c.getField("cid")).as("ncid")))).getField("ncid"))
+    if (hasN2) out else out.drop("n2")
   }
 
   /** The `nprobe` centroid ids nearest the query by cosine (ties to the
