@@ -90,6 +90,22 @@ object VecCosine {
       "vec_cosine", exprs => VecCosine(exprs.head, exprs(1)), "built-in")
 }
 
+/** Session registration for the exact-integer kernels, mirroring
+  * [[VecCosine.register]] — `qvec_dot` / `qvec_norm2` / `qvec_dist2` over
+  * `ARRAY<BIGINT>` in pure SQL.
+  */
+object QVecSql {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "qvec_dot", exprs => QVecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "qvec_norm2", exprs => QVecNorm2(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "qvec_dist2", exprs => QVecDist2(exprs.head, exprs(1)), "built-in")
+  }
+}
+
 /** SparkSessionExtensions hook: `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` (or `.withExtensions`) injects the
   * engine's native functions into every session.
@@ -102,5 +118,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VecCosine(exprs.head, exprs(1))))
+    Seq(
+      ("qvec_dot", classOf[QVecDot].getName,
+        (exprs: Seq[Expression]) => QVecDot(exprs.head, exprs(1))),
+      ("qvec_norm2", classOf[QVecNorm2].getName,
+        (exprs: Seq[Expression]) => QVecNorm2(exprs.head)),
+      ("qvec_dist2", classOf[QVecDist2].getName,
+        (exprs: Seq[Expression]) => QVecDist2(exprs.head, exprs(1)))
+    ).foreach { case (name, cls, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls, name), builder))
+    }
   }
 }
