@@ -33,13 +33,19 @@ sealed trait QVecTypes { self: Expression =>
           ts.map(_.sql).mkString(", "))
 }
 
-/** Exact Σ aᵢ·bᵢ over two BIGINT arrays; null if lengths differ. */
+/** Exact Σ aᵢ·bᵢ over two BIGINT arrays; null if lengths differ or any
+  * element is null (matching `aggregate(zip_with(...))`, where a null
+  * element poisons the running sum).
+  */
 case class QVecDot(left: Expression, right: Expression)
     extends BinaryExpression with QVecTypes {
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkLongArrays(Seq(left.dataType, right.dataType))
   override def dataType: DataType = LongType
+  // Length mismatch / null elements yield null even for non-nullable
+  // children (e.g. two array literals in pure SQL via qvec_dot).
+  override def nullable: Boolean = true
   override def prettyName: String = "qvec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -48,7 +54,10 @@ case class QVecDot(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0L; var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i); i += 1
+    }
     acc
   }
 
@@ -61,9 +70,10 @@ case class QVecDot(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -72,49 +82,66 @@ case class QVecDot(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
-/** Exact Σ aᵢ² over a BIGINT array. */
+/** Exact Σ aᵢ² over a BIGINT array; null if any element is null (matching
+  * `aggregate(transform(...))`).
+  *
+  * Codegen inlines the loop directly — an earlier revision called a
+  * companion-object `eval` helper, but Scala emits no static forwarder for
+  * it (the case class inherits `Expression.eval(InternalRow)` under the
+  * same name), so janino failed to resolve the call and the ENTIRE
+  * containing stage silently fell back to interpreted execution.
+  * QVecCodegenSpec pins compilation so this class of bug cannot recur.
+  */
 case class QVecNorm2(child: Expression)
     extends UnaryExpression with QVecTypes {
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkLongArrays(Seq(child.dataType))
   override def dataType: DataType = LongType
+  // A null element yields null even for a non-nullable child.
+  override def nullable: Boolean = true
   override def prettyName: String = "qvec_norm2"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0L; var i = 0
     while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
       val v = x.getLong(i); acc += v * v; i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.QVecNorm2.eval($a)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $v = $a.getLong($i);
+         |  $acc += $v * $v;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-object QVecNorm2 {
-  /** Static helper the generated code calls — keeps codegen trivial. */
-  def eval(x: ArrayData): Long = {
-    var acc = 0L; var i = 0
-    while (i < x.numElements()) {
-      val v = x.getLong(i); acc += v * v; i += 1
-    }
-    acc
-  }
-}
-
-/** Exact Σ (aᵢ−bᵢ)² over two BIGINT arrays; null if lengths differ. */
+/** Exact Σ (aᵢ−bᵢ)² over two BIGINT arrays; null if lengths differ or any
+  * element is null.
+  */
 case class QVecDist2(left: Expression, right: Expression)
     extends BinaryExpression with QVecTypes {
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkLongArrays(Seq(left.dataType, right.dataType))
   override def dataType: DataType = LongType
+  // Length mismatch / null elements yield null even for non-nullable children.
+  override def nullable: Boolean = true
   override def prettyName: String = "qvec_dist2"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -124,6 +151,7 @@ case class QVecDist2(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var acc = 0L; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i); acc += d * d; i += 1
     }
     acc
@@ -139,10 +167,11 @@ case class QVecDist2(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $d = $a.getLong($i) - $b.getLong($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

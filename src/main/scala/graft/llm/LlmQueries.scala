@@ -1202,13 +1202,23 @@ object LlmQueries {
     // exact integer reconstruction error Σ_m d(sv_m, codeword)² — the
     // quality number a PQ deployment monitors (cf. embedding_quantize's
     // affine-int8 reconstruction check).
+    // The checked surface is all-scalar: `codes` is the canonical
+    // '_'-joined string of the 8 per-subspace codes (the driver's oracle
+    // harness sorts through pandas, which cannot hash an ARRAY column —
+    // CORRECTNESS_r06's only red row). The array-shaped API lives on in
+    // [[VectorIndex.encode]].
     Q("embedding_pq",
       s"""WITH ${sqlPqCtes(withLabel = false)}
-         |SELECT vec_id, list(CAST(k AS INTEGER) ORDER BY m) AS codes,
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(k AS INTEGER) ORDER BY m), '_') AS codes,
          |  CAST(sum(d) AS BIGINT) AS err
          |FROM asn GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
       val eq = lshFrame(s, d)
-      pqCodesFrame(eq, pqCodebook(eq)).drop("label").orderBy($"vec_id")
+      pqCodesFrame(eq, pqCodebook(eq)).drop("label")
+        .select($"vec_id",
+          concat_ws("_", transform($"codes", _.cast("string"))).as("codes"),
+          $"err")
+        .orderBy($"vec_id")
     },
 
     // ADC (asymmetric distance computation) top-k over the PQ codes: the

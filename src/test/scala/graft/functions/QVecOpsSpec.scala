@@ -80,6 +80,23 @@ class QVecOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
   }
 
+  test("null ELEMENTS poison the result to null, matching the HOFs") {
+    // the HOF sums propagate a null element to the whole result; the
+    // kernels must do the same (getLong on a null slot would read 0)
+    val df = spark.sql(
+      "SELECT array(1L, CAST(null AS BIGINT), 3L) AS a, array(4L, 5L, 6L) AS b")
+    val r = df.select(
+      VectorFns.qdot(col("a"), col("b")).as("kd"),
+      hofDot(col("a"), col("b")).as("hd"),
+      VectorFns.qnorm2(col("a")).as("kn"),
+      hofNorm2(col("a")).as("hn"),
+      VectorFns.qdist2(col("a"), col("b")).as("k2"),
+      hofDist2(col("a"), col("b")).as("h2"),
+      VectorFns.qnorm2(col("b")).as("ok")).head()
+    (0 until 6).foreach(i => assert(r.isNullAt(i), s"col $i should be null"))
+    assert(r.getLong(6) == 77L)
+  }
+
   test("kernels are usable from pure SQL via GraftExtensions registration") {
     QVecSql.register(spark)
     val r = spark.sql(
