@@ -41,17 +41,69 @@ object VectorIndex {
   type Codebook = IndexedSeq[Seq[(Long, Array[Long])]]
 
   /** Cold-start codebook: subvectors of the rows with
-    * `vec_id < codewords`. At 100 TB the codebook is trained offline and
-    * reloaded; this collect IS that bounded load (K rows).
+    * `offset <= vec_id < offset + codewords`. At 100 TB the codebook is
+    * trained offline and reloaded; this collect IS that bounded load
+    * (K rows). `offset` matters for RESIDUAL encoding: the rows that seed
+    * the coarse centroids have all-zero residuals (they are their own
+    * cell centers), so a residual codebook must draw its codewords from a
+    * disjoint row range.
     */
-  def codebook(index: DataFrame, cfg: PqConfig = PqConfig()): Codebook = {
-    val rows = index.filter(col("vec_id") < cfg.codewords)
+  def codebook(index: DataFrame, cfg: PqConfig = PqConfig(),
+      offset: Long = 0L): Codebook = {
+    val rows = index
+      .filter(col("vec_id") >= offset && col("vec_id") < offset + cfg.codewords)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
     (0 until cfg.subspaces).map(m =>
       rows.map { case (k, v) =>
         (k, v.slice(m * cfg.subDim, m * cfg.subDim + cfg.subDim))
       })
+  }
+
+  /** Lloyd-TRAINED codebook: `rounds` iterations of exact-integer argmin
+    * assignment + floor-mean codeword update, seeded from the cold-start
+    * [[codebook]]. Each round is one distributed groupBy over
+    * (subspace, code, pos) whose output is bounded at M×K×S rows (≤ 1024
+    * at the default geometry) — the same "train the index" job shape as
+    * `sim_ann_ivf_kmeans`'s coarse refinement, and at 100 TB the same
+    * plan with the collected codebook checkpointed between rounds.
+    *
+    * Deterministic by construction: assignment ties go to the smaller
+    * code, updates are floor(sum/count) where per-cell sums stay ≪ 2^53
+    * (|element| ≤ ~2e8 fixed-point × ≤ 2^25 rows/cell at sf1), so the
+    * double division is exact and an oracle engine replays the training
+    * bit-for-bit. A codeword that loses every member keeps its previous
+    * subvector (deterministic empty-cell handling). Codes keep their
+    * VALUE keys across rounds.
+    */
+  def trainCodebook(index: DataFrame, cfg: PqConfig = PqConfig(),
+      rounds: Int = 1): Codebook = {
+    var cb = codebook(index, cfg)
+    for (_ <- 0 until rounds) {
+      val sums = index.select(explode(array((0 until cfg.subspaces).map { m =>
+          struct(lit(m).as("m"),
+            assign(cb, cfg, m).getField("k").as("k"),
+            slice(col("v"), m * cfg.subDim + 1, cfg.subDim).as("sv"))
+        }: _*)).as("a"))
+        .select(col("a.m"), col("a.k"), posexplode(col("a.sv")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val upd = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cb = (0 until cfg.subspaces).map { m =>
+        cb(m).map { case (k, old) =>
+          upd.get((m, k)) match {
+            case Some(rs) =>
+              val arr = new Array[Long](cfg.subDim)
+              rs.foreach(r => arr(r.getInt(2)) =
+                math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+              (k, arr)
+            case scala.None => (k, old)
+          }
+        }
+      }
+    }
+    cb
   }
 
   /** Argmin-distance (d, k) struct for subspace m: array_min over the
@@ -149,4 +201,53 @@ object VectorIndex {
       nprobe: Int): Seq[Long] =
     cents.map { case (cid, cv) => (cid, qcosArrPub(query, cv)) }
       .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+
+  /** Lloyd-TRAINED coarse quantizer: `rounds` iterations of
+    * [[assignCells]] + per-cell floor-mean update, seeded from the
+    * cold-start [[centroids]]. Same determinism and bounded-collect
+    * contract as [[trainCodebook]]; an emptied cell keeps its previous
+    * centroid.
+    */
+  def trainCentroids(index: DataFrame, k: Int = 16,
+      rounds: Int = 1): Seq[(Long, Array[Long])] = {
+    var cents = centroids(index, k)
+    for (_ <- 0 until rounds) {
+      val sums = assignCells(index, cents)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val upd = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        upd.get(cid) match {
+          case Some(rs) =>
+            val arr = new Array[Long](old.length)
+            rs.foreach(r => arr(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            (cid, arr)
+          case scala.None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Replace `v` with the RESIDUAL `v − centroid(cell)` (element-wise,
+    * exact integers) for a frame that already carries `cell` from
+    * [[assignCells]] — the standard IVF-PQ refinement: residuals have
+    * smaller variance than raw vectors, so the same codebook budget
+    * quantizes them with less error and ADC recall improves. Pure map
+    * against a broadcast cell→centroid map literal; streaming-safe.
+    */
+  def residualize(df: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val centMap = map_from_arrays(
+      array(cents.map { case (cid, _) => lit(cid) }: _*),
+      array(cents.map { case (_, cv) => array(cv.map(lit(_)): _*) }: _*))
+    df.withColumn("v",
+      zip_with(col("v"), element_at(centMap, col("cell")), (a, b) => a - b))
+  }
+
+  /** Driver-side residual of a query against one centroid. */
+  def residualArr(query: Array[Long], cent: Array[Long]): Array[Long] =
+    query.indices.map(i => query(i) - cent(i)).toArray
 }

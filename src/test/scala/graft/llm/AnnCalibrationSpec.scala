@@ -95,9 +95,52 @@ class AnnCalibrationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 16)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
-      assert(r.getSeq[Int](1).forall(_ == id), s"codes of $id: ${r.getSeq[Int](1)}")
+      // codes is the canonical '_'-joined string (round-7 scalar surface)
+      val codes = r.getString(1).split("_").map(_.toInt).toSeq
+      assert(codes.length == 8 && codes.forall(_ == id), s"codes of $id: $codes")
       assert(r.getLong(2) == 0L, s"nonzero self reconstruction err for $id")
     }
+  }
+
+  test("Lloyd-trained codebook cuts quantization error; ADC recall holds") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // training's objective IS total reconstruction error — one Lloyd round
+    // from the cold-start codebook must strictly reduce it on clustered
+    // data (floor-rounding can only nibble at the margin, not erase a
+    // planted-cluster-sized win)
+    val eq = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFns.quantize(col("embedding")).as("v"))
+    def totalErr(cb: VectorIndex.Codebook): Long =
+      VectorIndex.encode(eq, cb).agg(sum(col("err"))).head.getLong(0)
+    val errCold = totalErr(VectorIndex.codebook(eq))
+    val errTrained = totalErr(VectorIndex.trainCodebook(eq, rounds = 1))
+    info(s"total PQ reconstruction err: cold=$errCold trained=$errTrained " +
+      f"(${100.0 * (errCold - errTrained) / errCold}%.1f%% lower)")
+    assert(errTrained < errCold,
+      s"Lloyd round did not reduce quantization error: $errTrained >= $errCold")
+    // and the trained index must retrieve the planted cluster at least as
+    // well as the cold-start one the earlier test pins at >= 8/10
+    val ownCold = query("sim_ann_adc").collect().count(_.getInt(1) == 1)
+    val ownTrained = query("sim_ann_adc_trained").collect().count(_.getInt(1) == 1)
+    info(s"ADC top-10 from query's cluster: cold=$ownCold trained=$ownTrained")
+    assert(ownTrained >= ownCold,
+      s"trained-codebook ADC recall $ownTrained/10 below cold-start $ownCold/10")
+  }
+
+  test("residual IVF-PQ retrieves the planted cluster at least as well as raw") {
+    // residuals are smaller-variance than raw vectors, so the same
+    // codebook budget quantizes them with less error — recall must not
+    // regress vs the raw-encoding variant
+    val ownRaw = query("sim_ann_ivf_pq").collect().count(_.getInt(1) == 1)
+    val rows = query("sim_ann_ivf_pq_residual").collect()
+    assert(rows.length == 10)
+    val ownRes = rows.count(_.getInt(1) == 1)
+    info(s"IVF-PQ top-10 from query's cluster: raw=$ownRaw residual=$ownRes")
+    assert(ownRes >= 8,
+      s"only $ownRes of residual IVF-PQ top-10 from the query's planted cluster")
+    assert(ownRes >= ownRaw,
+      s"residual encoding lost recall: $ownRes/10 < raw $ownRaw/10")
   }
 
   test("single-probe recall on planted data beats the isotropic coverage floor") {
