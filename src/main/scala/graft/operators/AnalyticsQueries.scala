@@ -102,19 +102,36 @@ object AnalyticsQueries {
         .limit(100)
     },
 
-    // Approximate percentiles (t-digest-family sketch): mergeable map-side
+    // Approximate percentiles (GK-family sketch): mergeable map-side
     // state like the count-min sketch, the quantile path at 100 TB where
     // exact `percentile` would shuffle whole value sets per group. Sketch
-    // internals are engine-specific, so — like agg_approx_distinct — this
-    // is rows-only for the driver; AnalyticsSpec bounds it against the
-    // exact percentiles.
-    Q.noOracle("agg_approx_percentile") { (s, d) =>
-      lineitem(s, d)
-        .groupBy($"l_returnflag")
+    // values are engine-specific, so the checked surface is the sketch's
+    // own guarantee: the RANK of each approximate percentile, recomputed
+    // exactly against the data, must sit within 1/accuracy (+ slack) of
+    // the requested fraction. The oracle pins the `*_ok` booleans true —
+    // robust to merge order, since the rank bound holds under any
+    // partitioning. AnalyticsSpec still bounds the raw values.
+    Q("agg_approx_percentile",
+      """SELECT l_returnflag, count(*) AS cnt, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val eps = 0.01 // accuracy=1000 → rank error ≤ 0.001; 10× slack
+      val ap = lineitem(s, d).groupBy($"l_returnflag")
         .agg(
-          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx($"l_quantity", lit(0.9), lit(1000)).as("p90_approx"),
+          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("a50"),
+          percentile_approx($"l_quantity", lit(0.9), lit(1000)).as("a90"),
           count(lit(1)).as("cnt"))
+      def rankOk(approx: Column, p: Double): Column = {
+        val le = sum(when($"l_quantity" <= approx, 1L).otherwise(0L))
+          .cast(DoubleType) / max($"cnt")
+        val lt = sum(when($"l_quantity" < approx, 1L).otherwise(0L))
+          .cast(DoubleType) / max($"cnt")
+        le >= p - eps && lt <= p + eps
+      }
+      lineitem(s, d).join(broadcast(ap), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(max($"cnt").cast(LongType).as("cnt"),
+          rankOk($"a50", 0.5).as("p50_ok"),
+          rankOk($"a90", 0.9).as("p90_ok"))
         .orderBy($"l_returnflag")
     },
 

@@ -627,11 +627,31 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
-    // HLL++ sketch — no exact oracle; driver does the rows-only check.
-    Q.noOracle("agg_approx_distinct") { (s, d) =>
+    // HLL++ sketch with a DRIVER-CHECKABLE contract: the estimate itself
+    // is engine-specific (DuckDB cannot replay Spark's HLL++), so the
+    // checked surface is (exact count, estimate-within-envelope boolean).
+    // The `*_ok` columns are computed from the sketch on the Spark side
+    // and pinned `true` in the oracle — a sketch drifting past 4×rsd
+    // flips them and fails the hash compare, which rows-only could never
+    // catch. Robustly deterministic: HLL++ is order-insensitive, and the
+    // booleans hold under the estimator's guarantee regardless of
+    // partitioning. ApproxDistinctSpec still bounds the raw estimates.
+    Q("agg_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS parts_ok, true AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val tol = 4 * 0.05 // 4× the default HLL++ rsd
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact).cast(DoubleType) <= exact.cast(DoubleType) * tol
       lineitem(s, d).groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .agg(countDistinct($"l_partkey").as("exact_parts"),
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_partkey").as("ap"),
+          approx_count_distinct($"l_orderkey").as("ao"))
+        .select($"l_returnflag", $"exact_parts", $"exact_orders",
+          ok($"ap", $"exact_parts").as("parts_ok"),
+          ok($"ao", $"exact_orders").as("orders_ok"))
         .orderBy($"l_returnflag")
     },
 
@@ -644,14 +664,29 @@ object RelationalQueries {
     // register-wise max so accuracy survives re-aggregation (the estimate
     // differs slightly from a direct one-level sketch because union
     // invalidates the HIP estimator — ApproxDistinctSpec bounds both
-    // against exact). Rows-only: sketch internals are engine-specific.
-    Q.noOracle("agg_hll_union") { (s, d) =>
+    // against exact). Sketch internals are engine-specific, so — like
+    // agg_approx_distinct — the checked surface is (exact count, sketch
+    // count, merged-estimate-within-envelope boolean), with the oracle
+    // pinning `union_ok = true`: a merge bug that breaks the composite
+    // estimator now fails the hash compare.
+    Q("agg_hll_union",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT date_trunc('month', l_shipdate)) AS n_sketches,
+        |  true AS union_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val fine = lineitem(s, d)
         .groupBy($"l_returnflag", date_trunc("month", $"l_shipdate").as("ship_month"))
         .agg(hll_sketch_agg($"l_orderkey").as("sk"))
-      fine.groupBy($"l_returnflag")
+      val merged = fine.groupBy($"l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_orders"),
           count(lit(1)).as("n_sketches"))
+      val exact = lineitem(s, d).groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("exact_orders"))
+      // lgK=12 ≈ 1.6% rse; 5% leaves no flake room (ApproxDistinctSpec)
+      merged.join(exact, "l_returnflag")
+        .select($"l_returnflag", $"exact_orders", $"n_sketches",
+          (abs($"est_orders" - $"exact_orders").cast(DoubleType) <=
+            $"exact_orders".cast(DoubleType) * 0.05).as("union_ok"))
         .orderBy($"l_returnflag")
     },
 

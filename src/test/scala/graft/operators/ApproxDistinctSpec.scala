@@ -5,17 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestBase, Tables}
 
-/** Bounds check for the one rows-only query: HLL++ sketches are
-  * engine-specific (hence no DuckDB hash oracle), but the estimate must
-  * track the exact distinct count within the sketch's relative standard
-  * deviation (Spark default rsd = 0.05; 4σ bound leaves no flake room).
+/** Bounds checks for the HLL sketch family. The registry queries now carry
+  * a driver-checkable contract (exact counts + estimate-within-envelope
+  * booleans the oracle pins `true`), so this spec does two jobs: bound the
+  * RAW estimates directly (the registry surface no longer exposes them),
+  * and assert the contract booleans actually come out true.
   */
 class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.01"
 
   test("approx_count_distinct tracks exact distincts within 4x rsd per group") {
-    val q = graft.SparkEntry.queries("agg_approx_distinct")(spark, sf)
+    val q = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
@@ -29,15 +32,27 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(ao - eo).toDouble / eo <= tol,
         s"$flag orders: approx=$ao exact=$eo off by ${math.abs(ao - eo).toDouble / eo}")
     }
+    // and the registry query's contract booleans agree
+    val contract = graft.SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(contract.nonEmpty)
+    contract.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)}: contract booleans false — sketch outside envelope")
+    }
   }
 
   test("agg_hll_union merged estimate tracks exact and the direct sketch") {
-    val merged = graft.SparkEntry.queries("agg_hll_union")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // merging invalidates the sketch's HIP estimator (the union falls back
     // to the composite estimate), so the merged value is NOT bit-equal to
     // the direct one-level sketch — both must only stay inside the
     // lgK=12 error envelope (~1.6% rse; 5% leaves no flake room) of exact.
+    def mergedEst = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = mergedEst
     val direct = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -52,9 +67,13 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
         s"$flag: merged=${merged(flag)} direct=${direct(flag)}")
     }
     // determinism: same input → same merged estimate, run-to-run
-    val again = graft.SparkEntry.queries("agg_hll_union")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(again == merged)
+    assert(mergedEst == merged)
+    // registry contract: exact counts match, union_ok true everywhere
+    val contract = graft.SparkEntry.queries("agg_hll_union")(spark, sf).collect()
+    contract.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"${r.getString(0)} exact_orders")
+      assert(r.getBoolean(3), s"${r.getString(0)}: union_ok false")
+    }
   }
 
   test("approx_count_distinct is deterministic run-to-run (no RNG state)") {
