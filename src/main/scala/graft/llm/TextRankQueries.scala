@@ -167,30 +167,38 @@ object TextRankQueries {
     },
 
     // Blocked fuzzy dedup (record-linkage shape): normalize to the a–z
-    // skeleton, block on the 16-char normalized prefix, verify candidates
-    // with edit distance on the 200-char prefix. Blocking bounds the
-    // quadratic stage to within-block pairs (measured 357 candidates for
-    // 5000 docs at sf0.1) — the deliberate recall tradeoff is that a pair
-    // mutated inside its first 16 normalized chars is missed; multi-pass
-    // blocking (adding a suffix or length-bucket key) is the standard
-    // recall extension and changes nothing structural. Levenshtein is the
-    // verification step MinHash can't do: it certifies an exact edit
-    // bound, not an estimated set overlap.
+    // skeleton, block on TWO keys — the 16-char normalized prefix AND the
+    // 16-char normalized suffix (of the 200-char verify window) — union
+    // the candidate pairs, dedup, then verify with edit distance on the
+    // 200-char prefix. Blocking bounds the quadratic stage to
+    // within-block pairs (measured 357 candidates for 5000 docs at
+    // sf0.1); the second pass is the standard multi-pass recall
+    // extension: a pair mutated inside its first 16 normalized chars
+    // still agrees on the suffix key (and vice versa), so only pairs
+    // edited in BOTH 16-char windows are missed (FuzzyBlockingSpec pins
+    // the planted cases). Levenshtein is the verification step MinHash
+    // can't do: it certifies an exact edit bound, not an estimated set
+    // overlap.
     Q("dedup_fuzzy",
       """WITH nm AS (SELECT doc_id,
-        |    regexp_replace(lower(text), '[^a-z]', '', 'g') AS nrm FROM documents),
-        |b AS (SELECT doc_id, nrm, substr(nrm, 1, 16) AS p FROM nm
-        |  WHERE length(nrm) >= 16)
-        |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
-        |  CAST(levenshtein(substr(a.nrm, 1, 200), substr(b2.nrm, 1, 200)) AS INT) AS dist
-        |FROM b a JOIN b b2 ON a.p = b2.p AND a.doc_id < b2.doc_id
-        |WHERE levenshtein(substr(a.nrm, 1, 200), substr(b2.nrm, 1, 200)) <= 20
+        |    substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 200) AS nrm
+        |  FROM documents),
+        |b AS (SELECT doc_id, nrm, substr(nrm, 1, 16) AS p, right(nrm, 16) AS sfx
+        |  FROM nm WHERE length(nrm) >= 16),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id, a.nrm AS na, b2.nrm AS nb
+        |  FROM b a JOIN b b2 ON a.p = b2.p AND a.doc_id < b2.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id, a.nrm AS na, b2.nrm AS nb
+        |  FROM b a JOIN b b2 ON a.sfx = b2.sfx AND a.doc_id < b2.doc_id)
+        |SELECT a_id, b_id, CAST(levenshtein(na, nb) AS INT) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 20
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       // nrm is truncated to the 200 chars the verify step reads (identical
-      // output: the oracle takes substr(nrm,1,200) of the full normalization
-      // and min-length 16 is unaffected by a 200-char cap), so the
-      // self-join broadcasts bounded rows instead of full documents — at
-      // corpus scale the broadcast is 200 B/doc, not document-sized
+      // output: min-length 16 is unaffected by a 200-char cap — and the
+      // suffix key reads the SAME truncated window in both engines), so
+      // the self-join broadcasts bounded rows instead of full documents —
+      // at corpus scale the broadcast is 200 B/doc, not document-sized
       // repartition: the documents table is one parquet split, so without
       // it the streaming side of the self-join — and with it EVERY
       // levenshtein verify — runs as a single task on one core (measured
@@ -204,17 +212,22 @@ object TextRankQueries {
           substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
         .filter(length($"nrm") >= 16)
         .withColumn("p", substring($"nrm", 1, 16))
+        .withColumn("sfx", expr("right(nrm, 16)"))
+      def pairsOn(key: String) =
+        b.as("a").join(b.as("b2"),
+            col(s"a.$key") === col(s"b2.$key") && col("a.doc_id") < col("b2.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
+            col("a.nrm").as("na"), col("b2.nrm").as("nb"))
+      // dedup BEFORE the verify so a pair matching both block keys (the
+      // common case for true dups) pays one DP, not two
+      val cand = pairsOn("p").union(pairsOn("sfx")).dropDuplicates("a_id", "b_id")
       // THRESHOLDED levenshtein: the 3-arg form can terminate the DP past
       // the bound and returns -1 there — exact for every kept pair, so
       // output is identical to the full DP the oracle computes. Measured
       // ~4% here (sf1's candidates are mostly TRUE near-dups, so the band
       // stays full); the win scales with the far-pair share, which
       // dominates candidates on real heterogeneous crawl blocks.
-      b.as("a").join(b.as("b2"),
-          col("a.p") === col("b2.p") && col("a.doc_id") < col("b2.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
-          levenshtein(substring(col("a.nrm"), 1, 200),
-            substring(col("b2.nrm"), 1, 200), 20).as("dist"))
+      cand.select($"a_id", $"b_id", levenshtein($"na", $"nb", 20).as("dist"))
         .filter($"dist" >= 0 && $"dist" <= 20)
         .orderBy($"a_id", $"b_id")
     },
