@@ -18,6 +18,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // self-provision a missing scale dir (sf1 is gitignored and regenerated
+    // per session): the armed testdata-sf1 budget section must not be
+    // silently skippable just because the dir is absent. Driver-owned dirs
+    // under /root/testdata are never auto-written.
+    if (!new java.io.File(sfDir).exists() && !sfDir.startsWith("/root/testdata")) {
+      val src = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+      val reps = sys.env.getOrElse("GEN_REPLICAS", "10").toInt
+      System.err.println(s"[Bench] $sfDir absent — generating from $src ×$reps")
+      GenScale.replicate(spark, src, sfDir, reps)
+    }
     // per-query shuffle-read accounting: the number the 100 TB design
     // notes argue about, measured. Attributed per query by draining the
     // async listener bus at each window boundary; the reported figure is

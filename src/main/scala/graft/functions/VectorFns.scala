@@ -68,15 +68,25 @@ object VectorFns {
   def sqlQuantize(col: String): String =
     s"[CAST(floor(x*1e7) AS BIGINT) FOR x IN $col]"
 
-  /** DuckDB SQL fragment: exact integer dot of two quantized list columns. */
+  /** DuckDB SQL fragment: exact integer dot of two quantized list columns.
+    * Guarded on equal lengths: the kernels' contract is null-on-mismatch,
+    * and without the CASE an out-of-range `b[i]` would yield NULL elements
+    * that `list_sum` silently skips — a partial sum, not a null.
+    */
   def sqlQdot(a: String, b: String): String =
-    s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) AS BIGINT)"
+    s"CASE WHEN len($a) = len($b) THEN " +
+      s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) AS BIGINT) " +
+      "ELSE NULL END"
 
   /** DuckDB SQL fragment: exact integer squared norm. */
   def sqlQnorm2(a: String): String =
     s"CAST(list_sum([x*x FOR x IN $a]) AS BIGINT)"
 
-  /** DuckDB SQL fragment mirroring [[qdist2]]. */
+  /** DuckDB SQL fragment mirroring [[qdist2]]; same equal-length guard as
+    * [[sqlQdot]] to preserve the null-on-mismatch contract.
+    */
   def sqlQdist2(a: String, b: String): String =
-    s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) FOR i IN range(1, len($a)+1)]) AS BIGINT)"
+    s"CASE WHEN len($a) = len($b) THEN " +
+      s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) FOR i IN range(1, len($a)+1)]) AS BIGINT) " +
+      "ELSE NULL END"
 }

@@ -69,7 +69,10 @@ object ShardpackCli {
           case Array(k, v) if k.nonEmpty => meta += (k -> v); rest = tail
           case _ => throw new IllegalArgumentException(s"bad --metadata (want key=value): $kv")
         }
-      case flag :: value :: tail if known.contains(flag) =>
+      // a following "--" token is the NEXT flag, not this flag's value —
+      // without this guard `create --input --output y` would set
+      // input="--output" and fail later with a misleading missing-flag error
+      case flag :: value :: tail if known.contains(flag) && !value.startsWith("--") =>
         if (flags.contains(flag))
           throw new IllegalArgumentException(s"duplicate flag: $flag")
         flags += (flag -> value); rest = tail
@@ -129,7 +132,9 @@ object ShardpackCli {
     try run(spark, args.toSeq)
     catch {
       case e: IllegalArgumentException =>
-        System.err.println(e.getMessage); sys.exit(2)
+        // stop BEFORE exiting: sys.exit unwinds past `finally`, which would
+        // otherwise leave the stop to Spark's shutdown hook
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
     } finally spark.stop()
   }
 }

@@ -42,6 +42,11 @@ class ShardpackCliSpec extends AnyFunSuite with SparkTestBase {
         "--compression", "brotli")))
     intercept[IllegalArgumentException](ShardpackCli.run(spark, Seq("frobnicate")))
     intercept[IllegalArgumentException](ShardpackCli.run(spark, Seq.empty))
+    // a flag must not swallow the NEXT flag as its value: the error names
+    // the flag whose value is missing, not a downstream required flag
+    val e = intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("create", "--input", "--output", "y")))
+    assert(e.getMessage.contains("missing value for --input"), e.getMessage)
   }
 
   test("create packs a directory, honors --record-size-limit, stamps --metadata") {
