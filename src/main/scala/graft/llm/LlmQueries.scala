@@ -617,6 +617,154 @@ object LlmQueries {
        |GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  /** Merge rounds for bpe_merges — enough to exercise composite symbols
+    * (merges of earlier merges appear by round 6 on the driver corpus).
+    */
+  private val BpeMergeRounds = 10
+
+  /** Trained BPE state, memoized per (session, dir) like [[goodPairs]]:
+    * the merge table ([[SparkEntry]] `bpe_merges`) and the final
+    * word→tokenization histogram (`bpe_encode` applies it). The histogram
+    * stays persisted — it is vocab-bounded, and training touches the
+    * corpus exactly once (to build the word histogram), so re-running the
+    * loop per consumer would redo N vocab-sized jobs for nothing.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, String, Long)], DataFrame)]()
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeMemo.computeIfAbsent((s, d), { _ =>
+      val tok = documents(s, d)
+        .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+        .filter(length($"w") >= 2)
+      var cur = tok.groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select($"w",
+          concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"), $"freq")
+        .persist()
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMergeRounds && !exhausted) {
+        // guard size >= 2 explicitly: Spark's sequence(1, 0) DESCENDS
+        // ([1, 0]) instead of returning empty like DuckDB's range(1, 1)
+        val pairs = cur.select(split(trim($"s"), " ").as("syms"), $"freq")
+          .filter(size($"syms") >= 2)
+          .select(explode(transform(sequence(lit(1), size($"syms") - 1),
+            i => struct(element_at($"syms", i).as("lhs"),
+              element_at($"syms", i + 1).as("rhs")))).as("pr"), $"freq")
+          .select($"pr.lhs", $"pr.rhs", $"freq")
+          .groupBy($"lhs", $"rhs").agg(sum($"freq").cast(LongType).as("n"))
+        pairs.orderBy($"n".desc, $"lhs", $"rhs").limit(1).collect() match {
+          case Array() =>
+            // every word is a single symbol: no pairs left to merge; the
+            // oracle's b/w CTEs go empty the same round, so both engines
+            // emit the same truncated merge table
+            exhausted = true
+          case Array(best) =>
+            val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+            out += ((step, a, b, a + b, n))
+            val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
+            val next = cur
+              .select($"w", replace(replace($"s", pat, rep), pat, rep).as("s"),
+                $"freq")
+              .persist()
+            next.count() // materialize before dropping the parent's cache
+            cur.unpersist()
+            cur = next
+            step += 1
+        }
+      }
+      (out.result(), cur)
+    })
+
+  /** Unrolled DuckDB oracle for bpe_merges: iteration k's CTEs rebuild the
+    * word histogram from k−1's. `AS MATERIALIZED` is load-bearing — w/b
+    * CTEs are each referenced twice, and inlining would double the subtree
+    * per round (2^N blowup at the sf1 oracle gate).
+    */
+  /** Shared oracle for the two IVF search paths: `sim_ann_ivf` (in-memory
+    * probe filter) and `sim_ann_ivf_partitioned` (cell-partitioned on-disk
+    * layout). Same centroids, probe set, and top-k — physically different
+    * plans, identical results BY CONSTRUCTION, which is exactly what the
+    * shared oracle pins (the same contract as scan_parquet vs
+    * scan_shardpack over one semantic result).
+    */
+  private lazy val simAnnIvfOracleSql: String = {
+    def sqlCos(dv: String, dn: String, cv: String, cn: String) =
+      s"CAST(${sqlQdot(dv, cv)} AS DOUBLE) / " +
+        s"(sqrt(CAST($dn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+       |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
+       |probe AS (SELECT cid FROM c, qv
+       |  ORDER BY ${sqlCos("qv.v", "qv.n2", "c.cv", "c.cn2")} DESC, cid LIMIT 2),
+       |cell AS (SELECT n.vec_id, n.label, n.v, n.n2,
+       |  -(list_max(list({'cos': ${sqlCos("n.v", "n.n2", "c.cv", "c.cn2")},
+       |                   'ncid': -c.cid}))).ncid AS cell
+       |  FROM n, c GROUP BY n.vec_id, n.label, n.v, n.n2)
+       |SELECT cl.vec_id, cl.label, cl.cell,
+       |  ${sqlCos("cl.v", "cl.n2", "qv.v", "qv.n2")} AS cos
+       |FROM cell cl, qv WHERE cl.cell IN (SELECT cid FROM probe)
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Cell-partitioned IVF layout dir + its centroids, memoized per
+    * (session, dir): [[VectorIndex.writeCellLayout]] pays the one
+    * repartition-by-cell shuffle (the index-build cost) once; every probed
+    * search after that reads only the probed cells' FILES.
+    */
+  private val cellLayoutMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Seq[(Long, Array[Long])])]()
+  private def ivfCellLayout(s: SparkSession, d: String)
+      : (String, Seq[(Long, Array[Long])]) =
+    cellLayoutMemo.computeIfAbsent((s, d), { _ =>
+      val eq = lshFrame(s, d).select($"vec_id", $"label", $"v", $"n2")
+      val cents = VectorIndex.centroids(eq)
+      val dir = java.nio.file.Files.createTempDirectory("ivf-cells").toString
+      VectorIndex.writeCellLayout(eq, cents, dir)
+      (dir, cents)
+    })
+
+  private def bpeCtes(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT unnest([[syms[i], syms[i+1]] FOR i IN range(1, len(syms))]) AS pr, freq
+         |        FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM w${k - 1}))
+         |  GROUP BY lhs, rhs),
+         |b$k AS MATERIALIZED (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.w, replace(replace(w.s, ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' '),
+         |                 ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' ') AS s, w.freq
+         |  FROM w${k - 1} w, b$k b)""".stripMargin
+    }
+    (w0 +: iters).mkString(",\n")
+  }
+
+  private def bpeMergesOracleSql(rounds: Int): String = {
+    val finals = (1 to rounds)
+      .map(k => s"SELECT $k AS step, lhs, rhs, lhs||rhs AS merged, n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(rounds)}\nSELECT * FROM ($finals) ORDER BY step"
+  }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents) WHERE length(w) >= 1)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(COALESCE(len(string_split(trim(t.s), ' ')), 1)) AS BIGINT) AS n_tokens
+       |FROM dw LEFT JOIN w$rounds t ON dw.w = t.w
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────── deduplication ─────────────────────
@@ -1002,25 +1150,7 @@ object LlmQueries {
     // ~7/8 of the table before the top-k. All cosines are exact-integer
     // dots cast to DOUBLE in a fixed op order, so the DuckDB oracle replays
     // cell assignment, probe selection, and the final top-k identically.
-    Q("sim_ann_ivf", {
-      def sqlCos(dv: String, dn: String, cv: String, cn: String) =
-        s"CAST(${sqlQdot(dv, cv)} AS DOUBLE) / " +
-          s"(sqrt(CAST($dn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE)))"
-      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
-         |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
-         |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
-         |probe AS (SELECT cid FROM c, qv
-         |  ORDER BY ${sqlCos("qv.v", "qv.n2", "c.cv", "c.cn2")} DESC, cid LIMIT 2),
-         |cell AS (SELECT n.vec_id, n.label, n.v, n.n2,
-         |  -(list_max(list({'cos': ${sqlCos("n.v", "n.n2", "c.cv", "c.cn2")},
-         |                   'ncid': -c.cid}))).ncid AS cell
-         |  FROM n, c GROUP BY n.vec_id, n.label, n.v, n.n2)
-         |SELECT cl.vec_id, cl.label, cl.cell,
-         |  ${sqlCos("cl.v", "cl.n2", "qv.v", "qv.n2")} AS cos
-         |FROM cell cl, qv WHERE cl.cell IN (SELECT cid FROM probe)
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-    }) { (s, d) =>
+    Q("sim_ann_ivf", simAnnIvfOracleSql) { (s, d) =>
       val nCent = 16
       val nProbe = 2
       // Centroids (and the query vector) are collected driver state, as in
@@ -1074,6 +1204,37 @@ object LlmQueries {
             colCos($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
+      }
+    },
+
+    // The same IVF search served from a CELL-PARTITIONED layout
+    // ([[VectorIndex.writeCellLayout]], memoized build): the probe
+    // predicate lands in the scan's PartitionFilters, so the nprobe=2
+    // search opens 2 of 16 cell directories and reads ZERO bytes of the
+    // other 14 — files pruned, not rows (CellLayoutSpec pins the pruned
+    // file set; the in-memory sim_ann_ivf filters rows of a full scan).
+    // Same centroids/probe/top-k as sim_ann_ivf, so the shared oracle
+    // pins the two physical paths to one semantic result. At 100 TB this
+    // is the serving shape: per-cell file sets grow with the corpus while
+    // probe cost grows only with the probed cells.
+    Q("sim_ann_ivf_partitioned", simAnnIvfOracleSql) { (s, d) =>
+      val (layoutDir, cents) = ivfCellLayout(s, d)
+      val qvOpt = cents.find(_._1 == 1L).map(_._2)
+      qvOpt match {
+        case scala.None =>
+          lshFrame(s, d)
+            .select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
+            .filter(lit(false))
+        case Some(qv) =>
+          val qn2 = qv.map(x => x * x).sum
+          val probes = VectorIndex.probeCells(cents, qv, nprobe = 2)
+          VectorIndex.readProbed(s, layoutDir, probes)
+            .select($"vec_id", $"label", $"cell",
+              (qdot($"v", array(qv.map(lit(_)): _*)).cast(DoubleType) /
+                (sqrt($"n2".cast(DoubleType)) *
+                  sqrt(lit(qn2).cast(DoubleType)))).as("cos"))
+            .orderBy($"cos".desc, $"vec_id")
+            .limit(10)
       }
     },
 
@@ -1886,6 +2047,52 @@ object LlmQueries {
         .groupBy($"pair").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair")
         .limit(200)
+    },
+
+    // The full BPE tokenizer-training loop (bpe_pair_counts is ONE
+    // iteration): N greedy merges over the distinct-WORD histogram — the
+    // standard trainer shape (GPT-2 BPE trains on word counts, not the
+    // corpus), so per-iteration cost is vocab-bounded regardless of corpus
+    // size; the corpus is touched exactly once to build the histogram.
+    // Each word's tokenization is a space-joined symbol string (" a b c ")
+    // and a merge is `replace(s, " a b ", " ab ")` applied twice — replace
+    // scans left-to-right non-overlapping in both engines, and the only
+    // occurrences the first pass can miss are ones whose leading space was
+    // consumed by the previous match; those are never adjacent to each
+    // other, so a second pass catches them all. This reproduces greedy BPE
+    // exactly with no per-row lambda fold. Argmax per iteration is a
+    // 1-ROW driver scalar (count desc, then lexicographic pair — a total,
+    // engine-identical tie order); each iteration's histogram is persisted
+    // and the parent unpersisted, so lineage stays flat across the loop.
+    Q("bpe_merges", bpeMergesOracleSql(BpeMergeRounds)) { (s, d) =>
+      // selective import: s.implicits._ would make the $ interpolator
+      // ambiguous with this file's Interp
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      bpeTrained(s, d)._1.toDF("step", "lhs", "rhs", "merged", "n")
+        .orderBy($"step")
+    },
+
+    // Apply the trained merge table: tokenize every document with the
+    // BPE vocabulary bpe_merges learned — the serving half of the
+    // tokenizer. Per-doc token counts come from one join of exploded doc
+    // words against the memoized word→tokenization histogram (the loop's
+    // final state), so application costs one explode + one vocab-keyed
+    // join — no per-document merge replay. Words below the 2-char
+    // training floor tokenize to 1 symbol (left join + coalesce). The
+    // join side is vocab-bounded; AQE broadcasts it while it fits and
+    // falls back to a word-keyed shuffle join past the threshold — the
+    // right call at 100 TB where a web-scale vocab outgrows a broadcast.
+    Q("bpe_encode", bpeEncodeOracleSql(BpeMergeRounds)) { (s, d) =>
+      val wordToks = bpeTrained(s, d)._2
+        .select($"w", size(split(trim($"s"), " ")).cast(LongType).as("toks"))
+      documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
+        .filter(length($"w") >= 1)
+        .join(wordToks, Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce($"toks", lit(1L))).as("n_tokens"))
+        .orderBy($"doc_id")
     },
 
     // Flesch reading ease per document — the classic readability screen.

@@ -250,4 +250,32 @@ object VectorIndex {
   /** Driver-side residual of a query against one centroid. */
   def residualArr(query: Array[Long], cent: Array[Long]): Array[Long] =
     query.indices.map(i => query(i) - cent(i)).toArray
+
+  /** Write a CELL-PARTITIONED layout: assign cells, cluster by cell (the
+    * one shuffle — the index-build cost, paid once), and write parquet
+    * partitioned by `cell`. This is the on-disk shape that makes an IVF
+    * probe prune FILES, not just rows: a search over nprobe cells opens
+    * nprobe directories and leaves the rest of the corpus untouched —
+    * the "probe prunes files" step the in-memory `sim_ann_ivf` plan
+    * can't show, and the layout a 100 TB deployment actually serves
+    * from (per-cell file sets scale with corpus size; the probe cost
+    * scales with the probed cells only).
+    */
+  def writeCellLayout(index: DataFrame, cents: Seq[(Long, Array[Long])],
+      dir: String): Unit =
+    assignCells(index, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** Read ONLY the probed cells of a [[writeCellLayout]] dir. The `cell`
+    * predicate is a partition filter — directory-level pruning, zero
+    * bytes read from unprobed cells (CellLayoutSpec pins the pruned file
+    * set via `inputFiles`). `cell` comes back as the partition column's
+    * inferred int type; cast to BIGINT to restore the column contract.
+    */
+  def readProbed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cells: Seq[Long]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast(LongType))
 }

@@ -232,6 +232,66 @@ object RelationalQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // TPC-H Q8-shaped: national market share — the 8-way snowflake with a
+  // double role for nation (customer side routes through region, supplier
+  // side names the share's nation). Volume is summed in exact integer
+  // units via the agg_group sum_disc_price pattern (cents × pct as
+  // DECIMAL(38,0)); the share is ONE division of two correctly-rounded
+  // doubles, identical in both engines. EXTRACT(year) is cast to INT
+  // because DuckDB's EXTRACT returns BIGINT where Spark returns INT.
+  // 'NATION_1' / 'AMERICA' / 'ECONOMY' are this dataset's value domain
+  // (TESTDATA.md) standing in for the spec's BRAZIL/AMERICA/part-type.
+  private val Q8Sql =
+    """WITH v AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * 100 AS BIGINT) *
+      |         (100 - CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS vol,
+      |    n2.n_name AS nation
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN vol ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // TPC-H Q13-shaped: the orders-per-customer distribution. The LEFT JOIN
+  // keeps zero-order customers (the distribution's head); the extra ON
+  // predicate stands in for the spec's comment NOT LIKE filter
+  // (o_orderpriority replaces the absent o_comment column). All-integer —
+  // no float determinism surface at all.
+  private val Q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // TPC-H Q17-shaped: small-quantity-order revenue, the classic
+  // correlated-scalar-subquery-with-aggregate plan (Catalyst rewrites it
+  // to an aggregate + join on l_partkey). The per-part average is the
+  // exact-decimal-sum / count davg form written out in SQL so both
+  // engines compute the identical double threshold; 0.2 is cast to
+  // DOUBLE explicitly (both engines parse the bare literal as DECIMAL).
+  // p_brand/p_type stand in for the spec's brand/container predicate.
+  private val Q17Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+      |  AND l_quantity < (
+      |    SELECT CAST(0.2 AS DOUBLE) *
+      |      (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l2.l_quantity))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -566,6 +626,24 @@ object RelationalQueries {
       Seq("customer", "orders")
         .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
       s.sql(Q22Sql)
+    },
+
+    Q("sql_q8", Q8Sql) { (s, d) =>
+      Seq("part", "lineitem", "supplier", "orders", "customer", "nation",
+        "region").foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q8Sql)
+    },
+
+    Q("sql_q13", Q13Sql) { (s, d) =>
+      Seq("customer", "orders")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q13Sql)
+    },
+
+    Q("sql_q17", Q17Sql) { (s, d) =>
+      Seq("lineitem", "part")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q17Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────
