@@ -637,9 +637,17 @@ object LlmQueries {
       val tok = documents(s, d)
         .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
         .filter(length($"w") >= 2)
+      // DOUBLE-space separators ("  x  y  "): every symbol occurrence
+      // owns a boundary space on each side, so ONE literal
+      // replace(" a  b ", " ab ") is exactly greedy left-to-right BPE —
+      // the matched region keeps one outer space per side and the
+      // replacement restores the invariant, so the scanner never consumes
+      // the next occurrence's lead. (A single-space scheme needed two
+      // passes and STILL misaligned self-pair merges on symbol runs ≥ 5 —
+      // caught by BpeMergesSpec's greedy-equivalence property.)
       var cur = tok.groupBy($"w").agg(count(lit(1)).as("freq"))
         .select($"w",
-          concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"), $"freq")
+          concat(lit("  "), regexp_replace($"w", "(.)", "$1  ")).as("s"), $"freq")
         .persist()
       val out = Seq.newBuilder[(Int, String, String, String, Long)]
       var step = 1
@@ -647,7 +655,7 @@ object LlmQueries {
       while (step <= BpeMergeRounds && !exhausted) {
         // guard size >= 2 explicitly: Spark's sequence(1, 0) DESCENDS
         // ([1, 0]) instead of returning empty like DuckDB's range(1, 1)
-        val pairs = cur.select(split(trim($"s"), " ").as("syms"), $"freq")
+        val pairs = cur.select(split(trim($"s"), "  ").as("syms"), $"freq")
           .filter(size($"syms") >= 2)
           .select(explode(transform(sequence(lit(1), size($"syms") - 1),
             i => struct(element_at($"syms", i).as("lhs"),
@@ -663,10 +671,9 @@ object LlmQueries {
           case Array(best) =>
             val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
             out += ((step, a, b, a + b, n))
-            val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
             val next = cur
-              .select($"w", replace(replace($"s", pat, rep), pat, rep).as("s"),
-                $"freq")
+              .select($"w",
+                replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"), $"freq")
               .persist()
             next.count() // materialize before dropping the parent's cache
             cur.unpersist()
@@ -727,9 +734,11 @@ object LlmQueries {
     })
 
   private def bpeCtes(rounds: Int): String = {
+    // double-space separators — see bpeTrained: one literal replace per
+    // merge is exactly greedy left-to-right BPE under this encoding
     val w0 =
       """w0 AS MATERIALIZED (
-        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, count(*) AS freq
+        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s, count(*) AS freq
         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |        FROM documents)
         |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
@@ -737,12 +746,11 @@ object LlmQueries {
       s"""p$k AS (
          |  SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(freq) AS BIGINT) AS n
          |  FROM (SELECT unnest([[syms[i], syms[i+1]] FOR i IN range(1, len(syms))]) AS pr, freq
-         |        FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM w${k - 1}))
+         |        FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM w${k - 1}))
          |  GROUP BY lhs, rhs),
          |b$k AS MATERIALIZED (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT w.w, replace(replace(w.s, ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' '),
-         |                 ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' ') AS s, w.freq
+         |  SELECT w.w, replace(w.s, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||b.rhs||' ') AS s, w.freq
          |  FROM w${k - 1} w, b$k b)""".stripMargin
     }
     (w0 +: iters).mkString(",\n")
@@ -761,7 +769,7 @@ object LlmQueries {
        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
        |    FROM documents) WHERE length(w) >= 1)
        |SELECT doc_id, count(*) AS n_words,
-       |  CAST(sum(COALESCE(len(string_split(trim(t.s), ' ')), 1)) AS BIGINT) AS n_tokens
+       |  CAST(sum(COALESCE(len(string_split(trim(t.s), '  ')), 1)) AS BIGINT) AS n_tokens
        |FROM dw LEFT JOIN w$rounds t ON dw.w = t.w
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -2054,13 +2062,14 @@ object LlmQueries {
     // standard trainer shape (GPT-2 BPE trains on word counts, not the
     // corpus), so per-iteration cost is vocab-bounded regardless of corpus
     // size; the corpus is touched exactly once to build the histogram.
-    // Each word's tokenization is a space-joined symbol string (" a b c ")
-    // and a merge is `replace(s, " a b ", " ab ")` applied twice — replace
-    // scans left-to-right non-overlapping in both engines, and the only
-    // occurrences the first pass can miss are ones whose leading space was
-    // consumed by the previous match; those are never adjacent to each
-    // other, so a second pass catches them all. This reproduces greedy BPE
-    // exactly with no per-row lambda fold. Argmax per iteration is a
+    // Each word's tokenization is a DOUBLE-space-joined symbol string
+    // ("  a  b  c  ") and a merge is one literal
+    // `replace(s, " a  b ", " ab ")` — under this encoding every
+    // occurrence owns its boundary spaces, so the engines' left-to-right
+    // non-overlapping replace IS greedy BPE exactly (the property test in
+    // BpeMergesSpec pins it against a direct greedy scan; a single-space
+    // two-pass scheme misaligned self-pair merges on runs ≥ 5). No
+    // per-row lambda fold. Argmax per iteration is a
     // 1-ROW driver scalar (count desc, then lexicographic pair — a total,
     // engine-identical tie order); each iteration's histogram is persisted
     // and the parent unpersisted, so lineage stays flat across the loop.
@@ -2084,7 +2093,7 @@ object LlmQueries {
     // right call at 100 TB where a web-scale vocab outgrows a broadcast.
     Q("bpe_encode", bpeEncodeOracleSql(BpeMergeRounds)) { (s, d) =>
       val wordToks = bpeTrained(s, d)._2
-        .select($"w", size(split(trim($"s"), " ")).cast(LongType).as("toks"))
+        .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
       documents(s, d)
         .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
         .filter(length($"w") >= 1)

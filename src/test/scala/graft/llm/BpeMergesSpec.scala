@@ -11,9 +11,9 @@ import graft.SparkTestBase
   *
   *  - overlap: merging (a,a) into "aaa" must give greedy "aa a", not
   *    "a aa" or a double-merge "aa aa";
-  *  - consecutive occurrences: "abab" → " ab ab " exercises the
-  *    second replace pass (the first pass consumes the space the next
-  *    occurrence needs);
+  *  - consecutive occurrences: "abab" must merge BOTH (a,b) pairs in one
+  *    round (under the double-space encoding each occurrence owns its
+  *    boundary spaces, so one replace suffices);
   *  - composite merges: round 3 merges two earlier merge outputs
   *    (ab + ab), the part a single-pass pair count can't produce;
   *  - ties: rounds 5/6 break an n=1 tie lexicographically;
@@ -45,7 +45,7 @@ class BpeMergesSpec extends AnyFunSuite with SparkTestBase {
     d
   }
 
-  test("greedy merges, two-pass replace, tie-break, early exhaustion") {
+  test("greedy merges, composite symbols, tie-break, early exhaustion") {
     val rows = graft.SparkEntry.queries("bpe_merges")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
         r.getLong(4)))
@@ -57,6 +57,52 @@ class BpeMergesSpec extends AnyFunSuite with SparkTestBase {
       (5, "x", "y", "xy", 1L),
       (6, "xy", "z", "xyz", 1L)),
       s"merge table diverged from greedy BPE: ${rows.toSeq}")
+  }
+
+  test("single replace under double-space encoding == greedy merge scan") {
+    // the query's merge step is ONE literal `replace(s, " a  b ", " ab ")`
+    // over the double-space-joined symbol string; this property pins it
+    // against a direct greedy left-to-right scan across random words and
+    // random merge sequences (not just argmax merges), including the
+    // self-pair run shapes ("bbbbb") that broke the earlier single-space
+    // two-pass scheme (misaligned merge at run offset 3 — seed 196 below
+    // was the original counterexample)
+    def greedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def viaReplace(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val pat = s" $a  $b "; val rep = s" $a$b "
+      ("  " + syms.mkString("  ") + "  ").replace(pat, rep)
+        .trim.split("  ").filter(_.nonEmpty).toVector
+    }
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.chooseNum(1, 14)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- 0 until 200) {
+      var word = wordGen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .map(_.toString).toVector
+      // up to 5 random merges chained on the greedy result
+      var step = 0
+      while (step < 5 && word.length >= 2) {
+        val pairs = word.zip(word.tail).distinct
+        val (a, b) = pairs((seed * 31 + step) % pairs.length)
+        val g = greedy(word, a, b)
+        val r = viaReplace(word, a, b)
+        assert(g == r,
+          s"divergence at seed=$seed step=$step merging ($a,$b) on $word:\n" +
+            s"  greedy=$g\n  replace=$r")
+        word = g
+        step += 1
+      }
+    }
   }
 
   test("encode applies the trained vocabulary; sub-floor words count 1") {
