@@ -733,6 +733,27 @@ object LlmQueries {
       (dir, cents)
     })
 
+  /** Apply the (session, trainDir)-trained BPE vocabulary to an arbitrary
+    * documents frame: per-doc word and token counts via one explode + one
+    * vocab-keyed join against the trained word→tokenization histogram.
+    * The histogram is a STATIC persisted frame, so `docs` may be a
+    * streaming frame too — the join is a stream-static join and the
+    * aggregation is a standard stateful agg (BpeStreamingSpec pins
+    * batch/stream parity): the "train the tokenizer offline, meter the
+    * ingest stream" deployment shape.
+    */
+  def bpeTokenize(s: SparkSession, trainDir: String, docs: DataFrame): DataFrame = {
+    val wordToks = bpeTrained(s, trainDir)._2
+      .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
+    docs
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter(length($"w") >= 1)
+      .join(wordToks, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"toks", lit(1L))).as("n_tokens"))
+  }
+
   private def bpeCtes(rounds: Int): String = {
     // double-space separators — see bpeTrained: one literal replace per
     // merge is exactly greedy left-to-right BPE under this encoding
@@ -2092,16 +2113,7 @@ object LlmQueries {
     // falls back to a word-keyed shuffle join past the threshold — the
     // right call at 100 TB where a web-scale vocab outgrows a broadcast.
     Q("bpe_encode", bpeEncodeOracleSql(BpeMergeRounds)) { (s, d) =>
-      val wordToks = bpeTrained(s, d)._2
-        .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
-      documents(s, d)
-        .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
-        .filter(length($"w") >= 1)
-        .join(wordToks, Seq("w"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum(coalesce($"toks", lit(1L))).as("n_tokens"))
-        .orderBy($"doc_id")
+      bpeTokenize(s, d, documents(s, d)).orderBy($"doc_id")
     },
 
     // Flesch reading ease per document — the classic readability screen.
