@@ -191,19 +191,42 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     * width keeps small corpora in one shard — identical bins to a global
     * pack — while a 100 TB corpus sets a width matching its layout.
     */
-  def packSequences(binTokens: Int = 2048, shardDocs: Long = 1L << 20): CurationPipeline =
-    step(s"packSequences($binTokens,$shardDocs)") { d =>
+  def packSequences(binTokens: Int = 2048, shardDocs: Long = 1L << 20,
+      tokenCol: Option[String] = None): CurationPipeline =
+    step(s"packSequences($binTokens,$shardDocs${tokenCol.fold("")("," + _)})") { d =>
       val ord =
         if (d.columns.contains("chunk_id")) Seq(col("doc_id"), col("chunk_id"))
         else Seq(col("doc_id"))
       val w = Window.partitionBy(col("shard_id")).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
+      // tokenCol (e.g. meterBpe's n_tokens) packs by the REAL tokenizer's
+      // counts; the default keeps the whitespace proxy
+      val nTok = tokenCol match {
+        case Some(c) => col(c).cast(LongType)
+        case scala.None =>
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast(LongType)
+      }
       d.withColumn("shard_id", expr(s"doc_id div $shardDocs"))
-        .withColumn("__n_tok",
-          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast(LongType))
+        .withColumn("__n_tok", nTok)
         .withColumn("__before", coalesce(sum(col("__n_tok")).over(w), lit(0L)))
         .withColumn("bin", expr(s"__before div $binTokens"))
         .drop("__n_tok", "__before")
+    }
+
+  /** Annotate every document with `n_tokens` from the BPE vocabulary
+    * trained on `trainDir` ([[LlmQueries.bpeTokenize]]'s vocab-keyed
+    * join), so `packSequences(tokenCol = Some("n_tokens"))` bins by the
+    * real tokenizer's counts instead of the whitespace proxy — sequence
+    * budgets in a training pipeline are tokenizer tokens, not words.
+    * Documents with no alphabetic words meter at 0 tokens.
+    */
+  def meterBpe(spark: org.apache.spark.sql.SparkSession,
+      trainDir: String): CurationPipeline =
+    step("meterBpe") { d =>
+      val counts = LlmQueries.bpeTokenize(spark, trainDir, d)
+        .select(col("doc_id"), col("n_tokens"))
+      d.join(counts, Seq("doc_id"), "left")
+        .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     }
 
   /** Sliding-window chunking (doc_chunk's shape, parameterized): each

@@ -293,4 +293,29 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(round == ids.map(i => i -> s"text of $i").toMap)
   }
+
+  test("meterBpe + packSequences bins by the trained tokenizer's counts") {
+    val metered = CurationPipeline(docs).meterBpe(spark, sf).result
+    // the annotation must be exactly bpe_encode's per-doc n_tokens
+    val expected = graft.SparkEntry.queries("bpe_encode")(spark, sf)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = metered.select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "meterBpe diverged from bpe_encode")
+    // binning by the metered column: each doc's bin is the running sum of
+    // PRIOR docs' n_tokens div binTokens, within the single default shard
+    val binTokens = 500
+    val out = CurationPipeline(docs).meterBpe(spark, sf)
+      .packSequences(binTokens, tokenCol = Some("n_tokens")).result
+      .select(col("doc_id"), col("bin")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var before = 0L
+    docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      .foreach { id =>
+        assert(out(id) == before / binTokens,
+          s"doc $id bin ${out(id)} != ${before / binTokens}")
+        before += expected(id)
+      }
+  }
 }
