@@ -788,6 +788,27 @@ object LlmQueries {
       }.sortBy(_._1)
     })
 
+  /** One shared SQL text for the exact-arithmetic one-Lloyd-round k-means
+    * training chain (cold-start c0 from `vec_id < 16` → assignment a0 →
+    * floor-mean refinement → refined centroids `cn`) — consumed by BOTH
+    * sim_ann_ivf_kmeans and dedup_semantic. The chain appears in two
+    * oracles × one Spark replica ([[kmeansRefined]]); a drifted copy is a
+    * silent oracle divergence, so it lives here once.
+    */
+  private def sqlKmeansCellCtes: String =
+    s"""e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+       |a0 AS (SELECT n.vec_id, n.v,
+       |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c0.cv", "c0.cn2")},
+       |                   'ncid': -c0.cid}))).ncid AS cell
+       |  FROM n, c0 GROUP BY n.vec_id, n.v, n.n2),
+       |sums AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0),
+       |ref AS (SELECT cell, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+       |  FROM sums GROUP BY cell, pos),
+       |cents AS (SELECT cell AS cid, list(ci ORDER BY pos) AS cv FROM ref GROUP BY cell),
+       |cn AS (SELECT cid, cv, ${sqlQnorm2("cv")} AS cn2 FROM cents)""".stripMargin
+
   private def bpeCtes(rounds: Int): String = {
     // double-space separators — see bpeTrained: one literal replace per
     // merge is exactly greedy left-to-right BPE under this encoding
@@ -1356,18 +1377,7 @@ object LlmQueries {
     // bit-for-bit via the same floor — the k-means step stays inside the
     // rows+schema+hash oracle gate rather than dropping to rows-only.
     Q("sim_ann_ivf_kmeans",
-      s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
-         |c0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
-         |a0 AS (SELECT n.vec_id, n.v,
-         |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c0.cv", "c0.cn2")},
-         |                   'ncid': -c0.cid}))).ncid AS cell
-         |  FROM n, c0 GROUP BY n.vec_id, n.v, n.n2),
-         |sums AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0),
-         |ref AS (SELECT cell, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS ci
-         |  FROM sums GROUP BY cell, pos),
-         |cents AS (SELECT cell AS cid, list(ci ORDER BY pos) AS cv FROM ref GROUP BY cell),
-         |cn AS (SELECT cid, cv, ${sqlQnorm2("cv")} AS cn2 FROM cents),
+      s"""WITH $sqlKmeansCellCtes,
          |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
          |probe AS (SELECT cid FROM cn, qv
          |  ORDER BY ${sqlIvfCos("qv.v", "qv.n2", "cn.cv", "cn.cn2")} DESC, cid LIMIT 2),
@@ -1404,6 +1414,55 @@ object LlmQueries {
             ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
+      }
+    },
+
+    // SEMANTIC DEDUP (the SemDeDup construction, Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embeddings with the SAME memoized
+    // one-Lloyd-round k-means cells as sim_ann_ivf_kmeans, then compare
+    // pairs ONLY within a cell — cosine ≥ 0.4 marks the higher vec_id a
+    // duplicate of its lowest qualifying cell-mate (greedy-by-id, the
+    // deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
+    // Scale shape: clustering is what makes semantic dedup sub-quadratic —
+    // candidate pairs are per-cell, and in production K grows with the
+    // corpus (K ≈ N/c̄ for a target mean cell size c̄), so per-cell pair
+    // cost stays bounded while assignment stays a no-shuffle broadcast-
+    // literal map. The only exchanges here are the cell-keyed self-join
+    // and one bounded groupBy on vec_id.
+    Q("dedup_semantic",
+      s"""WITH $sqlKmeansCellCtes,
+         |a1 AS (SELECT n.vec_id, n.v, n.n2,
+         |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "cn.cv", "cn.cn2")},
+         |                   'ncid': -cn.cid}))).ncid AS cell
+         |  FROM n, cn GROUP BY n.vec_id, n.v, n.n2),
+         |p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlIvfCos("a.v", "a.n2", "b.v", "b.n2")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT a1.vec_id, a1.cell, (p.dup_of IS NOT NULL) AS is_dup, p.dup_of
+         |FROM a1 LEFT JOIN p ON a1.vec_id = p.vec_id
+         |ORDER BY a1.vec_id""".stripMargin) { (s, d) =>
+      val nCent = 16
+      val eq = lshFrame(s, d)
+      val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      if (initRows.isEmpty)
+        eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
+          lit(null).cast(LongType).as("dup_of")).filter(lit(false))
+      else {
+        val refined = kmeansRefined(s, d, eq, initRows, initRows.head._2.length)
+        val cells = eq.withColumn("cell", ivfCellCol(refined))
+          .select($"vec_id", $"cell", $"v", $"n2")
+        val dups = cells.as("a")
+          .join(cells.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .filter(ivfCosCol(col("a.v"), col("a.n2"), col("b.v"), col("b.n2")) >= 0.4)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"))
+          .groupBy($"vec_id").agg(min($"a_id").as("dup_of"))
+        cells.select($"vec_id", $"cell")
+          .join(dups, Seq("vec_id"), "left")
+          .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+          .orderBy($"vec_id")
       }
     },
 
