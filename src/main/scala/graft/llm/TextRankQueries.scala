@@ -324,6 +324,107 @@ object TextRankQueries {
         .orderBy($"doc_id")
     },
 
+    // DISTILL the Gopher keep rule into a decision stump — the exact
+    // greedy split search that is the base-learner primitive of every
+    // distributed GBDT (XGBoost/LightGBM histogram method): features are
+    // hashed bag-of-words counts (B buckets + a total-count feature),
+    // candidates are every observed (feature, value), and the trained
+    // stump `x >= t` is the argmin-misclassification split with
+    // deterministic ties (error, then bucket, then threshold). The whole
+    // search is integer-exact, so the DuckDB oracle replays TRAINING and
+    // scoring bit-for-bit. Scale shape: one docs×B-bounded count shuffle,
+    // one aggregation over distinct (b, x) candidates with a per-bucket
+    // running sum — the histogram pass — and a broadcast of the single
+    // learned stump for scoring; no driver state beyond the 1-row model.
+    // On this corpus the stump recovers the label's binding clause
+    // exactly (total-count feature, t = 50 ≙ Gopher's n_words ≥ 50).
+    Q("quality_distill_stump", {
+      val B = 16
+      val wh = s"(${graft.functions.CrossHash.sqlWordHash("w")}) % $B"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |  FROM documents),
+         |cnts AS (SELECT doc_id, $wh AS b, count(*) AS x
+         |  FROM tok WHERE w <> '' GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, CAST(g.range AS BIGINT) AS b
+         |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range($B) g),
+         |feat0 AS (SELECT g.doc_id, g.b, coalesce(c.x, 0) AS x
+         |  FROM grid g LEFT JOIN cnts c USING (doc_id, b)),
+         |feat AS (SELECT doc_id, b, x FROM feat0
+         |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b, CAST(sum(x) AS BIGINT) AS x
+         |  FROM feat0 GROUP BY doc_id),
+         |gw AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+         |  FROM documents) WHERE w <> ''),
+         |gs AS (SELECT doc_id, count(*) AS n_words,
+         |  CAST(SUM(length(w)) AS DOUBLE) / count(*) AS mean_wlen,
+         |  CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS alpha_ratio
+         |  FROM gw GROUP BY doc_id),
+         |lab AS (SELECT doc_id, CASE WHEN n_words >= 50 AND n_words <= 100000
+         |  AND mean_wlen >= 3 AND mean_wlen <= 10 AND alpha_ratio >= 0.8
+         |  THEN 1 ELSE 0 END AS y FROM gs),
+         |hist AS (SELECT f.b, f.x, sum(l.y) AS pos_at, count(*) AS n_at
+         |  FROM feat f JOIN lab l USING (doc_id) GROUP BY f.b, f.x),
+         |cum AS (SELECT b, x AS t,
+         |  sum(pos_at) OVER (PARTITION BY b ORDER BY x DESC) AS pos_ge,
+         |  sum(n_at) OVER (PARTITION BY b ORDER BY x DESC) AS n_ge
+         |  FROM hist),
+         |err AS (SELECT b, t,
+         |  (n_ge - pos_ge) + ((SELECT sum(y) FROM lab) - pos_ge) AS e FROM cum),
+         |best AS (SELECT b, t, e FROM err ORDER BY e, b, t LIMIT 1)
+         |SELECT f.doc_id, bs.b AS stump_b, bs.t AS stump_t,
+         |  CAST(bs.e AS BIGINT) AS train_err, f.x,
+         |  (f.x >= bs.t) AS predicted, (l.y = 1) AS actual,
+         |  ((f.x >= bs.t) = (l.y = 1)) AS agree
+         |FROM best bs JOIN feat f ON f.b = bs.b JOIN lab l USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin
+    }) { (s, d) =>
+      val B = 16
+      val docs = documents(s, d)
+      val tok = docs.select($"doc_id",
+          explode(split(lower($"text"), "[^a-z]+")).as("w"))
+        .filter($"w" =!= "")
+      val cnts = tok
+        .select($"doc_id", (graft.functions.CrossHash.wordHash($"w") % B).as("b"))
+        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("x"))
+      val grid = docs.select($"doc_id")
+        .crossJoin(broadcast(s.range(B).select($"id".as("b"))))
+      val feat0 = grid.join(cnts, Seq("doc_id", "b"), "left")
+        .select($"doc_id", $"b", coalesce($"x", lit(0L)).as("x"))
+      val feat = feat0.unionByName(
+        feat0.groupBy($"doc_id").agg(sum($"x").as("x"))
+          .select($"doc_id", lit(B.toLong).as("b"), $"x"))
+      // the label is quality_gopher's keep rule, same expressions/op order
+      val gw = docs.select($"doc_id", explode(split($"text", "\\s+")).as("w"))
+        .filter($"w" =!= "")
+      val lab = gw.groupBy($"doc_id").agg(
+          count(lit(1)).as("n_words"),
+          (sum(length($"w")).cast(DoubleType) / count(lit(1))).as("mean_wlen"),
+          (sum(when($"w".rlike("[a-zA-Z]"), 1).otherwise(0)).cast(DoubleType) /
+            count(lit(1))).as("alpha_ratio"))
+        .select($"doc_id",
+          when($"n_words" >= 50 && $"n_words" <= 100000 &&
+            $"mean_wlen" >= 3 && $"mean_wlen" <= 10 &&
+            $"alpha_ratio" >= 0.8, 1L).otherwise(0L).as("y"))
+      val hist = feat.join(lab, "doc_id")
+        .groupBy($"b", $"x").agg(sum($"y").as("pos_at"), count(lit(1)).as("n_at"))
+      val w = Window.partitionBy($"b").orderBy($"x".desc)
+      val cum = hist.select($"b", $"x".as("t"),
+        sum($"pos_at").over(w).as("pos_ge"), sum($"n_at").over(w).as("n_ge"))
+      val totPos = lab.agg(sum($"y").as("p"))
+      val best = cum.crossJoin(totPos)
+        .select($"b", $"t", (($"n_ge" - $"pos_ge") + ($"p" - $"pos_ge")).as("e"))
+        .orderBy($"e", $"b", $"t").limit(1)
+      feat.as("f")
+        .join(broadcast(best.as("bs")), col("f.b") === col("bs.b"))
+        .join(lab, "doc_id")
+        .select($"doc_id", col("bs.b").as("stump_b"), col("bs.t").as("stump_t"),
+          col("bs.e").as("train_err"), col("f.x").as("x"),
+          (col("f.x") >= col("bs.t")).as("predicted"), ($"y" === 1).as("actual"),
+          ((col("f.x") >= col("bs.t")) === ($"y" === 1)).as("agree"))
+        .orderBy($"doc_id")
+    },
+
     // Within-document repetition (the Gopher duplicate-n-gram signal):
     // the fraction of word-trigram INSTANCES whose trigram occurs more
     // than once in the same document — high ratios flag boilerplate and
