@@ -119,6 +119,77 @@ object ShardpackQueries {
     tag
   }
 
+  /** Epoch µs of 2024-01-01T00:00:00Z — the events fixture's time origin,
+    * shared by the write path, the residual filter, and the oracle.
+    */
+  private val ZEpochBase = 1704067200000000L
+
+  /** Hour-of-corpus column: exact in both engines — (µs − base) ≤ 2.6e12
+    * is exactly representable in DOUBLE, so floor(÷3.6e9) cannot drift.
+    */
+  private def hrCol: Column =
+    floor((unix_micros($"ts") - lit(ZEpochBase)) / lit(3.6e9)).cast(LongType)
+
+  /** Z-order-clustered events table once per (JVM, sfDir): key =
+    * morton(user_id, hour) as fixed-width hex (+ event_id for uniqueness),
+    * RANGE-partitioned and sorted so the task-local shard writers produce
+    * disjoint key envelopes along the z-curve, with a small shard cap so
+    * the sf0.01/sf0.1 fixtures roll enough shards to measure pruning on
+    * (at production scale the default 256 MiB cap plays this role).
+    */
+  private def zorderDir(s: SparkSession, d: String): String = synchronized {
+    val dir = s"/tmp/graft-shardpack/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_z"
+    if (!written.contains(dir)) {
+      import graft.sources.shardpack.ZOrder
+      val code = ZOrder.mortonCol($"user_id", $"hr")
+      events(s, d)
+        .withColumn("hr", hrCol)
+        .select(
+          concat(ZOrder.hexKeyCol(code), lit("_"),
+            lpad($"event_id".cast(StringType), 10, "0")).as("key"),
+          to_json(struct($"user_id", $"hr", $"event_type"))
+            .cast(BinaryType).as("metadata"),
+          array(struct(
+            lit("props.json").as("file_name"),
+            lit("application/json").as("content_type"),
+            lit("").as("encoding"),
+            $"props".cast(BinaryType).as("data"))).as("entries"))
+        .repartitionByRange(8, $"key").sortWithinPartitions("key")
+        .write.format("shardpack")
+        .option("shardCapBytes", 64L * 1024)
+        .mode("overwrite")
+        .save(dir)
+      written += dir
+    }
+    dir
+  }
+
+  /** The z-order box query's Spark side, factored so the correctness query
+    * and the pruning spec share one definition: decompose the box into ≤ 8
+    * Morton key ranges (a pure function of the PREDICATE — independent of
+    * data size), push each as a key range the shard envelopes prune
+    * against, then re-apply the exact box as a residual filter on the
+    * round-tripped metadata.
+    */
+  private[graft] def zorderBoxFrame(s: SparkSession, d: String,
+      u1: Long, u2: Long, h1: Long, h2: Long): DataFrame = {
+    import graft.sources.shardpack.ZOrder
+    val dir = zorderDir(s, d)
+    val reads = ZOrder.boxRanges(u1, u2, h1, h2, maxRanges = 8).map {
+      case (lo, hi) =>
+        val r = s.read.format("shardpack").load(dir)
+          .filter($"key" >= ZOrder.hexKey(lo))
+        if (hi == 0xFFFFFFFFL) r
+        else r.filter($"key" < ZOrder.hexKey(hi + 1))
+    }
+    reads.reduce(_ unionAll _)
+      .select(from_json($"metadata".cast(StringType),
+        StructType.fromDDL("user_id BIGINT, hr BIGINT, event_type STRING")).as("m"))
+      .select($"m.user_id".as("user_id"), $"m.hr".as("hr"),
+        $"m.event_type".as("event_type"))
+      .filter($"user_id".between(u1, u2) && $"hr".between(h1, h2))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Full scan through the format: aggregate over round-tripped payloads.
@@ -259,6 +330,32 @@ object ShardpackQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       readBack(s, d).agg(count(lit(1)).as("n_records"),
         min($"key").as("min_key"), max($"key").as("max_key"))
+    },
+
+    // Z-ORDER clustered layout: events keyed by morton(user_id, hour), so
+    // the 2-D box predicate (users 40–80 × hours 100–300) becomes ≤ 8
+    // contiguous key ranges that the per-shard [minKey, maxKey] envelopes
+    // prune wholesale — multi-dimensional data skipping on the format's
+    // EXISTING key-range machinery ([[graft.sources.shardpack.ZOrder]];
+    // ZOrderLayoutSpec pins the pruned-shard counts via the scan's
+    // shardsPruned metric). The oracle answers the same box from the
+    // source parquet, making this a layout+pushdown end-to-end identity
+    // check. The single-key reference layout (bucket.rs:52-55) would scan
+    // every shard for this predicate; at 100 TB the z-layout reads only
+    // the box's ~cells.
+    Q("shardpack_zorder",
+      s"""WITH e AS (SELECT user_id,
+         |  CAST(floor((epoch_us(ts) - $ZEpochBase) / 3600000000) AS BIGINT) AS hr,
+         |  event_type FROM events)
+         |SELECT user_id, hr, count(*) AS n_events,
+         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         |FROM e WHERE user_id BETWEEN 40 AND 80 AND hr BETWEEN 100 AND 300
+         |GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      zorderBoxFrame(s, d, 40, 80, 100, 300)
+        .groupBy($"user_id", $"hr")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"user_id", $"hr")
     }
   )
 
