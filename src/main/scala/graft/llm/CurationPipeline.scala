@@ -54,6 +54,39 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     d.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** SemDeDup semantic dedup (dedup_semantic's core): cluster the given
+    * (doc_id, embedding) frame into the one-Lloyd-round k-means cells,
+    * prune within-cell cosine ≥ `tau` pairs greedy-by-id, and drop the
+    * duplicates from the pipeline. Embeddings for docs no longer in the
+    * pipeline are harmless (the anti-join ignores them); docs without an
+    * embedding are kept. Scale: candidate pairs are per-cell — grow the
+    * cell count with the corpus and the stage stays sub-quadratic.
+    */
+  def dedupSemantic(emb: DataFrame, tau: Double = 0.4): CurationPipeline =
+    step(s"dedupSemantic($tau)") { d =>
+      val eq = emb.select(col("doc_id").as("vec_id"),
+          graft.functions.VectorFns.quantize(col("embedding")).as("v"))
+        .withColumn("n2", graft.functions.VectorFns.qnorm2(col("v")))
+        .repartition(col("vec_id"))
+      val dups = LlmQueries.semanticDedupFrame(eq, tau, None)
+        .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
+      d.join(dups, Seq("doc_id"), "left_anti")
+    }
+
+  /** Distill the Gopher gate into a one-feature stump on a SAMPLE
+    * ([[QualityDistill.train]]), then serve the cheap learned filter over
+    * the whole pipeline — one token pass counting a single hashed bucket
+    * instead of the full word/line statistics. The train→serve split is
+    * the stage's reason to exist: at 100 TB the expensive rule runs on the
+    * sample only.
+    */
+  def filterDistilled(sample: DataFrame): CurationPipeline = {
+    val m = QualityDistill.train(sample)
+    step(s"filterDistilled(b=${m.bucket},t=${m.threshold})") {
+      QualityDistill.filterFrame(_, m)
+    }
+  }
+
   /** Keep only the named languages (metadata column filter). */
   def filterLangs(langs: String*): CurationPipeline =
     step(s"filterLangs(${langs.mkString(",")})") {

@@ -775,18 +775,59 @@ object LlmQueries {
     (SparkSession, String), Seq[(Long, Array[Long])]]()
   private def kmeansRefined(s: SparkSession, d: String, eq: DataFrame,
       initRows: Seq[(Long, Array[Long])], dim: Int): Seq[(Long, Array[Long])] =
-    kmeansCentsMemo.computeIfAbsent((s, d), { _ =>
-      val sums = eq.withColumn("cell", ivfCellCol(initRows))
-        .select($"cell", posexplode($"v"))
-        .groupBy($"cell", $"pos").agg(sum($"col").as("sx"), count(lit(1)).as("cnt"))
-        .collect()
-      sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rs) =>
-        val arr = new Array[Long](dim)
-        rs.foreach(r => arr(r.getInt(1)) =
-          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
-        (cell, arr)
-      }.sortBy(_._1)
-    })
+    kmeansCentsMemo.computeIfAbsent((s, d), _ => kmeansRefinedOf(eq, initRows, dim))
+
+  /** The un-memoized Lloyd round, for callers training on frames with no
+    * (session, dir) identity (CurationPipeline.dedupSemantic).
+    */
+  private def kmeansRefinedOf(eq: DataFrame,
+      initRows: Seq[(Long, Array[Long])], dim: Int): Seq[(Long, Array[Long])] = {
+    val sums = eq.withColumn("cell", ivfCellCol(initRows))
+      .select($"cell", posexplode($"v"))
+      .groupBy($"cell", $"pos").agg(sum($"col").as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rs) =>
+      val arr = new Array[Long](dim)
+      rs.foreach(r => arr(r.getInt(1)) =
+        math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+      (cell, arr)
+    }.sortBy(_._1)
+  }
+
+  /** SemDeDup core shared by the dedup_semantic query and
+    * [[CurationPipeline.dedupSemantic]]: one-Lloyd-round cells from the
+    * vec_id < 16 cold start, no-shuffle cell assignment, within-cell
+    * greedy-by-id cosine pruning. `eq` must carry (vec_id, v, n2); output
+    * is (vec_id, cell, is_dup, dup_of). `memoKey` reuses the per-(session,
+    * dir) trained centroids when the input IS the registry's index frame.
+    */
+  private[llm] def semanticDedupFrame(eq: DataFrame, tau: Double,
+      memoKey: Option[(SparkSession, String)]): DataFrame = {
+    val nCent = 16
+    val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    if (initRows.isEmpty)
+      eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
+        lit(null).cast(LongType).as("dup_of")).filter(lit(false))
+    else {
+      val dim = initRows.head._2.length
+      val refined = memoKey match {
+        case Some((s, d)) => kmeansRefined(s, d, eq, initRows, dim)
+        case scala.None => kmeansRefinedOf(eq, initRows, dim)
+      }
+      val cells = eq.withColumn("cell", ivfCellCol(refined))
+        .select($"vec_id", $"cell", $"v", $"n2")
+      val dups = cells.as("a")
+        .join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(ivfCosCol(col("a.v"), col("a.n2"), col("b.v"), col("b.n2")) >= tau)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"))
+        .groupBy($"vec_id").agg(min($"a_id").as("dup_of"))
+      cells.select($"vec_id", $"cell")
+        .join(dups, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+    }
+  }
 
   /** One shared SQL text for the exact-arithmetic one-Lloyd-round k-means
     * training chain (cold-start c0 from `vec_id < 16` → assignment a0 →
@@ -1442,28 +1483,7 @@ object LlmQueries {
          |SELECT a1.vec_id, a1.cell, (p.dup_of IS NOT NULL) AS is_dup, p.dup_of
          |FROM a1 LEFT JOIN p ON a1.vec_id = p.vec_id
          |ORDER BY a1.vec_id""".stripMargin) { (s, d) =>
-      val nCent = 16
-      val eq = lshFrame(s, d)
-      val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
-      if (initRows.isEmpty)
-        eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
-          lit(null).cast(LongType).as("dup_of")).filter(lit(false))
-      else {
-        val refined = kmeansRefined(s, d, eq, initRows, initRows.head._2.length)
-        val cells = eq.withColumn("cell", ivfCellCol(refined))
-          .select($"vec_id", $"cell", $"v", $"n2")
-        val dups = cells.as("a")
-          .join(cells.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-          .filter(ivfCosCol(col("a.v"), col("a.n2"), col("b.v"), col("b.n2")) >= 0.4)
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"))
-          .groupBy($"vec_id").agg(min($"a_id").as("dup_of"))
-        cells.select($"vec_id", $"cell")
-          .join(dups, Seq("vec_id"), "left")
-          .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
-          .orderBy($"vec_id")
-      }
+      semanticDedupFrame(lshFrame(s, d), 0.4, Some((s, d))).orderBy($"vec_id")
     },
 
     // PRODUCT QUANTIZATION encode: 8 subspaces × 8 dims, 16 codewords each

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared core of the quality_distill_stump query and the
+  * [[CurationPipeline]] distillation stages: hashed bag-of-words features,
+  * the Gopher keep label, and the exact greedy split search (the histogram
+  * base-learner primitive of distributed GBDT). Train-once-serve-many is
+  * the point of the public API: [[train]] runs the full histogram search on
+  * a (sampled) corpus and collects the ONE-row model; [[filterFrame]]
+  * scores any corpus against that model by computing only the model's
+  * single feature — one token pass + one per-doc aggregate, no grid, no
+  * histogram — the cheap serving path a 100 TB curation run wants after
+  * distilling an expensive rule on a sample.
+  */
+object QualityDistill {
+
+  /** Feature-space width: B hashed word buckets + bucket B = total count. */
+  val B = 16
+
+  /** The learned stump: keep a doc iff feature(bucket) >= threshold. */
+  final case class StumpModel(bucket: Long, threshold: Long, trainErr: Long)
+
+  private def tok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+
+  private def bucketOf(w: Column): Column =
+    graft.functions.CrossHash.wordHash(w) % B
+
+  /** Zero-filled (doc_id, b, x) feature frame over all B+1 features. */
+  private[llm] def featFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val cnts = tok(docs)
+      .select(col("doc_id"), bucketOf(col("w")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+    val grid = docs.select(col("doc_id"))
+      .crossJoin(broadcast(spark.range(B).select(col("id").as("b"))))
+    val feat0 = grid.join(cnts, Seq("doc_id", "b"), "left")
+      .select(col("doc_id"), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    feat0.unionByName(
+      feat0.groupBy(col("doc_id")).agg(sum(col("x")).as("x"))
+        .select(col("doc_id"), lit(B.toLong).as("b"), col("x")))
+  }
+
+  /** The Gopher keep rule as a 0/1 label — quality_gopher's expressions
+    * verbatim (same op order both engines).
+    */
+  private[llm] def gopherLabel(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        (sum(length(col("w"))).cast(DoubleType) / count(lit(1))).as("mean_wlen"),
+        (sum(when(col("w").rlike("[a-zA-Z]"), 1).otherwise(0)).cast(DoubleType) /
+          count(lit(1))).as("alpha_ratio"))
+      .select(col("doc_id"),
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_wlen") >= 3 && col("mean_wlen") <= 10 &&
+          col("alpha_ratio") >= 0.8, 1L).otherwise(0L).as("y"))
+
+  /** One-row best-split frame (b, t, e): histogram over every observed
+    * (feature, value), per-bucket running sums from high value down, and
+    * argmin misclassification with deterministic (e, b, t) ties.
+    */
+  private[llm] def searchFrame(feat: DataFrame, lab: DataFrame): DataFrame = {
+    val hist = feat.join(lab, "doc_id")
+      .groupBy(col("b"), col("x"))
+      .agg(sum(col("y")).as("pos_at"), count(lit(1)).as("n_at"))
+    val w = Window.partitionBy(col("b")).orderBy(col("x").desc)
+    val cum = hist.select(col("b"), col("x").as("t"),
+      sum(col("pos_at")).over(w).as("pos_ge"), sum(col("n_at")).over(w).as("n_ge"))
+    val totPos = lab.agg(sum(col("y")).as("p"))
+    cum.crossJoin(totPos)
+      .select(col("b"), col("t"),
+        ((col("n_ge") - col("pos_ge")) + (col("p") - col("pos_ge"))).as("e"))
+      .orderBy(col("e"), col("b"), col("t")).limit(1)
+  }
+
+  /** Train the stump on `docs` (typically a sample) — the bounded collect
+    * is the one-row model, the "load the index" step of this family.
+    */
+  def train(docs: DataFrame): StumpModel = {
+    val r = searchFrame(featFrame(docs), gopherLabel(docs)).collect()
+    require(r.nonEmpty, "empty corpus: no split candidates")
+    StumpModel(r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+  }
+
+  /** Serving path: keep docs whose single model feature clears the
+    * threshold. Only the model's bucket is ever counted — docs with no
+    * matching token score 0 via the left join.
+    */
+  def filterFrame(docs: DataFrame, m: StumpModel): DataFrame = {
+    val matching =
+      if (m.bucket == B.toLong) tok(docs)
+      else tok(docs).filter(bucketOf(col("w")) === m.bucket)
+    val x = matching.groupBy(col("doc_id")).agg(count(lit(1)).as("x"))
+    docs.join(x, Seq("doc_id"), "left")
+      .filter(coalesce(col("x"), lit(0L)) >= m.threshold)
+      .drop("x")
+  }
+}

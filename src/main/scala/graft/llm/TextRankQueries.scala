@@ -379,42 +379,10 @@ object TextRankQueries {
          |FROM best bs JOIN feat f ON f.b = bs.b JOIN lab l USING (doc_id)
          |ORDER BY f.doc_id""".stripMargin
     }) { (s, d) =>
-      val B = 16
       val docs = documents(s, d)
-      val tok = docs.select($"doc_id",
-          explode(split(lower($"text"), "[^a-z]+")).as("w"))
-        .filter($"w" =!= "")
-      val cnts = tok
-        .select($"doc_id", (graft.functions.CrossHash.wordHash($"w") % B).as("b"))
-        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("x"))
-      val grid = docs.select($"doc_id")
-        .crossJoin(broadcast(s.range(B).select($"id".as("b"))))
-      val feat0 = grid.join(cnts, Seq("doc_id", "b"), "left")
-        .select($"doc_id", $"b", coalesce($"x", lit(0L)).as("x"))
-      val feat = feat0.unionByName(
-        feat0.groupBy($"doc_id").agg(sum($"x").as("x"))
-          .select($"doc_id", lit(B.toLong).as("b"), $"x"))
-      // the label is quality_gopher's keep rule, same expressions/op order
-      val gw = docs.select($"doc_id", explode(split($"text", "\\s+")).as("w"))
-        .filter($"w" =!= "")
-      val lab = gw.groupBy($"doc_id").agg(
-          count(lit(1)).as("n_words"),
-          (sum(length($"w")).cast(DoubleType) / count(lit(1))).as("mean_wlen"),
-          (sum(when($"w".rlike("[a-zA-Z]"), 1).otherwise(0)).cast(DoubleType) /
-            count(lit(1))).as("alpha_ratio"))
-        .select($"doc_id",
-          when($"n_words" >= 50 && $"n_words" <= 100000 &&
-            $"mean_wlen" >= 3 && $"mean_wlen" <= 10 &&
-            $"alpha_ratio" >= 0.8, 1L).otherwise(0L).as("y"))
-      val hist = feat.join(lab, "doc_id")
-        .groupBy($"b", $"x").agg(sum($"y").as("pos_at"), count(lit(1)).as("n_at"))
-      val w = Window.partitionBy($"b").orderBy($"x".desc)
-      val cum = hist.select($"b", $"x".as("t"),
-        sum($"pos_at").over(w).as("pos_ge"), sum($"n_at").over(w).as("n_ge"))
-      val totPos = lab.agg(sum($"y").as("p"))
-      val best = cum.crossJoin(totPos)
-        .select($"b", $"t", (($"n_ge" - $"pos_ge") + ($"p" - $"pos_ge")).as("e"))
-        .orderBy($"e", $"b", $"t").limit(1)
+      val feat = QualityDistill.featFrame(docs)
+      val lab = QualityDistill.gopherLabel(docs)
+      val best = QualityDistill.searchFrame(feat, lab)
       feat.as("f")
         .join(broadcast(best.as("bs")), col("f.b") === col("bs.b"))
         .join(lab, "doc_id")

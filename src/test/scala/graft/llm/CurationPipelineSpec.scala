@@ -26,6 +26,38 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("doc_id").except(expect).count() == 0)
   }
 
+  test("dedupSemantic drops exactly the registry query's dup set") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val out = CurationPipeline(docs).dedupSemantic(emb).result
+    val dupIds = graft.SparkEntry.queries("dedup_semantic")(spark, sf)
+      .filter(col("is_dup")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the fixture aligns vec_id with doc_id, so the pipeline must drop
+    // the oracle-checked query's dup set exactly (intersected with docs)
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == docIds -- dupIds,
+      s"diff: extra=${(kept -- (docIds -- dupIds)).take(5)} " +
+        s"missing=${((docIds -- dupIds) -- kept).take(5)}")
+  }
+
+  test("filterDistilled on a sample agrees with the full Gopher gate") {
+    // train on every 5th doc, serve on the full corpus — the train/serve
+    // split this stage exists for
+    val sample = docs.filter(col("doc_id") % 5 === 0)
+    val out = CurationPipeline(docs).filterDistilled(sample).result
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gopher = CurationPipeline(docs).filterGopher().result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count()
+    val agree = n - (kept.diff(gopher).size + gopher.diff(kept).size)
+    info(s"distilled-vs-gopher agreement: $agree of $n")
+    // the sample-trained stump must reproduce the gate near-perfectly on
+    // this corpus (the label's only binding clause is a count threshold)
+    assert(agree >= n * 95 / 100, s"only $agree of $n agree")
+  }
+
   test("dedupNear drops exactly the higher ids of the candidate pairs") {
     val out = CurationPipeline(docs).dedupNear().result
     val bIds = LlmQueries.minhashPairsOf(docs)
