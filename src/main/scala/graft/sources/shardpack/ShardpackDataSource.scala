@@ -908,10 +908,18 @@ final class ShardpackPartitionReader(file: String, fileLen: Long,
   // this shard's stamped [minKey, maxKey] → never open the record region
   private val pruned: Boolean = {
     val env = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
-    env.exists { case (mn, mx) =>
+    val rangePruned = env.exists { case (mn, mx) =>
       keyFilter.exists(ks => !ks.exists(k => k >= mn && k <= mx)) ||
         keyRange.exists(r => !r.intersects(mn, mx))
     }
+    // v3 Bloom: a point-lookup key set none of whose members might be in
+    // this shard prunes it even when the key RANGE overlaps (the
+    // hash-distributed-layout case range stats cannot help)
+    def bloomPruned = keyFilter.exists { ks =>
+      ShardpackFormat.ShardStats.unwrapBloom(footer.shardMetadata)
+        .exists(b => !ks.exists(b.mightContain))
+    }
+    rangePruned || bloomPruned
   }
 
   private val endRec: Int =
@@ -1024,10 +1032,18 @@ final class ShardpackColumnarReader(file: String, fileLen: Long,
   }
   private val pruned: Boolean = {
     val env = ShardpackFormat.ShardStats.unwrap(footer.shardMetadata)._1
-    env.exists { case (mn, mx) =>
+    val rangePruned = env.exists { case (mn, mx) =>
       keyFilter.exists(ks => !ks.exists(k => k >= mn && k <= mx)) ||
         keyRange.exists(r => !r.intersects(mn, mx))
     }
+    // v3 Bloom: a point-lookup key set none of whose members might be in
+    // this shard prunes it even when the key RANGE overlaps (the
+    // hash-distributed-layout case range stats cannot help)
+    def bloomPruned = keyFilter.exists { ks =>
+      ShardpackFormat.ShardStats.unwrapBloom(footer.shardMetadata)
+        .exists(b => !ks.exists(b.mightContain))
+    }
+    rangePruned || bloomPruned
   }
 
   private val endRec: Int =
@@ -1497,14 +1513,24 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   // bucket-sorted per the write's required ordering, so a change rolls)
   private var currentBucket: Int = -1
 
-  /** Close the open shard, stamping its key-range stats envelope. */
+  // v3 envelope: per-shard key Bloom, buffered as 16 B/record hash pairs
+  // (never the keys); past MaxTrackedKeys the stamp degrades to v2 —
+  // range-only stats, still correct
+  private val keyHashes =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+  /** Close the open shard, stamping its key-range + Bloom stats envelope. */
   private def finishShard(): Unit = {
     if (writer != null) {
       val meta =
-        if (minKey != null) ShardpackFormat.ShardStats.wrap(minKey, maxKey, shardMeta)
-        else shardMeta // footer-only shard: no keys, no stats
+        if (minKey == null) shardMeta // footer-only shard: no keys, no stats
+        else if (keyHashes.length <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
+          ShardpackFormat.ShardStats.wrapWithBloom(minKey, maxKey,
+            ShardpackFormat.KeyBloom.build(keyHashes), shardMeta)
+        else ShardpackFormat.ShardStats.wrap(minKey, maxKey, shardMeta)
       writer.finish(meta)
       minKey = null; maxKey = null
+      keyHashes.clear()
       out = null
     }
   }
@@ -1549,6 +1575,8 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
         writer.bytesWritten + encoded.length > shardCap)) roll()
     if (minKey == null || ShardpackFormat.KeyOrd.lt(rec.key, minKey)) minKey = rec.key
     if (maxKey == null || ShardpackFormat.KeyOrd.gt(rec.key, maxKey)) maxKey = rec.key
+    if (keyHashes.length <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
+      keyHashes += ShardpackFormat.KeyBloom.hash2(rec.key)
     writer.append(encoded)
   }
 

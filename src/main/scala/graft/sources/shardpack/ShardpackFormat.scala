@@ -398,10 +398,21 @@ object ShardpackFormat {
     * other producers (or before this envelope existed) stay readable.
     *
     * envelope := marker:8B minKey:str16 maxKey:str16 userMeta:bytes
+    * v3 adds a key Bloom filter between maxKey and userMeta:
+    * envelope3 := marker:8B minKey:str16 maxKey:str16
+    *              k:int32 nBytes:int32 bits:bytes userMeta:bytes
     */
   object ShardStats {
     /** v2: min/max stamped under code-point [[KeyOrd]] ordering. */
     val Marker: Array[Byte] = "SPKSTAT2".getBytes(StandardCharsets.US_ASCII)
+
+    /** v3: v2 plus a per-shard key Bloom filter — point-lookup pruning on
+      * layouts whose key ENVELOPES overlap (hash-distributed or bucketed
+      * keys, where every shard's [min, max] covers every probe and range
+      * stats prune nothing). ~10 bits/key ⇒ <1% false-positive scans; a
+      * false positive only costs the header sweep, never correctness.
+      */
+    val Marker3: Array[Byte] = "SPKSTAT3".getBytes(StandardCharsets.US_ASCII)
 
     /** v1 envelopes were stamped with Java UTF-16 (code-UNIT) min/max,
       * before [[KeyOrd]] existed. Trusting them under code-point comparison
@@ -425,36 +436,138 @@ object ShardpackFormat {
       bos.toByteArray
     }
 
+    /** v3: v2 plus the key Bloom filter. */
+    def wrapWithBloom(minKey: String, maxKey: String, bloom: KeyBloom,
+        userMeta: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.write(Marker3)
+      writeStr16(out, minKey)
+      writeStr16(out, maxKey)
+      out.writeInt(bloom.numHashes)
+      out.writeInt(bloom.bits.length)
+      out.write(bloom.bits)
+      if (userMeta != null) out.write(userMeta)
+      out.flush()
+      bos.toByteArray
+    }
+
+    private def hasMarker(meta: Array[Byte], m: Array[Byte]): Boolean =
+      meta.length >= m.length &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(meta, m.length), m)
+
     /** → (key range if a TRUSTED marker is present, user metadata).
-      * v1 envelopes parse (user metadata recovered) but yield no range.
+      * v1 envelopes parse (user metadata recovered) but yield no range;
+      * v3 envelopes skip over the Bloom section ([[unwrapBloom]] reads it).
       */
     def unwrap(meta: Array[Byte]): (Option[(String, String)], Array[Byte]) = {
-      def hasMarker(m: Array[Byte]): Boolean =
-        meta.length >= m.length &&
-          java.util.Arrays.equals(java.util.Arrays.copyOf(meta, m.length), m)
       if (meta == null) (None, Array.emptyByteArray)
-      else if (!hasMarker(Marker) && !hasMarker(LegacyMarker)) (None, meta)
+      else if (!hasMarker(meta, Marker) && !hasMarker(meta, LegacyMarker) &&
+        !hasMarker(meta, Marker3)) (None, meta)
       else {
-        val trusted = hasMarker(Marker)
+        val trusted = !hasMarker(meta, LegacyMarker)
         val in = new DataInputStream(new ByteArrayInputStream(meta))
         in.skipBytes(Marker.length)
         val lo = readStr16(in)
         val hi = readStr16(in)
+        if (hasMarker(meta, Marker3)) {
+          in.skipBytes(4) // k
+          val n = in.readInt()
+          in.skipBytes(n)
+        }
         val rest = new Array[Byte](in.available())
         in.readFully(rest)
         (if (trusted) Some((lo, hi)) else None, rest)
       }
     }
 
+    /** The v3 key Bloom filter, if this envelope carries one. */
+    def unwrapBloom(meta: Array[Byte]): Option[KeyBloom] =
+      if (meta == null || !hasMarker(meta, Marker3)) None
+      else {
+        val in = new DataInputStream(new ByteArrayInputStream(meta))
+        in.skipBytes(Marker3.length)
+        readStr16(in); readStr16(in)
+        val k = in.readInt()
+        val bits = new Array[Byte](in.readInt())
+        in.readFully(bits)
+        Some(new KeyBloom(k, bits))
+      }
+
     /** Can a shard with this metadata contain any of `keys`? (No stats →
-      * must be read.)
+      * must be read; the Bloom check strengthens the range check when
+      * present — both are conservative, so the conjunction is too.)
       */
     def mayContain(meta: Array[Byte], keys: Set[String]): Boolean =
-      unwrap(meta)._1 match {
+      (unwrap(meta)._1 match {
         case Some((lo, hi)) =>
           keys.exists(k => KeyOrd.gteq(k, lo) && KeyOrd.lteq(k, hi))
         case None => true
+      }) && unwrapBloom(meta).forall(b => keys.exists(b.mightContain))
+  }
+
+  /** Per-shard key Bloom filter (v3 envelopes): double hashing h1 + i·h2
+    * (the Kirsch–Mitzenmacher construction) over two independent 64-bit
+    * polynomial folds of the key. ~[[KeyBloom.BitsPerKey]] bits/key with
+    * [[KeyBloom.NumHashes]] probes ⇒ <1% false positives; membership says
+    * "maybe" (scan), absence says "definitely not" (prune) — so pruning on
+    * it is always sound.
+    */
+  final class KeyBloom private[shardpack] (val numHashes: Int, val bits: Array[Byte]) {
+    private val mBits: Long = bits.length.toLong * 8
+    def mightContain(key: String): Boolean = {
+      val (h1, h2) = KeyBloom.hash2(key)
+      var i = 0
+      while (i < numHashes) {
+        val idx = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits)
+        if ((bits((idx >>> 3).toInt) & (1 << (idx & 7).toInt)) == 0) return false
+        i += 1
       }
+      true
+    }
+  }
+
+  object KeyBloom {
+    val BitsPerKey = 10
+    val NumHashes = 7 // ≈ ln2 · BitsPerKey, the false-positive optimum
+    /** Shards past this record count skip the Bloom (memory valve; the
+      * envelope falls back to v2 semantics — never wrong, just unpruned).
+      */
+    val MaxTrackedKeys: Int = 1 << 22
+
+    /** Two independent 64-bit wraparound polynomial folds; h2 forced odd so
+      * the double-hash probe sequence spans the whole bit array.
+      */
+    private[shardpack] def hash2(key: String): (Long, Long) = {
+      var a = 1125899906842597L
+      var b = 0L
+      var i = 0
+      while (i < key.length) {
+        val c = key.charAt(i).toLong
+        a = a * 31 + c
+        b = b * 131 + c + 0x9E3779B97F4A7C15L
+        i += 1
+      }
+      (a, b | 1L)
+    }
+
+    /** Build from pre-computed [[hash2]] pairs (the writer buffers hashes,
+      * not keys — 16 B/record).
+      */
+    def build(hashes: scala.collection.Seq[(Long, Long)]): KeyBloom = {
+      val m = math.max(64L, hashes.length.toLong * BitsPerKey)
+      val bits = new Array[Byte](((m + 7) / 8).toInt)
+      val mBits = bits.length.toLong * 8
+      hashes.foreach { case (h1, h2) =>
+        var i = 0
+        while (i < NumHashes) {
+          val idx = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits)
+          bits((idx >>> 3).toInt) = (bits((idx >>> 3).toInt) | (1 << (idx & 7).toInt)).toByte
+          i += 1
+        }
+      }
+      new KeyBloom(NumHashes, bits)
+    }
   }
 
   /** Streaming single-pass shard writer: buffers only offsets (O(records)
