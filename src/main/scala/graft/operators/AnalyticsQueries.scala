@@ -181,6 +181,70 @@ object AnalyticsQueries {
         .orderBy($"l_suppkey")
     },
 
+    // KMV (theta-family) distinct sketch WITH SET ALGEBRA: keep the K=64
+    // smallest affine hashes of the distinct users per event type, estimate
+    // distinct counts as (K−1)·P1/h_K, merge two sketches by re-trimming
+    // their union, and estimate the intersection via the standard KMV
+    // Jaccard (|KMV(A∪B) ∩ KMV(A) ∩ KMV(B)| / K). This is the mergeable
+    // construction production set-operation sketches (Apache DataSketches
+    // theta) are built on: per-group state is K hashes regardless of input
+    // size, merges are associative — 100 TB fan-in is K-sized partial
+    // states up a tree. Unlike agg_approx_distinct's opaque HLL, every
+    // number here is a deterministic pure function of the affine
+    // permutation (a coprime to prime P1 ⇒ bijective on keys < P1), so the
+    // DuckDB oracle rebuilds the sketches bit-for-bit and the driver gate
+    // hash-checks the whole estimate, not just row shape.
+    Q("agg_kmv_theta", {
+      val h = H.sqlAffine(0, "user_id")
+      s"""WITH base AS (
+         |  SELECT DISTINCT event_type AS t, $h AS h FROM events
+         |  WHERE event_type IN ('click', 'view')),
+         |ka AS (SELECT h FROM base WHERE t = 'click' ORDER BY h LIMIT 64),
+         |kb AS (SELECT h FROM base WHERE t = 'view' ORDER BY h LIMIT 64),
+         |ku AS (SELECT DISTINCT h FROM base ORDER BY h LIMIT 64),
+         |na AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+         |nb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+         |nu AS (SELECT count(*) AS n, max(h) AS hk FROM ku),
+         |j AS (SELECT count(*) AS m FROM ku
+         |  JOIN ka USING (h) JOIN kb USING (h))
+         |SELECT 64 AS k,
+         |  CASE WHEN na.n < 64 THEN CAST(na.n AS DOUBLE)
+         |       ELSE 63.0 * ${H.P1} / na.hk END AS est_click,
+         |  CASE WHEN nb.n < 64 THEN CAST(nb.n AS DOUBLE)
+         |       ELSE 63.0 * ${H.P1} / nb.hk END AS est_view,
+         |  CASE WHEN nu.n < 64 THEN CAST(nu.n AS DOUBLE)
+         |       ELSE 63.0 * ${H.P1} / nu.hk END AS est_union,
+         |  CAST(j.m AS DOUBLE) / nu.n *
+         |    (CASE WHEN nu.n < 64 THEN CAST(nu.n AS DOUBLE)
+         |          ELSE 63.0 * ${H.P1} / nu.hk END) AS est_inter
+         |FROM na, nb, nu, j""".stripMargin
+    }) { (s, d) =>
+      val base = events(s, d)
+        .filter($"event_type".isin("click", "view"))
+        .select($"event_type".as("t"), H.affine(0, $"user_id").as("h"))
+        .distinct()
+      // K-smallest = TakeOrdered: per-partition top-K then a K-sized driver
+      // merge — the distributed trim an Aggregator would do, no global sort
+      def kmv(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"h").limit(64).select($"h")
+      val ka = kmv(base.filter($"t" === "click"))
+      val kb = kmv(base.filter($"t" === "view"))
+      val ku = kmv(base.select($"h").distinct())
+      def stats(df: org.apache.spark.sql.DataFrame, n: String, hk: String) =
+        df.agg(count(lit(1)).as(n), max($"h").as(hk))
+      def est(n: Column, hk: Column): Column =
+        when(n < 64, n.cast(DoubleType))
+          .otherwise(lit(63.0) * H.P1 / hk)
+      val j = ku.join(ka, "h").join(kb, "h").agg(count(lit(1)).as("m"))
+      stats(ka, "na", "hka").crossJoin(stats(kb, "nb", "hkb"))
+        .crossJoin(stats(ku, "nu", "hku")).crossJoin(j)
+        .select(lit(64).as("k"),
+          est($"na", $"hka").as("est_click"),
+          est($"nb", $"hkb").as("est_view"),
+          est($"nu", $"hku").as("est_union"),
+          ($"m".cast(DoubleType) / $"nu" * est($"nu", $"hku")).as("est_inter"))
+    },
+
     // Equi-width histogram in exact integer space: bucket on cents div
     // 5 000 000 (= $50k buckets) so the bucketing is integer arithmetic,
     // never float-edge-sensitive. One map-side-combinable groupBy; the

@@ -81,4 +81,40 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
     val b = graft.SparkEntry.queries("agg_approx_distinct")(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("KMV theta estimates land within the K=64 error envelope") {
+    // exact: 150 click users, 150 view users, full overlap at this sf
+    val r = graft.SparkEntry.queries("agg_kmv_theta")(spark, sf).collect().head
+    val (ec, ev, eu, ei) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val exact = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    // KMV rse ≈ 1/sqrt(K−2) ≈ 12.7%; allow 3σ
+    val tol = 3.0 / math.sqrt(62)
+    Seq("click" -> ec, "view" -> ev, "union" -> eu, "inter" -> ei).foreach {
+      case (name, est) =>
+        assert(math.abs(est - exact) / exact <= tol,
+          s"$name: est=$est exact=$exact off by ${math.abs(est - exact) / exact}")
+    }
+  }
+
+  test("KMV intersection follows the sketch algebra on disjoint key ranges") {
+    import graft.functions.{CrossHash => H}
+    import spark.implicits._
+    // synthetic: A = 0..999, B = 500..1499 → |A∩B| = 500, |A∪B| = 1500
+    val a = (0L until 1000L).toDF("x").select(H.affine(0, col("x")).as("h"))
+    val b = (500L until 1500L).toDF("x").select(H.affine(0, col("x")).as("h"))
+    def kmv(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("h")).limit(64)
+    val ku = kmv(a.union(b).distinct())
+    val m = ku.join(kmv(a), "h").join(kmv(b), "h").count()
+    val hku = ku.agg(max(col("h"))).collect().head.getLong(0)
+    val estU = 63.0 * H.P1 / hku
+    val estI = m.toDouble / 64 * estU
+    info(s"est_union=$estU est_inter=$estI (true 1500 / 500)")
+    assert(math.abs(estU - 1500) / 1500 <= 3.0 / math.sqrt(62))
+    // intersection inherits Jaccard binomial noise on top of the union
+    // estimate — use a wider 0.5-relative envelope
+    assert(math.abs(estI - 500) / 500 <= 0.5, s"est_inter=$estI")
+  }
 }
