@@ -45,7 +45,13 @@ object PlanAudit {
     "join_interval_overlap" -> Set("NESTED_LOOP"),
     "corpus_drift" -> Set("NESTED_LOOP"), // build sides = two 1-row snapshot totals
     "sim_ann_recall" -> Set("NESTED_LOOP"), // build side = 1-row query vector (as sim_topk)
-    "sim_ann_multiprobe" -> Set("NESTED_LOOP")) // build side = 1-row query vector (as sim_ann_lsh)
+    "sim_ann_multiprobe" -> Set("NESTED_LOOP"), // build side = 1-row query vector (as sim_ann_lsh)
+    // build sides = 1-row sketch-stats frames (n, h_K per sketch) composed
+    // into the single output row; every input-sized frame streams once
+    "agg_kmv_theta" -> Set("NESTED_LOOP"),
+    // build sides = the 16-row feature grid + 1-row total-positives and
+    // best-split frames; the histogram and scoring passes stream once
+    "quality_distill_stump" -> Set("NESTED_LOOP"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   * shardpack compact --dir DIR [--min-fill 0.5]
   * shardpack vacuum  --dir DIR [--older-than-ms N]
   * shardpack delete  --dir DIR --keys k1,k2,...
+  * shardpack zorder  --dir DIR --output DIR --x SQLEXPR --y SQLEXPR
+  *                   [--compression none|gzip|lz4|zstd|snappy]
   * }}}
   *
   * Parsing is strict: an unknown flag, a missing required flag, or a
@@ -34,7 +36,9 @@ object ShardpackCli {
       |                    [--metadata key=value]...
       |  shardpack compact --dir DIR [--min-fill F]
       |  shardpack vacuum  --dir DIR [--older-than-ms N]
-      |  shardpack delete  --dir DIR --keys k1,k2,...""".stripMargin
+      |  shardpack delete  --dir DIR --keys k1,k2,...
+      |  shardpack zorder  --dir DIR --output DIR --x SQLEXPR --y SQLEXPR
+      |                    [--compression none|gzip|lz4|zstd|snappy]""".stripMargin
 
   /** `1GB` → bytes; bare numbers are bytes. Binary units (KB = 1024) —
     * matching the 256 MiB shard-roll convention of the writer.
@@ -116,6 +120,14 @@ object ShardpackCli {
       val (f, _) = parseFlags(rest, Set("--dir", "--keys"))
       ShardpackOps.deleteKeys(spark, req(f, "--dir"),
         req(f, "--keys").split(",").toSeq.filter(_.nonEmpty))
+    case "zorder" :: rest =>
+      val (f, _) = parseFlags(rest,
+        Set("--dir", "--output", "--x", "--y", "--compression"))
+      val codec = f.getOrElse("--compression", ShardpackFormat.Codec.None)
+      if (!ShardpackFormat.Codec.All.contains(codec))
+        throw new IllegalArgumentException(s"unknown compression: $codec")
+      ShardpackOps.zorder(spark, req(f, "--dir"), req(f, "--output"),
+        req(f, "--x"), req(f, "--y"), compression = codec)
     case cmd :: _ =>
       throw new IllegalArgumentException(s"unknown command: $cmd\n$Usage")
     case Nil =>

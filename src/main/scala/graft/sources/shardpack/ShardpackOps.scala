@@ -262,6 +262,37 @@ object ShardpackOps {
     small.length
   }
 
+  /** Rewrite a bucket Z-ORDER clustered on two integer dimensions computed
+    * from its rows (SQL expressions over `key`/`metadata`/`entries`) — the
+    * `OPTIMIZE … ZORDER BY` maintenance verb for shardpack: the new key is
+    * the 8-hex-digit Morton code of the two dims prefixed to the original
+    * key, globally range-sorted so shard envelopes tile the z-curve and a
+    * 2-D box predicate ([[ZOrder.boxRanges]]) prunes shards wholesale.
+    * Dims are clamped to 16 bits — clamped rows land in edge cells, which
+    * box residual filters handle; original keys survive as the suffix, so
+    * prefix/point access still works through the existing pushdown.
+    */
+  def zorder(spark: SparkSession, dir: String, outDir: String,
+      xExpr: String, yExpr: String,
+      compression: String = ShardpackFormat.Codec.None,
+      shardCap: Long = ShardpackFormat.DefaultShardCap): Unit = {
+    def dim(e: String) =
+      least(greatest(expr(e).cast("long"), lit(0L)), lit((1L << 16) - 1))
+    val src = spark.read.format("shardpack").load(dir)
+    val total = src.inputFiles.length.toLong.max(1L)
+    spark.read.format("shardpack").load(dir)
+      .select(
+        concat(ZOrder.hexKeyCol(ZOrder.mortonCol(dim(xExpr), dim(yExpr))),
+          lit("_"), col("key")).as("key"),
+        col("metadata"), col("entries"))
+      .repartitionByRange(total.toInt, col("key"))
+      .sortWithinPartitions("key")
+      .write.format("shardpack")
+      .option("compression", compression)
+      .option("shardCapBytes", shardCap)
+      .mode("append").save(outDir)
+  }
+
   /** Delete every record with `lo <= key < hi` (half-open, the retention
     * idiom: expire one day/prefix of a sorted bucket). Shard selection is
     * envelope-vs-range intersection — on a sorted layout exactly the shards

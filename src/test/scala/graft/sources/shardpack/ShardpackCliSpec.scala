@@ -92,4 +92,37 @@ class ShardpackCliSpec extends AnyFunSuite with SparkTestBase {
       .select("key").collect().map(_.getString(0)).toSeq
     assert(keys == Seq("y.txt"))
   }
+
+  test("zorder rewrites a bucket Morton-clustered on two SQL dims") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmp("cli-z-in"); val out = tmp("cli-z-out")
+    // keys kXXX_YYY carry the two dims; metadata unused
+    val rows = for (x <- 0 until 20; y <- 0 until 20)
+      yield f"k$x%03d_$y%03d"
+    rows.toDF("key")
+      .select($"key", lit(null).cast("binary").as("metadata"),
+        array(struct(lit("f").as("file_name"), lit("text/plain").as("content_type"),
+          lit("").as("encoding"), $"key".cast("binary").as("data"))).as("entries"))
+      .repartition(4)
+      .write.format("shardpack").mode("append").save(dir)
+    ShardpackCli.run(spark, Seq("zorder", "--dir", dir, "--output", out,
+      "--x", "CAST(substring(key, 2, 3) AS INT)",
+      "--y", "CAST(substring(key, 6, 3) AS INT)"))
+    val back = spark.read.format("shardpack").load(out)
+      .select("key").collect().map(_.getString(0))
+    assert(back.length == rows.length)
+    // every key = 8-hex morton prefix + "_" + original key, and the morton
+    // prefix decodes back to the dims the expression extracted
+    back.foreach { k =>
+      assert(k.matches("[0-9a-f]{8}_k\\d{3}_\\d{3}"), k)
+      val code = java.lang.Long.parseLong(k.substring(0, 8), 16)
+      val orig = k.substring(9)
+      assert(ZOrder.mortonX(code) == orig.substring(1, 4).toLong, k)
+      assert(ZOrder.mortonY(code) == orig.substring(5, 8).toLong, k)
+    }
+    // missing required dims stay loud
+    intercept[IllegalArgumentException](
+      ShardpackCli.run(spark, Seq("zorder", "--dir", dir, "--output", out)))
+  }
 }
