@@ -159,6 +159,11 @@ object ShardpackQueries {
         .option("shardCapBytes", 64L * 1024)
         .mode("overwrite")
         .save(dir)
+      // sidecar index: each range read then SCHEDULES only intersecting
+      // shards instead of planning one task per shard that self-prunes —
+      // at 8 ranges × hundreds of shards the task count (and the per-task
+      // plan broadcast) is the box query's real cost, not the bytes
+      graft.sources.shardpack.ShardpackIndex.build(s, dir)
       written += dir
     }
     dir

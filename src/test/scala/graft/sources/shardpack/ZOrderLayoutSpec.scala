@@ -38,27 +38,31 @@ class ZOrderLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(direct.nonEmpty, "fixture box must select rows")
   }
 
-  test("the box's range reads prune most shards via footer envelopes") {
+  test("the box's range reads prune most shards at PLANNING time") {
     val df = graft.sources.ShardpackQueries
       .zorderBoxFrame(spark, dir, 40, 80, 100, 300)
-    df.collect() // execute: custom task metrics land on THIS plan's scans
+    df.collect()
     val scans = df.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b
     }
     assert(scans.nonEmpty, "expected shardpack BatchScanExec leaves")
-    val pruned = scans.map(_.metrics("shardsPruned").value).sum
-    // every scan sees every shard; a scan's share = shards - pruned
+    // with the sidecar index the non-intersecting shards are never even
+    // SCHEDULED — the planned-task count is the pruning evidence (per-task
+    // footer pruning via shardsPruned only mops up index-less stragglers);
+    // this is the cost model that matters: a box query's task count must
+    // scale with the box, not with the table
+    val planned = scans.map(_.inputRDD.getNumPartitions).sum
     val perScanShards = new java.io.File(
       s"/tmp/graft-shardpack/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_z")
       .listFiles().count(_.getName.endsWith(".shardpack"))
-    val visited = scans.length * perScanShards
+    val naive = scans.length * perScanShards
     info(s"${scans.length} range scans x $perScanShards shards: " +
-      s"pruned $pruned of $visited shard visits")
+      s"planned $planned tasks (naive $naive)")
     assert(perScanShards >= 8,
       s"fixture must roll enough shards to measure pruning ($perScanShards)")
-    // the box covers ~7% of the (user, hour) space; z-locality must let
-    // the envelopes reject well over half of all shard visits
-    assert(pruned * 2 > visited,
-      s"envelope pruning too weak: $pruned of $visited")
+    // the box covers ~7% of the (user, hour) space; planning must schedule
+    // well under half of the naive shard visits
+    assert(planned * 2 < naive,
+      s"planning-time pruning too weak: $planned of $naive")
   }
 }
