@@ -91,16 +91,22 @@ object QualityDistill {
   }
 
   /** Serving path: keep docs whose single model feature clears the
-    * threshold. Only the model's bucket is ever counted — docs with no
-    * matching token score 0 via the left join.
+    * threshold. ROW-LOCAL — the per-doc count is a higher-order filter
+    * over the in-row token array, so the plan is a pure map: no explode,
+    * no shuffle, and the same expression gates a STREAMING frame
+    * unchanged (a per-row predicate needs no state or watermark). This is
+    * the payoff of distilling to one feature: the expensive rule needed
+    * per-doc aggregates; the served filter needs none.
     */
-  def filterFrame(docs: DataFrame, m: StumpModel): DataFrame = {
+  def filterFrame(docs: DataFrame, m: StumpModel): DataFrame =
+    docs.filter(servedFeature(m) >= m.threshold)
+
+  /** The model's single feature as a row-local Column. */
+  private[llm] def servedFeature(m: StumpModel): Column = {
+    val words = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
     val matching =
-      if (m.bucket == B.toLong) tok(docs)
-      else tok(docs).filter(bucketOf(col("w")) === m.bucket)
-    val x = matching.groupBy(col("doc_id")).agg(count(lit(1)).as("x"))
-    docs.join(x, Seq("doc_id"), "left")
-      .filter(coalesce(col("x"), lit(0L)) >= m.threshold)
-      .drop("x")
+      if (m.bucket == B.toLong) words
+      else filter(words, w => bucketOf(w) === m.bucket)
+    size(matching).cast(LongType)
   }
 }

@@ -29,4 +29,49 @@ class StumpDistillSpec extends AnyFunSuite with SparkTestBase {
     assert(err == 0L)
     assert(out.forall(_.getBoolean(7)), "a doc disagrees with the stump")
   }
+
+  test("served filter is row-local: no exchange, and agrees with training features") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = QualityDistill.train(docs)
+    val served = QualityDistill.filterFrame(docs, m)
+    // the one-feature serving path must not shuffle: scan → filter only
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving path shuffles:\n$plan")
+    // and must keep exactly the docs the TRAINING feature frame keeps
+    val fromFeat = QualityDistill.featFrame(docs)
+      .filter(col("b") === m.bucket && col("x") >= m.threshold)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = served.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == fromFeat,
+      s"row-local feature drifted: only-served=${(kept -- fromFeat).take(5)} " +
+        s"only-feat=${(fromFeat -- kept).take(5)}")
+  }
+
+  test("served filter admits the identical doc set on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = QualityDistill.train(docs)
+    val batchKept = QualityDistill.filterFrame(docs, m)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a row-local predicate needs no state or watermark — the property
+    // that lets the distilled gate run at ingest
+    val in = MemoryStream[(Long, String)]
+    val gated = QualityDistill.filterFrame(
+      in.toDF().toDF("doc_id", "text"), m)
+    val q = gated.writeStream.format("memory").queryName("stump_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("stump_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept)
+    } finally q.stop()
+  }
 }
