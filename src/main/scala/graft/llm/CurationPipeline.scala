@@ -59,16 +59,19 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     * prune within-cell cosine ≥ `tau` pairs greedy-by-id, and drop the
     * duplicates from the pipeline. Embeddings for docs no longer in the
     * pipeline are harmless (the anti-join ignores them); docs without an
-    * embedding are kept. Scale: candidate pairs are per-cell — grow the
-    * cell count with the corpus and the stage stays sub-quadratic.
+    * embedding are kept. Scale: candidate pairs are per-cell, and the
+    * cell count is derived from the corpus at `targetCellPop` mean docs
+    * per cell ([[LlmQueries.deriveCellCount]]) — the stage stays
+    * sub-quadratic as the corpus grows.
     */
-  def dedupSemantic(emb: DataFrame, tau: Double = 0.4): CurationPipeline =
+  def dedupSemantic(emb: DataFrame, tau: Double = 0.4,
+      targetCellPop: Long = LlmQueries.SemTargetCellPop): CurationPipeline =
     step(s"dedupSemantic($tau)") { d =>
       val eq = emb.select(col("doc_id").as("vec_id"),
           graft.functions.VectorFns.quantize(col("embedding")).as("v"))
         .withColumn("n2", graft.functions.VectorFns.qnorm2(col("v")))
         .repartition(col("vec_id"))
-      val dups = LlmQueries.semanticDedupFrame(eq, tau, None)
+      val dups = LlmQueries.semanticDedupFrame(eq, tau, None, targetCellPop)
         .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
       d.join(dups, Seq("doc_id"), "left_anti")
     }

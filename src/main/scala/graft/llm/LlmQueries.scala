@@ -794,18 +794,58 @@ object LlmQueries {
     }.sortBy(_._1)
   }
 
+  /** Target mean cell population for the SemDeDup/IVF-kmeans coarse
+    * quantizer. The cell count K is DERIVED from the corpus as
+    * K = max(16, ceil(n / target)) — SemDeDup's scale contract: the
+    * within-cell stage is all-pairs per cell, so pair volume is
+    * Σ cell² ≈ n·c̄; holding c̄ fixed while K grows with n keeps the
+    * stage linear in the corpus instead of the quadratic n²/K a fixed
+    * K degenerates to at 100 TB (Abbas et al. 2023 §3).
+    */
+  private[llm] val SemTargetCellPop = 2000L
+
+  /** K = max(16, ceil(n / targetPop)) — shared by the Spark paths and
+    * (as `greatest(16, ceil(count(*)/…))`) the oracle SQL; a drifted
+    * copy is a silent oracle divergence.
+    */
+  private[llm] def deriveCellCount(n: Long, targetPop: Long = SemTargetCellPop): Int =
+    math.max(16L, (n + targetPop - 1) / targetPop).toInt
+
+  /** Corpus row count, memoized per (session, dir) alongside the other
+    * index-build memos so the derived-K chain counts the registry frame
+    * once per session, not once per consumer.
+    */
+  private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def embCount(eq: DataFrame,
+      memoKey: Option[(SparkSession, String)]): Long = memoKey match {
+    case Some(k) => embCountMemo.computeIfAbsent(k, _ => eq.count()).longValue()
+    case scala.None => eq.count()
+  }
+
+  /** Cold-start centroids: the K smallest vec_ids PRESENT (not
+    * `vec_id < K` — arbitrary corpora handed to the public pipeline may
+    * carry no low ids at all, which silently produced an empty seed set
+    * and a no-op dedup before this). Matches the oracle's
+    * `row_number() OVER (ORDER BY vec_id) <= K` seeding exactly.
+    */
+  private def coldStartRows(eq: DataFrame, k: Int): Seq[(Long, Array[Long])] =
+    eq.orderBy($"vec_id").limit(k).select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+
   /** SemDeDup core shared by the dedup_semantic query and
     * [[CurationPipeline.dedupSemantic]]: one-Lloyd-round cells from the
-    * vec_id < 16 cold start, no-shuffle cell assignment, within-cell
+    * K-smallest-vec_id cold start (K derived from corpus size — see
+    * [[deriveCellCount]]), no-shuffle cell assignment, within-cell
     * greedy-by-id cosine pruning. `eq` must carry (vec_id, v, n2); output
     * is (vec_id, cell, is_dup, dup_of). `memoKey` reuses the per-(session,
     * dir) trained centroids when the input IS the registry's index frame.
     */
   private[llm] def semanticDedupFrame(eq: DataFrame, tau: Double,
-      memoKey: Option[(SparkSession, String)]): DataFrame = {
-    val nCent = 16
-    val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      memoKey: Option[(SparkSession, String)],
+      targetCellPop: Long = SemTargetCellPop): DataFrame = {
+    val nCent = deriveCellCount(embCount(eq, memoKey), targetCellPop)
+    val initRows = coldStartRows(eq, nCent)
     if (initRows.isEmpty)
       eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
         lit(null).cast(LongType).as("dup_of")).filter(lit(false))
@@ -830,16 +870,22 @@ object LlmQueries {
   }
 
   /** One shared SQL text for the exact-arithmetic one-Lloyd-round k-means
-    * training chain (cold-start c0 from `vec_id < 16` → assignment a0 →
-    * floor-mean refinement → refined centroids `cn`) — consumed by BOTH
-    * sim_ann_ivf_kmeans and dedup_semantic. The chain appears in two
-    * oracles × one Spark replica ([[kmeansRefined]]); a drifted copy is a
-    * silent oracle divergence, so it lives here once.
+    * training chain (derived cell count kk → cold-start c0 from the K
+    * smallest vec_ids → assignment a0 → floor-mean refinement → refined
+    * centroids `cn`) — consumed by BOTH sim_ann_ivf_kmeans and
+    * dedup_semantic. The chain appears in two oracles × one Spark replica
+    * ([[kmeansRefined]]); a drifted copy is a silent oracle divergence,
+    * so it lives here once. `kk` mirrors [[deriveCellCount]] and c0's
+    * rank seeding mirrors [[coldStartRows]].
     */
   private def sqlKmeansCellCtes: String =
     s"""e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
-       |c0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+       |kk AS (SELECT greatest(16, CAST(ceil(count(*) / $SemTargetCellPop.0) AS BIGINT)) AS k FROM n),
+       |c0 AS (SELECT cid, cv, cn2 FROM (
+       |    SELECT vec_id AS cid, v AS cv, n2 AS cn2,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+       |  WHERE rn <= (SELECT k FROM kk)),
        |a0 AS (SELECT n.vec_id, n.v,
        |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c0.cv", "c0.cn2")},
        |                   'ncid': -c0.cid}))).ncid AS cell
@@ -1430,12 +1476,11 @@ object LlmQueries {
          |  ${sqlIvfCos("a1.v", "a1.n2", "qv.v", "qv.n2")} AS cos
          |FROM a1, qv WHERE a1.cell IN (SELECT cid FROM probe)
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-      val nCent = 16
       val nProbe = 2
       // shared persisted (vec_id, label, v, n2) index pass — bkt unused here
       val eq = lshFrame(s, d)
-      val initRows = eq.filter($"vec_id" < nCent).select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      val nCent = deriveCellCount(embCount(eq, Some((s, d))))
+      val initRows = coldStartRows(eq, nCent)
       val qvOpt = initRows.find(_._1 == 1L).map(_._2)
       if (qvOpt.isEmpty)
         eq.select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
@@ -1465,11 +1510,13 @@ object LlmQueries {
     // duplicate of its lowest qualifying cell-mate (greedy-by-id, the
     // deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
     // Scale shape: clustering is what makes semantic dedup sub-quadratic —
-    // candidate pairs are per-cell, and in production K grows with the
-    // corpus (K ≈ N/c̄ for a target mean cell size c̄), so per-cell pair
-    // cost stays bounded while assignment stays a no-shuffle broadcast-
-    // literal map. The only exchanges here are the cell-keyed self-join
-    // and one bounded groupBy on vec_id.
+    // candidate pairs are per-cell, and K GROWS with the corpus
+    // (K = max(16, ceil(n/c̄)) for target mean cell size c̄ = 2000, derived
+    // identically on both engines — see deriveCellCount / the kk CTE), so
+    // per-cell pair cost stays bounded while assignment stays a no-shuffle
+    // broadcast-literal map. SemanticDedupSpec pins the pair-volume bound
+    // on a growing planted fixture. The only exchanges here are the
+    // cell-keyed self-join and one bounded groupBy on vec_id.
     Q("dedup_semantic",
       s"""WITH $sqlKmeansCellCtes,
          |a1 AS (SELECT n.vec_id, n.v, n.n2,

@@ -56,4 +56,40 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     // representatives precede their duplicates (greedy-by-id determinism)
     assert(dups.forall(r => r.getLong(2) < r.getLong(0)))
   }
+
+  /** The SemDeDup scale contract: the within-cell stage is all-pairs per
+    * cell, so with K DERIVED from the corpus at a fixed target mean cell
+    * population (K = ceil(n/c̄)) the total pair volume must stay LINEAR
+    * in n — Σ_cell C(c,2) ≤ 2·n·c̄. A fixed-K scheme is quadratic
+    * (Σ ≈ n²/2K) and breaks this bound as n grows: at n=4000, c̄=50,
+    * fixed K=16 gives ≈ 498k pairs vs the 400k bound, while derived
+    * K=80 lands ≈ 100k. Both the absolute bound and the growth ratio
+    * (≤ 6× for 4× data; quadratic would be 16×) are pinned.
+    */
+  test("within-cell pair volume stays linear as the corpus grows (derived K)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.functions.VectorFns
+    val targetPop = 50L
+    val volumes = Seq(1000, 4000).map { n =>
+      val d = Files.createTempDirectory(s"semdedup-scale-$n").toString
+      PlantedEmbeddings.write(spark, d, nClusters = n / 20, perCluster = 20)
+      val eq = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("v"))
+        .withColumn("n2", VectorFns.qnorm2(col("v")))
+      assert(LlmQueries.deriveCellCount(n, targetPop) ==
+        math.max(16, ((n + targetPop - 1) / targetPop).toInt))
+      val out = LlmQueries.semanticDedupFrame(eq, 0.4, None, targetPop)
+      val cells = out.groupBy(col("cell")).agg(count(lit(1)).as("c")).collect()
+      val pairs = cells.map { r => val c = r.getLong(1); c * (c - 1) / 2 }.sum
+      info(s"n=$n: ${cells.length} cells used, pair volume $pairs")
+      (n.toLong, pairs)
+    }
+    volumes.foreach { case (n, p) =>
+      assert(p <= 2L * n * targetPop,
+        s"n=$n: within-cell pair volume $p exceeds the linear bound ${2L * n * targetPop}")
+    }
+    val Seq((_, p1), (_, p4)) = volumes
+    assert(p4 <= 6 * p1,
+      s"pair volume grew ${p4.toDouble / p1}× for 4× data — super-linear")
+  }
 }
