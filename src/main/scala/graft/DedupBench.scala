@@ -88,6 +88,39 @@ object DedupBench {
     ab("containment threshold=0.8",
       LlmQueries.containmentPairs(_, 0.8), LlmQueries.containmentPairsPrefix(_, 0.8),
       detail = false)
+
+    // fuzzy-dedup dispatch: plain blocked join vs identical-skeleton
+    // collapse. The hot variant REPLACES pct% of docs with one
+    // boilerplate text — one skeleton shared corpus-wide, the
+    // license-header block shape whose within-block pair count is
+    // quadratic in the block (the Jaccard `skewed` variant APPENDS and
+    // keeps skeletons distinct, which stresses shingle df, not blocks).
+    import graft.llm.TextRankQueries
+    val boiler = "all rights reserved unauthorized reproduction of this " +
+      "mirrored page is strictly prohibited see site terms for details"
+    def hotDocs(pct: Int): DataFrame =
+      base.withColumn("text",
+        when(pmod($"doc_id", lit(100)) < pct, lit(boiler)).otherwise($"text"))
+    println("[dedupbench] fuzzy plain-vs-collapsed")
+    for ((name, docs) <- Seq("benign" -> base, "hot5" -> hotDocs(5),
+        "hot10" -> hotDocs(10))) {
+      val d = docs.persist()
+      d.count()
+      val stats = TextRankQueries.fuzzyBlockStats(d)
+      TextRankQueries.fuzzyPairs(d).count()
+      TextRankQueries.fuzzyPairsCollapsed(d).count()
+      val (nPlain, tPlain) = time(TextRankQueries.fuzzyPairs(d).count())
+      val (nColl, tColl) = time(TextRankQueries.fuzzyPairsCollapsed(d).count())
+      assert(nPlain == nColl,
+        s"fuzzy/$name: algorithms disagree ($nPlain vs $nColl)")
+      val auto = if (stats.blowup >
+          TextRankQueries.FuzzyCollapseCutover * math.max(stats.repBlowup, 1.0))
+        "collapsed" else "plain"
+      println(f"[dedupbench] $name%-8s docs=${stats.docs}%6d groups=${stats.groups}%6d " +
+        f"blowup=${stats.blowup}%9.1f repBlowup=${stats.repBlowup}%9.1f " +
+        f"pairs=$nPlain%8d plain=$tPlain%6.2fs collapsed=$tColl%6.2fs auto->$auto")
+      d.unpersist()
+    }
     spark.stop()
   }
 }

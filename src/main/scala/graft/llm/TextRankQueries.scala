@@ -69,6 +69,156 @@ object TextRankQueries {
       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
       |    FROM documents) WHERE length(w) >= 3""".stripMargin
 
+  // ───────────────── fuzzy dedup (blocked edit distance) ─────────────────
+
+  /** Normalized skeleton frame (doc_id, nrm, p, sfx): the a–z skeleton
+    * truncated to the 200-char verify window, with the two 16-char block
+    * keys. `repartition(doc_id)` because the documents table is one
+    * parquet split — without it every downstream join and DP verify runs
+    * as a single task on one core (measured 170 s → 24 s at sf1/local[8]).
+    */
+  private def fuzzySkeletons(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select($"doc_id",
+        substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
+      .filter(length($"nrm") >= 16)
+      .withColumn("p", substring($"nrm", 1, 16))
+      .withColumn("sfx", expr("right(nrm, 16)"))
+
+  private def fuzzyCandidates(b: DataFrame, idCol: String): DataFrame = {
+    def pairsOn(key: String) =
+      b.as("a").join(b.as("b2"),
+          col(s"a.$key") === col(s"b2.$key") && col(s"a.$idCol") < col(s"b2.$idCol"))
+        .select(col(s"a.$idCol").as("a_id"), col(s"b2.$idCol").as("b_id"),
+          col("a.nrm").as("na"), col("b2.nrm").as("nb"))
+    // dedup BEFORE the verify so a pair matching both block keys (the
+    // common case for true dups) pays one DP, not two
+    pairsOn("p").union(pairsOn("sfx")).dropDuplicates("a_id", "b_id")
+  }
+
+  /** THRESHOLDED levenshtein verify: the 3-arg form can terminate the DP
+    * past the bound (and O(1)-rejects on |Δlen| > 20) and returns −1
+    * there — exact for every kept pair, so output is identical to the
+    * full DP the oracle computes.
+    */
+  private def fuzzyVerify(cand: DataFrame): DataFrame =
+    cand.select($"a_id", $"b_id", levenshtein($"na", $"nb", 20).as("dist"))
+      .filter($"dist" >= 0 && $"dist" <= 20)
+
+  /** Plain blocked fuzzy pairs: two-key blocking (16-char normalized
+    * prefix ∪ suffix), candidate dedup, thresholded-DP verify. Candidate
+    * volume is Σ_block c² over DOC-level blocks — fine on benign corpora,
+    * quadratic under a hot block (boilerplate openings shared by millions
+    * of docs). Use [[fuzzyPairsAuto]] unless you know the block profile.
+    */
+  def fuzzyPairs(docs: DataFrame): DataFrame =
+    fuzzyVerify(fuzzyCandidates(fuzzySkeletons(docs), "doc_id"))
+
+  /** Hot-block-safe fuzzy pairs: collapse IDENTICAL skeletons to one
+    * representative (gid = min doc_id per distinct nrm) before the
+    * blocked join, verify edit distance on representative pairs only,
+    * then expand back through group membership — within-group pairs are
+    * dist 0 by construction (identical skeletons), cross-group pairs
+    * inherit their representatives' distance. Output-identical to
+    * [[fuzzyPairs]] (FuzzyBlockingSpec pins A/B equality): block keys are
+    * functions of nrm, so a doc pair blocks together iff its group pair
+    * does.
+    *
+    * This is the hot-block cap: a crawl's boilerplate block (one license
+    * header shared by millions of docs) is ONE representative here — the
+    * DP stage runs on distinct-skeleton blocks (Σ g² ≪ Σ c²), and the
+    * quadratic within-group output is emitted join-side with zero DP
+    * work, which is the output's own size and therefore the floor.
+    */
+  def fuzzyPairsCollapsed(docs: DataFrame): DataFrame = {
+    val b = fuzzySkeletons(docs)
+    // one representative per distinct skeleton; keys derive from nrm
+    val reps = b.groupBy($"nrm").agg(min($"doc_id").as("gid"))
+      .withColumn("p", substring($"nrm", 1, 16))
+      .withColumn("sfx", expr("right(nrm, 16)"))
+    val rdist = fuzzyVerify(fuzzyCandidates(reps, "gid"))
+      .select($"a_id".as("ga"), $"b_id".as("gb"), $"dist")
+    // membership (doc_id, gid): one shuffle on the bounded 200-char nrm
+    val mem = b.select($"doc_id",
+      min($"doc_id").over(Window.partitionBy($"nrm")).as("gid"))
+    // cross-group pairs: expand the verified rep pairs through membership;
+    // docs of different groups are distinct, so least/greatest is total
+    val cross = rdist
+      .join(mem.select($"gid".as("ga"), $"doc_id".as("xa")), "ga")
+      .join(mem.select($"gid".as("gb"), $"doc_id".as("xb")), "gb")
+      .select(least($"xa", $"xb").as("a_id"), greatest($"xa", $"xb").as("b_id"),
+        $"dist")
+    // within-group pairs: identical skeletons, dist 0, no DP
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0).as("dist"))
+    cross.union(within)
+  }
+
+  /** Skeleton-block profile driving the plain-vs-collapsed dispatch.
+    * `blowup` is the plain path's candidate-pair volume per doc
+    * (Σ c² over both key families, doc-level); `repBlowup` the same over
+    * DISTINCT skeletons — the collapsed path's DP volume. Their gap is
+    * duplicate-skeleton mass: exactly what collapsing saves. Doubles —
+    * Σc² overflows Long under a 100 TB hot block.
+    */
+  final case class FuzzyBlockStats(docs: Long, groups: Long,
+      blowup: Double, repBlowup: Double)
+
+  def fuzzyBlockStats(docs: DataFrame): FuzzyBlockStats = {
+    val b = fuzzySkeletons(docs).select($"doc_id", $"nrm", $"p", $"sfx").persist()
+    try {
+      val n = b.count()
+      val reps = b.dropDuplicates("nrm")
+      def vol(df: DataFrame, key: String): Double = {
+        val r = df.groupBy(col(key)).agg(count(lit(1)).cast(DoubleType).as("c"))
+          .agg(sum($"c" * $"c")).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val g = reps.count()
+      FuzzyBlockStats(n, g,
+        if (n == 0) 0.0 else (vol(b, "p") + vol(b, "sfx")) / n,
+        if (n == 0) 0.0 else (vol(reps, "p") + vol(reps, "sfx")) / n)
+    } finally { b.unpersist(); () }
+  }
+
+  /** Measured ship point (DedupBench fuzzy cell, sf0.1, local[32] —
+    * table in BASELINE.md): benign corpus measures blowup/repBlowup
+    * ≈ 1.1 and plain wins (0.98 s vs 1.20 s — collapse pays one groupBy
+    * + two expansion joins for nothing), while a 5%-hot-block corpus
+    * measures ratio ≈ 14 and collapse wins 4.6× (4.50 → 0.97 s), a
+    * 10%-hot block ratio ≈ 57 and 18× (15.6 → 0.88 s) — and unboundedly
+    * more as the hot block grows: plain DP volume is quadratic in block
+    * size, collapsed linear. The asymmetry mirrors
+    * [[LlmQueries.JaccardBlowupCutover]]: collapsing early forfeits a
+    * bounded ~1.2× overhead, collapsing late pays c². 8 sits mid-gap —
+    * "candidate mass is dominated by duplicate skeletons" — with wide
+    * margins both ways (benign ≈ 1, mild hot block ≈ 14).
+    */
+  val FuzzyCollapseCutover: Double = 8.0
+
+  /** Profile-dispatched fuzzy pairs: collapse identical skeletons when
+    * duplicate-skeleton mass dominates the candidate volume. Output-
+    * identical either way (FuzzyBlockingSpec pins A/B equality).
+    */
+  def fuzzyPairsAuto(docs: DataFrame, stats: FuzzyBlockStats): DataFrame =
+    if (stats.blowup > FuzzyCollapseCutover * math.max(stats.repBlowup, 1.0))
+      fuzzyPairsCollapsed(docs)
+    else fuzzyPairs(docs)
+
+  def fuzzyPairsAuto(docs: DataFrame): DataFrame =
+    fuzzyPairsAuto(docs, fuzzyBlockStats(docs))
+
+  /** Memoized per-(session, dir) block profile — the dispatch statistic
+    * is a property of the immutable input dataset (same contract as
+    * [[LlmQueries.docShingleStats]]).
+    */
+  private val fuzzyStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), FuzzyBlockStats]()
+  private def fuzzyStats(s: SparkSession, d: String): FuzzyBlockStats =
+    fuzzyStatsMemo.computeIfAbsent((s, d), _ => fuzzyBlockStats(documents(s, d)))
+
   val queries: Seq[Q] = Seq(
 
     // TF-IDF top terms per document: tf from one grouped count, df from a
@@ -172,7 +322,10 @@ object TextRankQueries {
     // the candidate pairs, dedup, then verify with edit distance on the
     // 200-char prefix. Blocking bounds the quadratic stage to
     // within-block pairs (measured 357 candidates for 5000 docs at
-    // sf0.1); the second pass is the standard multi-pass recall
+    // sf0.1), and the measured block-profile dispatch collapses
+    // identical skeletons first when a hot block (shared boilerplate)
+    // would blow the within-block volume up — see fuzzyPairsAuto.
+    // The second pass is the standard multi-pass recall
     // extension: a pair mutated inside its first 16 normalized chars
     // still agrees on the suffix key (and vice versa), so only pairs
     // edited in BOTH 16-char windows are missed (FuzzyBlockingSpec pins
@@ -194,41 +347,14 @@ object TextRankQueries {
         |SELECT a_id, b_id, CAST(levenshtein(na, nb) AS INT) AS dist
         |FROM cand WHERE levenshtein(na, nb) <= 20
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      // nrm is truncated to the 200 chars the verify step reads (identical
+      // profile-dispatched: plain blocked join on benign block profiles,
+      // identical-skeleton collapse when a hot block dominates candidate
+      // volume (see fuzzyPairsAuto — output-identical either way). nrm is
+      // truncated to the 200 chars the verify step reads (identical
       // output: min-length 16 is unaffected by a 200-char cap — and the
       // suffix key reads the SAME truncated window in both engines), so
-      // the self-join broadcasts bounded rows instead of full documents —
-      // at corpus scale the broadcast is 200 B/doc, not document-sized
-      // repartition: the documents table is one parquet split, so without
-      // it the streaming side of the self-join — and with it EVERY
-      // levenshtein verify — runs as a single task on one core (measured
-      // 170 s → 24 s at sf1/local[8], near-linear in cores; sf1's dup
-      // families make 240k candidate pairs). Hashing on doc_id spreads
-      // pairs across the cluster; the broadcast build side carries every
-      // block anyway.
-      val b = documents(s, d)
-        .repartition(col("doc_id"))
-        .select($"doc_id",
-          substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
-        .filter(length($"nrm") >= 16)
-        .withColumn("p", substring($"nrm", 1, 16))
-        .withColumn("sfx", expr("right(nrm, 16)"))
-      def pairsOn(key: String) =
-        b.as("a").join(b.as("b2"),
-            col(s"a.$key") === col(s"b2.$key") && col("a.doc_id") < col("b2.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
-            col("a.nrm").as("na"), col("b2.nrm").as("nb"))
-      // dedup BEFORE the verify so a pair matching both block keys (the
-      // common case for true dups) pays one DP, not two
-      val cand = pairsOn("p").union(pairsOn("sfx")).dropDuplicates("a_id", "b_id")
-      // THRESHOLDED levenshtein: the 3-arg form can terminate the DP past
-      // the bound and returns -1 there — exact for every kept pair, so
-      // output is identical to the full DP the oracle computes. Measured
-      // ~4% here (sf1's candidates are mostly TRUE near-dups, so the band
-      // stays full); the win scales with the far-pair share, which
-      // dominates candidates on real heterogeneous crawl blocks.
-      cand.select($"a_id", $"b_id", levenshtein($"na", $"nb", 20).as("dist"))
-        .filter($"dist" >= 0 && $"dist" <= 20)
+      // the joins carry bounded rows instead of full documents.
+      fuzzyPairsAuto(documents(s, d), fuzzyStats(s, d))
         .orderBy($"a_id", $"b_id")
     },
 

@@ -57,4 +57,67 @@ class FuzzyBlockingSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 500L || p._2 == 500L),
       s"unrelated doc paired: $pairs")
   }
+
+  /** Hot-block fixture: a planted boilerplate block (one license-header
+    * skeleton shared by many docs, the crawl shape that recreates
+    * all-pairs cost inside a block) plus near-identical variants and
+    * unrelated filler. Pins the three contracts of the collapse path:
+    * output identical to the plain path, the dispatch statistic routes
+    * the hot corpus to collapse (and a benign corpus to plain), and the
+    * DP volume collapses from doc-blocks to distinct-skeleton blocks.
+    */
+  test("hot boilerplate block: A/B identical, dispatch routes, DP bounded") {
+    import spark.implicits._
+    val boiler = ("all rights reserved unauthorized reproduction of this " +
+      "page is prohibited see the site terms for license details " * 3).trim
+    def mutateAt(s: String, i: Int): String =
+      s.substring(0, i) + "qqq" + s.substring(i + 3)
+    val rows =
+      // 60 docs sharing ONE exact skeleton (the hot block) …
+      (0 until 60).map(i => (1000L + i, boiler)) ++
+      // … 3 near-identical variants (mid-window mutation, dist 3) …
+      (0 until 3).map(i => (2000L + i, mutateAt(boiler, 60 + 10 * i))) ++
+      // … and unrelated singleton docs (digits are stripped by the a–z
+      // normalization, so per-doc identity must be LETTERS, fore and aft,
+      // to keep both block keys distinct)
+      (0 until 40).map { i =>
+        val code = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+        val tag = code.toString * 10
+        (3000L + i, s"$tag unique filler content for this document " +
+          s"with enough letters to pass the minimum skeleton length $tag")
+      }
+    val docs = rows.toDF("doc_id", "text")
+
+    val stats = TextRankQueries.fuzzyBlockStats(docs)
+    info(s"hot fixture: $stats")
+    // doc-level candidate volume is hot-block-quadratic; rep-level is tiny
+    assert(stats.blowup > TextRankQueries.FuzzyCollapseCutover *
+      math.max(stats.repBlowup, 1.0),
+      s"dispatch must route the hot corpus to the collapsed path: $stats")
+    // distinct skeletons: 1 hot + 3 variants + 40 fillers
+    assert(stats.groups == 44, s"expected 44 skeleton groups: $stats")
+    // the DP stage now sees Σg² over 4 blocked reps + singleton fillers
+    // instead of Σc² over the 63-doc hot block: bounded by a small
+    // constant per GROUP, independent of hot-block membership
+    assert(stats.repBlowup * stats.docs <= 4.0 * stats.groups,
+      s"rep-level candidate volume not bounded: $stats")
+
+    // A/B: collapsed output is exactly the plain output
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = key(TextRankQueries.fuzzyPairs(docs))
+    val collapsed = key(TextRankQueries.fuzzyPairsCollapsed(docs))
+    assert(collapsed == plain,
+      s"A/B mismatch: only-plain=${plain -- collapsed} only-collapsed=${collapsed -- plain}")
+    // the hot block itself contributes C(60,2) dist-0 pairs
+    assert(plain.count(p => p._3 == 0) >= 60 * 59 / 2)
+
+    // benign corpus (the mutation fixture) routes to the plain path
+    val benign = TextRankQueries.fuzzyBlockStats(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    info(s"benign fixture: $benign")
+    assert(benign.blowup <= TextRankQueries.FuzzyCollapseCutover *
+      math.max(benign.repBlowup, 1.0),
+      s"benign corpus must stay on the plain path: $benign")
+  }
 }
