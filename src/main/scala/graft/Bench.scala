@@ -48,9 +48,24 @@ object Bench {
     // absorb session init (context launch, codegen compiler, FS client) so
     // the first timed query measures the query, not the JVM
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Shared memo builds (pair graphs, LSH/IVF index state, BPE table)
+    // are charged to explicit named build:* stages FIRST, so per-query
+    // times are ordering-independent — previously each memo fill landed
+    // on whichever consumer the registry ran first (round-7 verdict:
+    // dedup_minhash_cluster reported 0.1 s vs 8.2 s across artifacts on
+    // memo-fill ordering alone). Builds run exactly once: they are
+    // idempotent cache fills, and a second run would measure the cache.
+    val buildResults = SparkEntry.builds.map { case (name, f) =>
+      val s0 = drained()
+      val t0 = System.nanoTime()
+      var failed = false
+      try f(spark, sfDir) catch { case _: Throwable => failed = true }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> ((sec, drained() - s0, failed))
+    }
     // registry order (not Map hash order): run-to-run and round-to-round
     // timings stay comparable per query
-    val results = SparkEntry.all.map { q =>
+    val results = buildResults ++ SparkEntry.all.map { q =>
       var lastShuffle = 0L
       var failed = false
       val times = (1 to runs).map { _ =>

@@ -2386,6 +2386,30 @@ object LlmQueries {
     }
   )
 
+  /** The module's shared-intermediate builds (memoized index/pair-graph
+    * state), named so Bench can charge each to an explicit `build:*`
+    * stage instead of whichever consumer query happens to run first —
+    * round-7 verdict: dedup_minhash_cluster's reported time swung
+    * 0.1 s ↔ 8.2 s across artifacts purely on memo-fill ordering. Each
+    * entry forces one (session, dir) memo; all are idempotent cache
+    * fills, so Bench runs them exactly once.
+    */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shingle_stats" -> ((s, d) => { docShingleStats(s, d); () }),
+    "jaccard_pairs" -> ((s, d) => { goodPairs(s, d, 0.5).count(); () }),
+    "contain_pairs" -> ((s, d) => { goodContainPairs(s, d, 0.8).count(); () }),
+    "minhash_pairs" -> ((s, d) => { minhashPairs(s, d).count(); () }),
+    "incremental_sigs" -> ((s, d) => { incrementalPairs(s, d).count(); () }),
+    "lsh_frame" -> ((s, d) => { lshFrame(s, d).count(); () }),
+    "pq_codebook" -> ((s, d) => { trainedCodebook(s, d); () }),
+    "kmeans_cells" -> ((s, d) => {
+      val eq = lshFrame(s, d)
+      val init = coldStartRows(eq, deriveCellCount(embCount(eq, Some((s, d)))))
+      if (init.nonEmpty) { kmeansRefined(s, d, eq, init, init.head._2.length); () }
+    }),
+    "ivf_cell_layout" -> ((s, d) => { ivfCellLayout(s, d); () }),
+    "bpe_table" -> ((s, d) => { bpeTrained(s, d)._2.count(); () }))
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

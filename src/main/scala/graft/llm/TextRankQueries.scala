@@ -631,6 +631,13 @@ object TextRankQueries {
   )
 
   // $"…" sugar without a SparkSession-bound `implicits` import.
+  /** Module's shared-intermediate builds — see
+    * [[LlmQueries.sharedBuilds]] for the bench-attribution contract.
+    */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "word_tok" -> ((s, d) => { tok(s, d).count(); () }),
+    "fuzzy_stats" -> ((s, d) => { fuzzyStats(s, d); () }))
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
