@@ -51,7 +51,17 @@ object PlanAudit {
     "agg_kmv_theta" -> Set("NESTED_LOOP"),
     // build sides = the 16-row feature grid + 1-row total-positives and
     // best-split frames; the histogram and scoring passes stream once
-    "quality_distill_stump" -> Set("NESTED_LOOP"))
+    "quality_distill_stump" -> Set("NESTED_LOOP"),
+    // the TPC-H extension queries derive partsupp with a
+    // (SELECT COUNT(*) FROM supplier) scalar subquery — a 1-row
+    // broadcast per derivation site (same benign shape as agg_share's
+    // grand-total frame); q11 additionally cross-joins its 1-row `tot`
+    // CTE, the HAVING-vs-global-aggregate pattern
+    "sql_q2" -> Set("NESTED_LOOP"),
+    "sql_q9" -> Set("NESTED_LOOP"),
+    "sql_q11" -> Set("NESTED_LOOP"),
+    "sql_q16" -> Set("NESTED_LOOP"),
+    "sql_q20" -> Set("NESTED_LOOP"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -292,6 +292,185 @@ object RelationalQueries {
       |      (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l2.l_quantity))
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  // ───── derived TPC-H extension tables (q2/q9/q11/q12/q16/q20/q21) ─────
+  //
+  // The driver schema omits partsupp and lineitem's shipmode/commitdate/
+  // receiptdate. Rather than leave 7 of 22 TPC-H shapes unregistered, the
+  // missing relations are DERIVED deterministically from the tables that
+  // exist, as CTEs inside the same shared SQL text both engines run
+  // verbatim — integer-hash columns and exact DECIMAL costs, so the
+  // derivation is bit-identical in Spark and DuckDB and the hash gate
+  // stays meaningful. Shapes (join topology, correlated subqueries,
+  // EXISTS/NOT EXISTS, HAVING-vs-total) are the TPC-H originals; literals
+  // are adapted to the driver's value domains (NATION_*, single-word
+  // p_type). Dates: commit/receipt are SHIPDATE OFFSETS (cd_off/rd_off,
+  // derived integers), so date comparisons become exact integer
+  // comparisons — q12's "commit < receipt AND ship < commit" is
+  // "cd_off < rd_off AND cd_off > 0", no engine date arithmetic needed.
+  //
+  // partsupp: 4 supplier slots per part (suppkey by multiplicative hash
+  // mod supplier-count — coprime strides keep the 4 slots distinct at the
+  // driver's 100/500/1000-supplier scales), availqty in 1..9999,
+  // supplycost an exact DECIMAL(10,2) in 0.00..99.99.
+  private val PartsuppCte =
+    """g AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 13 + g.k * 17) % (SELECT COUNT(*) FROM supplier) + 1 AS ps_suppkey,
+      |    (p_partkey * 31 + g.k * 7) % 9999 + 1 AS ps_availqty,
+      |    CAST((p_partkey * 53 + g.k * 11) % 10000 * 0.01 AS DECIMAL(10,2)) AS ps_supplycost
+      |  FROM part, g)""".stripMargin
+
+  private val LineitemExtCte =
+    """lx AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+      |    l_discount, l_shipdate,
+      |    (l_orderkey * 3 + l_linenumber * 5) % 61 - 30 AS cd_off,
+      |    (l_orderkey * 7 + l_linenumber * 11) % 30 + 1 AS rd_off,
+      |    CASE (l_orderkey * 11 + l_linenumber * 17) % 7
+      |      WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+      |      WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+      |      ELSE 'FOB' END AS l_shipmode
+      |  FROM lineitem)""".stripMargin
+
+  private val SupplierExtCte =
+    """sx AS (
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+      |    CASE WHEN s_suppkey % 20 = 0 THEN 'Customer Complaints noted'
+      |         ELSE 'no complaints on file' END AS s_comment
+      |  FROM supplier)""".stripMargin
+
+  // TPC-H Q2-shaped: min-cost supplier per part in a region — the
+  // correlated-MIN scalar subquery over the same 4-way dim join as the
+  // outer query. Catalyst decorrelates it into an aggregate + re-join;
+  // both sides' partsupp scans prune to the region's suppliers.
+  private val Q2Sql =
+    s"""WITH $PartsuppCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+       |FROM part JOIN partsupp ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT MIN(ps2.ps_supplycost) FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // TPC-H Q9-shaped: product-line profit by nation × year. The profit
+  // expression follows the Q3 DECIMAL pattern (exact decimal products and
+  // difference, ONE cast to double after the sum).
+  private val Q9Sql =
+    s"""WITH $PartsuppCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+       |       (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) -
+       |       ps_supplycost * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_profit
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // TPC-H Q11-shaped: important stock — grouped value vs the GLOBAL
+  // aggregate, the HAVING-against-total shape. The total is a 1-row CTE
+  // cross-joined in (broadcast), not a repeated subquery. The official
+  // fixed fraction (0.0001/SF) is hand-scaled per SF; here the threshold
+  // is scale-FREE — keep parts above 2× the mean part value
+  // (SUM(v)·np > t·2, multiplication only: decimal division scale rules
+  // differ between engines, exact products do not) — so the query stays
+  // selective at every driver scale (106 rows at sf0.01, 4360 at sf1)
+  // instead of emptying as the total grows.
+  private val Q11Sql =
+    s"""WITH $PartsuppCte,
+       |val AS (
+       |  SELECT ps_partkey, ps_supplycost * CAST(ps_availqty AS DECIMAL(10,2)) AS v
+       |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_9'),
+       |tot AS (SELECT CAST(SUM(v) AS DECIMAL(28,2)) AS t,
+       |               COUNT(DISTINCT ps_partkey) AS np FROM val)
+       |SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+       |FROM val, tot
+       |GROUP BY ps_partkey, t, np
+       |HAVING CAST(SUM(v) AS DECIMAL(18,2)) * np > t * 2
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  // TPC-H Q12-shaped: shipmode service levels — the two-CASE conditional
+  // aggregation over an orders⋈lineitem join; the date ordering predicates
+  // are exact integer offset comparisons (see LineitemExtCte).
+  private val Q12Sql =
+    s"""WITH $LineitemExtCte
+       |SELECT l_shipmode,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM orders JOIN lx ON o_orderkey = l_orderkey
+       |WHERE l_shipmode IN ('MAIL', 'SHIP')
+       |  AND cd_off < rd_off AND cd_off > 0
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |GROUP BY l_shipmode
+       |ORDER BY l_shipmode""".stripMargin
+
+  // TPC-H Q16-shaped: supplier count by part attributes with a NOT-IN
+  // anti-join on the complaint suppliers (derived s_comment).
+  private val Q16Sql =
+    s"""WITH $PartsuppCte, $SupplierExtCte
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#15' AND p_type <> 'MEDIUM'
+       |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (
+       |    SELECT s_suppkey FROM sx WHERE s_comment LIKE '%Customer%Complaints%')
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // TPC-H Q20-shaped: the nested IN + correlated-aggregate excess-stock
+  // probe. `availqty * 2 > SUM(qty)` keeps the half-of-shipped threshold
+  // in exact integer×decimal arithmetic (no 0.5 double factor).
+  private val Q20Sql =
+    s"""WITH $PartsuppCte
+       |SELECT s_name, s_suppkey
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_9'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+       |      AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > (
+       |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+       |ORDER BY s_name, s_suppkey""".stripMargin
+
+  // TPC-H Q21-shaped: suppliers who kept orders waiting — the EXISTS /
+  // NOT-EXISTS pair over the same fact CTE with non-equal supplier
+  // correlation, the hardest decorrelation case in the suite. "Receipt
+  // late vs commit" is rd_off > cd_off (exact integers).
+  private val Q21Sql =
+    s"""WITH $LineitemExtCte
+       |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM supplier
+       |JOIN lx l1 ON s_suppkey = l1.l_suppkey
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F' AND l1.rd_off > l1.cd_off
+       |  AND n_name = 'NATION_6'
+       |  AND EXISTS (SELECT 1 FROM lx l2 WHERE l2.l_orderkey = l1.l_orderkey
+       |              AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lx l3 WHERE l3.l_orderkey = l1.l_orderkey
+       |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.rd_off > l3.cd_off)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ───────────────────────── scans ─────────────────────────
@@ -644,6 +823,48 @@ object RelationalQueries {
       Seq("lineitem", "part")
         .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
       s.sql(Q17Sql)
+    },
+
+    Q("sql_q2", Q2Sql) { (s, d) =>
+      Seq("part", "supplier", "nation", "region")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q2Sql)
+    },
+
+    Q("sql_q9", Q9Sql) { (s, d) =>
+      Seq("part", "lineitem", "supplier", "orders", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q9Sql)
+    },
+
+    Q("sql_q11", Q11Sql) { (s, d) =>
+      Seq("part", "supplier", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q11Sql)
+    },
+
+    Q("sql_q12", Q12Sql) { (s, d) =>
+      Seq("orders", "lineitem")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q12Sql)
+    },
+
+    Q("sql_q16", Q16Sql) { (s, d) =>
+      Seq("part", "supplier")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q16Sql)
+    },
+
+    Q("sql_q20", Q20Sql) { (s, d) =>
+      Seq("part", "supplier", "lineitem", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q20Sql)
+    },
+
+    Q("sql_q21", Q21Sql) { (s, d) =>
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(Q21Sql)
     },
 
     // ───────────────────── aggregations ─────────────────────
