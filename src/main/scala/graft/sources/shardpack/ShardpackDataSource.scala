@@ -618,29 +618,43 @@ final class ShardpackScan(paths: Seq[String], required: StructType,
       // valid entry fall back to per-task footer pruning as before.
       // one sidecar per source directory; a shard is matched against its
       // OWN directory's index (loaded lazily: only when a filter can prune
-      // or an oversized shard could split)
-      lazy val byDir: Map[String, Map[String, ShardpackIndex.Entry]] = paths.map { p =>
-        val dir = new Path(p)
-        val fs = dir.getFileSystem(HadoopConfs.session())
-        fs.makeQualified(dir).toString ->
-          ShardpackIndex.load(fs, dir).getOrElse(Map.empty[String, ShardpackIndex.Entry])
-      }.toMap
+      // or an oversized shard could split). The pushed key predicate
+      // becomes the part-touch function, so a PARTITIONED sidecar
+      // (ShardpackIndex.PartTarget+ shards) loads only the part files
+      // whose key span the predicate touches — part-level EXCLUSION of
+      // the untouched parts' shards is enabled only under the sidecar's
+      // listing-signature proof (see ShardpackIndex.pruned).
+      def touches(span: Option[(String, String)]): Boolean = span match {
+        case scala.None => true
+        case Some((lo, hi)) =>
+          effectiveKeys.forall(_.exists(k =>
+            ShardpackFormat.KeyOrd.gteq(k, lo) &&
+              ShardpackFormat.KeyOrd.lteq(k, hi))) &&
+            keyRange.forall(_.intersects(lo, hi))
+      }
+      lazy val byDir: Map[String, ShardpackIndex.PrunedIndex] = {
+        val listedByDir = shardList.groupBy(_.getPath.getParent.toString)
+        paths.map { p =>
+          val dir = new Path(p)
+          val fs = dir.getFileSystem(HadoopConfs.session())
+          val q = fs.makeQualified(dir).toString
+          val listed = listedByDir.getOrElse(q, Seq.empty)
+            .map(st => (st.getPath.getName, st.getLen))
+          q -> ShardpackIndex.pruned(fs, dir, listed, touches)
+        }.toMap
+      }
       def entryOf(st: org.apache.hadoop.fs.FileStatus): Option[ShardpackIndex.Entry] =
-        byDir.getOrElse(st.getPath.getParent.toString,
-          Map.empty[String, ShardpackIndex.Entry])
-          .get(st.getPath.getName).filter(_.len == st.getLen)
+        byDir.get(st.getPath.getParent.toString)
+          .flatMap(_.entryOf(st.getPath.getName, st.getLen))
       val allowed = shardList.filter(shardAllowed)
       val planned =
         if (effectiveKeys.isEmpty && keyRange.isEmpty) allowed
         else allowed.filter { st =>
-          entryOf(st) match {
+          if (byDir.get(st.getPath.getParent.toString)
+              .exists(_.excluded(st.getPath.getName, st.getLen))) false
+          else entryOf(st) match {
             case Some(e) =>
-              e.range.forall { case (lo, hi) =>
-                effectiveKeys.forall(_.exists(k =>
-                  ShardpackFormat.KeyOrd.gteq(k, lo) &&
-                    ShardpackFormat.KeyOrd.lteq(k, hi))) &&
-                  keyRange.forall(_.intersects(lo, hi))
-              }
+              e.range.forall { case (lo, hi) => touches(Some((lo, hi))) }
             case None => true
           }
         }
@@ -1513,24 +1527,37 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
   // bucket-sorted per the write's required ordering, so a change rolls)
   private var currentBucket: Int = -1
 
-  // v3 envelope: per-shard key Bloom, buffered as 16 B/record hash pairs
-  // (never the keys); past MaxTrackedKeys the stamp degrades to v2 —
-  // range-only stats, still correct
-  private val keyHashes =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+  // v3 envelope: per-shard key Bloom, buffered as two primitive long
+  // arrays (a true 16 B/record — boxed (Long, Long) tuples cost
+  // ~40-48 B/record with object headers, ≈ 200 MB/open writer task at
+  // the MaxTrackedKeys valve); past MaxTrackedKeys the stamp degrades
+  // to v2 — range-only stats, still correct
+  private var keyH1 = new Array[Long](1024)
+  private var keyH2 = new Array[Long](1024)
+  private var nKeyHashes = 0
+  private def trackKeyHash(key: String): Unit = {
+    if (nKeyHashes == keyH1.length) {
+      keyH1 = java.util.Arrays.copyOf(keyH1, keyH1.length * 2)
+      keyH2 = java.util.Arrays.copyOf(keyH2, keyH2.length * 2)
+    }
+    val (h1, h2) = ShardpackFormat.KeyBloom.hash2(key)
+    keyH1(nKeyHashes) = h1
+    keyH2(nKeyHashes) = h2
+    nKeyHashes += 1
+  }
 
   /** Close the open shard, stamping its key-range + Bloom stats envelope. */
   private def finishShard(): Unit = {
     if (writer != null) {
       val meta =
         if (minKey == null) shardMeta // footer-only shard: no keys, no stats
-        else if (keyHashes.length <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
+        else if (nKeyHashes <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
           ShardpackFormat.ShardStats.wrapWithBloom(minKey, maxKey,
-            ShardpackFormat.KeyBloom.build(keyHashes), shardMeta)
+            ShardpackFormat.KeyBloom.build(keyH1, keyH2, nKeyHashes), shardMeta)
         else ShardpackFormat.ShardStats.wrap(minKey, maxKey, shardMeta)
       writer.finish(meta)
       minKey = null; maxKey = null
-      keyHashes.clear()
+      nKeyHashes = 0
       out = null
     }
   }
@@ -1575,8 +1602,8 @@ final class ShardpackDataWriter(path: String, jobUuid: String, partitionId: Int,
         writer.bytesWritten + encoded.length > shardCap)) roll()
     if (minKey == null || ShardpackFormat.KeyOrd.lt(rec.key, minKey)) minKey = rec.key
     if (maxKey == null || ShardpackFormat.KeyOrd.gt(rec.key, maxKey)) maxKey = rec.key
-    if (keyHashes.length <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
-      keyHashes += ShardpackFormat.KeyBloom.hash2(rec.key)
+    if (nKeyHashes <= ShardpackFormat.KeyBloom.MaxTrackedKeys)
+      trackKeyHash(rec.key)
     writer.append(encoded)
   }
 

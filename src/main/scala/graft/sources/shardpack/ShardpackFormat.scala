@@ -411,6 +411,17 @@ object ShardpackFormat {
       * keys, where every shard's [min, max] covers every probe and range
       * stats prune nothing). ~10 bits/key ⇒ <1% false-positive scans; a
       * false positive only costs the header sweep, never correctness.
+      *
+      * READ-COMPAT NOTE: a v2-era reader of THIS engine does not know this
+      * marker — its unwrap matches neither SPKSTAT2 nor SPKSTAT3 and
+      * returns the whole envelope (marker + range + Bloom bytes) as user
+      * metadata, i.e. v3 stamps corrupt v2 readers' userMeta rather than
+      * merely losing pruning. Readers of the reference format (which has
+      * no stats envelope at all) are unaffected — they never parse shard
+      * metadata. Mixed-version deployments of this engine must upgrade
+      * readers before writers; there is no writer option to pin v2 because
+      * no such deployment exists here (single-artifact library), but the
+      * break is recorded so one is added if that changes.
       */
     val Marker3: Array[Byte] = "SPKSTAT3".getBytes(StandardCharsets.US_ASCII)
 
@@ -555,16 +566,32 @@ object ShardpackFormat {
       * not keys — 16 B/record).
       */
     def build(hashes: scala.collection.Seq[(Long, Long)]): KeyBloom = {
-      val m = math.max(64L, hashes.length.toLong * BitsPerKey)
+      val h1s = new Array[Long](hashes.length)
+      val h2s = new Array[Long](hashes.length)
+      var i = 0
+      hashes.foreach { case (a, b) => h1s(i) = a; h2s(i) = b; i += 1 }
+      build(h1s, h2s, hashes.length)
+    }
+
+    /** Primitive-array variant — the writer's hot path buffers two long
+      * arrays (a true 16 B/record), not boxed tuples (~40-48 B/record
+      * with headers, ≈ 200 MB of heap per open writer task at the 2^22
+      * MaxTrackedKeys valve).
+      */
+    def build(h1s: Array[Long], h2s: Array[Long], n: Int): KeyBloom = {
+      val m = math.max(64L, n.toLong * BitsPerKey)
       val bits = new Array[Byte](((m + 7) / 8).toInt)
       val mBits = bits.length.toLong * 8
-      hashes.foreach { case (h1, h2) =>
+      var k = 0
+      while (k < n) {
+        val h1 = h1s(k); val h2 = h2s(k)
         var i = 0
         while (i < NumHashes) {
           val idx = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits)
           bits((idx >>> 3).toInt) = (bits((idx >>> 3).toInt) | (1 << (idx & 7).toInt)).toByte
           i += 1
         }
+        k += 1
       }
       new KeyBloom(NumHashes, bits)
     }

@@ -276,6 +276,13 @@ object ShardpackOps {
       xExpr: String, yExpr: String,
       compression: String = ShardpackFormat.Codec.None,
       shardCap: Long = ShardpackFormat.DefaultShardCap): Unit = {
+    // destination must be fresh: appending into a non-empty bucket would
+    // silently mix clustered and unclustered generations, and re-running
+    // zorder over its own output would compound a second morton prefix
+    // onto already-prefixed keys
+    val outFs = new Path(outDir).getFileSystem(HadoopConfs.session())
+    require(ShardpackDataSource.listShards(outFs, new Path(outDir)).isEmpty,
+      s"zorder output $outDir already contains shards — use a fresh directory")
     def dim(e: String) =
       least(greatest(expr(e).cast("long"), lit(0L)), lit((1L << 16) - 1))
     val src = spark.read.format("shardpack").load(dir)

@@ -136,6 +136,89 @@ class ShardpackIndexSpec extends AnyFunSuite with SparkTestBase {
       limit = Some(1)).planInputPartitions().length == 2)
   }
 
+  /** The partitioned sidecar (past ShardpackIndex.PartTarget entries): the
+    * build writes key-sorted part files from the EXECUTORS (driver holds
+    * only part summaries), and a keyed plan reads the root manifest plus
+    * ONLY the parts its predicate's key span touches — with the untouched
+    * parts' shards excluded under the root's listing-signature proof.
+    */
+  test("10k-shard bucket: multi-part sidecar, keyed planning reads one part") {
+    val dir = tmp() + "/parted"
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(HadoopConfs.session())
+    fs.mkdirs(dirPath)
+    val n = 10000
+    // write n one-record shards DIRECTLY via the format layer (the
+    // DataFrame writer would schedule n tasks); each shard's envelope is
+    // its single key, so key-sorted parts get tight disjoint spans
+    val hconf = HadoopConfs.serializable()
+    spark.sparkContext.parallelize(0 until n, 32).foreachPartition { it =>
+      it.foreach { i =>
+        val key = f"k$i%08d"
+        val p = new Path(new Path(dir), f"part-$i%08d-t-j-u-0000.shardpack")
+        val f2 = p.getFileSystem(hconf.value)
+        val os = f2.create(p, true)
+        val w = new ShardpackFormat.ShardFileWriter(os, Array.empty)
+        w.append(ShardpackFormat.encodeRecord(
+          ShardpackFormat.Record(key, null,
+            Seq(ShardpackFormat.Entry("b.txt", "text/plain", "",
+              s"body-$i".getBytes("UTF-8")))), "none"))
+        w.finish(ShardpackFormat.ShardStats.wrap(key, key, Array.empty))
+      }
+    }
+    assert(ShardpackIndex.build(spark, dir) == n)
+    // root manifest is partitioned: n/PartTarget part files exist
+    val partsDirs = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.startsWith(ShardpackIndex.FileName + ".d-"))
+    assert(partsDirs.length == 1, "exactly one parts generation after build")
+    val partFiles = fs.listStatus(partsDirs.head.getPath)
+    val expectedParts = (n + ShardpackIndex.PartTarget - 1) / ShardpackIndex.PartTarget
+    assert(partFiles.length == expectedParts,
+      s"expected $expectedParts parts, found ${partFiles.length}")
+    // full load still round-trips every entry (ops/envelopes contract)
+    assert(ShardpackIndex.load(fs, dirPath).get.size == n)
+
+    // pruned view: a point-lookup predicate touches exactly one part
+    val listed = ShardpackDataSource.listShards(fs, dirPath)
+      .map(st => (st.getPath.getName, st.getLen))
+    val probe = f"k${7}%08d" // lands in the first key-sorted part
+    val pruned = ShardpackIndex.pruned(fs, dirPath, listed, {
+      case scala.None => true
+      case Some((lo, hi)) =>
+        ShardpackFormat.KeyOrd.gteq(probe, lo) && ShardpackFormat.KeyOrd.lteq(probe, hi)
+    })
+    assert(pruned.partsRead == 1,
+      s"point lookup must read 1 of $expectedParts parts, read ${pruned.partsRead}")
+    assert(pruned.entryOf(f"part-${7}%08d-t-j-u-0000.shardpack", listed.toMap.apply(
+      f"part-${7}%08d-t-j-u-0000.shardpack")).isDefined)
+    // a shard from an untouched part is provably excluded…
+    val farName = f"part-${n - 1}%08d-t-j-u-0000.shardpack"
+    assert(pruned.excluded(farName, listed.toMap.apply(farName)))
+    // …but a shard appended AFTER the build never is (signature mismatch)
+    val lateName = "part-99999999-late-x-y-0000.shardpack"
+    val lp = new Path(dirPath, lateName)
+    val os2 = fs.create(lp, true)
+    val w2 = new ShardpackFormat.ShardFileWriter(os2, Array.empty)
+    w2.append(ShardpackFormat.encodeRecord(
+      ShardpackFormat.Record(probe, null,
+        Seq(ShardpackFormat.Entry("b.txt", "text/plain", "", "late".getBytes))), "none"))
+    w2.finish(ShardpackFormat.ShardStats.wrap(probe, probe, Array.empty))
+    val listed2 = ShardpackDataSource.listShards(fs, dirPath)
+      .map(st => (st.getPath.getName, st.getLen))
+    val pruned2 = ShardpackIndex.pruned(fs, dirPath, listed2, _ => false)
+    assert(!pruned2.excluded(lateName, listed2.toMap.apply(lateName)),
+      "post-build appends must never be excluded")
+    fs.delete(lp, false)
+
+    // end-to-end: the keyed scan PLANS exactly one task against 10k shards
+    assert(lookupParts(dir, probe) == 1)
+    val hit = spark.read.format("shardpack").load(dir)
+      .filter(col("key") === probe)
+      .select(col("entries").getItem(0).getField("data").cast("string"))
+      .collect().map(_.getString(0))
+    assert(hit.toSeq == Seq("body-7"))
+  }
+
   test("mutating ops drop the sidecar; envelopes() falls back to footer probes") {
     val dir = tmp() + "/inval"
     writeDocs(dir, ("a1", "one"), ("a2", "two"))
