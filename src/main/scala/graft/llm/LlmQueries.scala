@@ -794,6 +794,19 @@ object LlmQueries {
     }.sortBy(_._1)
   }
 
+  /** Per-(session, dir, K) trained coarse quantizers for the K-sweep query
+    * — same train-once-serve-many contract as [[kmeansRefined]], one slot
+    * per swept K (3 × cells×dim driver state, bounded).
+    */
+  private val kSweepMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Long, Array[Long])]]()
+  private def kSweepCents(s: SparkSession, d: String, eq: DataFrame,
+      k: Int): Seq[(Long, Array[Long])] =
+    kSweepMemo.computeIfAbsent((s, d, k), _ => {
+      val init = coldStartRows(eq, k)
+      kmeansRefinedOf(eq, init, init.head._2.length)
+    })
+
   /** Target mean cell population for the SemDeDup/IVF-kmeans coarse
     * quantizer. The cell count K is DERIVED from the corpus as
     * K = max(16, ceil(n / target)) — SemDeDup's scale contract: the
@@ -1501,6 +1514,88 @@ object LlmQueries {
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
       }
+    },
+
+    // COARSE-QUANTIZER K SWEEP: recall@10 vs (K, nprobe) with K up to 256
+    // and nprobe scaled to hold the probe FRACTION at K/8 — the tuning
+    // table that answers "does probe selectivity keep improving as the
+    // index grows cells?" (the round-7 finding against the fixed k=16 cold
+    // start: with K pinned, the fraction of the corpus scanned per query
+    // stops shrinking as the corpus grows). Each K trains the same
+    // exact-arithmetic one-Lloyd-round quantizer as sim_ann_ivf_kmeans
+    // (rank-seeded cold start, floor-mean refine — bit-replayed by the
+    // oracle), assignment stays the no-shuffle broadcast-literal map, and
+    // training state is (session, dir, K)-memoized like every other index
+    // build. At a fixed probe fraction the per-query scan cost is
+    // n·(nprobe/K); the sweep measures what that selectivity buys/costs in
+    // recall on this corpus — on the isotropic driver fixture recall decays
+    // with K (cells are arbitrary), which is exactly the calibration signal
+    // a deployment reads before picking K for clustered real embeddings.
+    Q("sim_ann_recall_k", {
+      val ks = Seq(16, 64, 256)
+      def np(k: Int): Int = math.max(2, k / 8)
+      def ctes(k: Int): String =
+        s"""c0_$k AS (SELECT cid, cv, cn2 FROM (
+           |    SELECT vec_id AS cid, v AS cv, n2 AS cn2,
+           |           row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+           |  WHERE rn <= $k),
+           |a0_$k AS (SELECT n.vec_id, n.v,
+           |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c.cv", "c.cn2")},
+           |                   'ncid': -c.cid}))).ncid AS cell
+           |  FROM n, c0_$k c GROUP BY n.vec_id, n.v, n.n2),
+           |sums_$k AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0_$k),
+           |ref_$k AS (SELECT cell, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+           |  FROM sums_$k GROUP BY cell, pos),
+           |cn_$k AS (SELECT cid, cv, ${sqlQnorm2("cv")} AS cn2 FROM (
+           |    SELECT cell AS cid, list(ci ORDER BY pos) AS cv FROM ref_$k GROUP BY cell)),
+           |probe_$k AS (SELECT cid FROM cn_$k c, qv
+           |  ORDER BY ${sqlIvfCos("qv.v", "qv.n2", "c.cv", "c.cn2")} DESC, cid LIMIT ${np(k)}),
+           |a1_$k AS (SELECT n.vec_id, n.v, n.n2,
+           |  -(list_max(list({'cos': ${sqlIvfCos("n.v", "n.n2", "c.cv", "c.cn2")},
+           |                   'ncid': -c.cid}))).ncid AS cell
+           |  FROM n, cn_$k c GROUP BY n.vec_id, n.v, n.n2),
+           |t_$k AS (SELECT a.vec_id FROM a1_$k a, qv
+           |  WHERE a.cell IN (SELECT cid FROM probe_$k) AND a.vec_id <> 1
+           |  ORDER BY ${sqlIvfCos("a.v", "a.n2", "qv.v", "qv.n2")} DESC, a.vec_id LIMIT 10)""".stripMargin
+      def row(k: Int): String =
+        s"SELECT CAST($k AS INT) AS k, CAST(${np(k)} AS INT) AS nprobe, " +
+          s"(SELECT count(*) FROM exact_k JOIN t_$k USING (vec_id)) AS n_hit, " +
+          s"CAST((SELECT count(*) FROM exact_k JOIN t_$k USING (vec_id)) AS DOUBLE) / 10 AS recall"
+      s"""WITH e AS (SELECT vec_id, ${sqlQuantize("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${sqlQnorm2("v")} AS n2 FROM e),
+         |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
+         |exact_k AS (SELECT n.vec_id FROM n, qv WHERE n.vec_id <> 1
+         |  ORDER BY ${sqlIvfCos("n.v", "n.n2", "qv.v", "qv.n2")} DESC, n.vec_id LIMIT 10),
+         |${ks.map(ctes).mkString(",\n")}
+         |${ks.map(row).mkString(" UNION ALL ")}
+         |ORDER BY k""".stripMargin
+    }) { (s, d) =>
+      val ks = Seq(16, 64, 256)
+      def np(k: Int): Int = math.max(2, k / 8)
+      val eq = lshFrame(s, d)
+      val qRow = eq.filter($"vec_id" === 1).select($"v").collect()
+      val rows =
+        if (qRow.isEmpty) ks.map(k => (k, np(k), 0L, 0.0))
+        else {
+          val qv = qRow.head.getSeq[Long](0).toArray
+          val qn2 = qv.map(x => x * x).sum
+          def qcos = ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2))
+          val exactIds = eq.filter($"vec_id" =!= 1)
+            .orderBy(qcos.desc, $"vec_id").limit(10).select($"vec_id")
+          ks.map { k =>
+            val refined = kSweepCents(s, d, eq, k)
+            val probes = refined.map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
+              .sortBy { case (cid, cos) => (-cos, cid) }.take(np(k)).map(_._1)
+            val approx = eq.withColumn("cell", ivfCellCol(refined))
+              .filter($"cell".isin(probes: _*) && $"vec_id" =!= 1)
+              .orderBy(qcos.desc, $"vec_id").limit(10).select($"vec_id")
+            val hit = exactIds.join(approx, "vec_id").count()
+            (k, np(k), hit, hit / 10.0)
+          }
+        }
+      val spark = s
+      import spark.implicits._
+      rows.toDF("k", "nprobe", "n_hit", "recall").orderBy(col("k"))
     },
 
     // SEMANTIC DEDUP (the SemDeDup construction, Abbas et al. 2023,

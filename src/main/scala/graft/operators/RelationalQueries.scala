@@ -652,8 +652,19 @@ object RelationalQueries {
     },
 
     // Non-equi band join: successor events within 5 minutes, same user.
-    // Equi part (user_id) keeps it a hash join; the range is a residual
-    // predicate — no quadratic blowup at scale.
+    // INTERVAL-BUCKETED: the join key is (user_id, floor(ts/5min)) with the
+    // probe side exploded into its own bucket and the next one, so the band
+    // predicate becomes a residual over candidates that are already
+    // time-local. Why it matters at scale: an equi-join on user_id alone is
+    // all-pairs WITHIN a user — one hot user (a bot, a load tester) with 1M
+    // events costs 10^12 residual evaluations in a single task. Bucketing
+    // caps candidates per a-row at the events of one user inside two 5-min
+    // buckets, which is bounded by event rate, not by history length. The
+    // 2× key duplication (probe side only — keys, not payloads) is the
+    // whole price. Same bucketing trick as dedup_substring's span hashes.
+    // Correctness: b_ts ∈ (a_ts, a_ts+300s] ⟹ floor(b/300) ∈
+    // {floor(a/300), floor(a/300)+1}, so the two-bucket explode loses
+    // nothing and the residual removes the rest.
     Q("join_theta_range",
       """SELECT a.user_id AS user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
@@ -661,10 +672,13 @@ object RelationalQueries {
         | AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |GROUP BY a.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val e = events(s, d)
-      val a = e.select($"user_id", $"event_id".as("a_id"), $"ts".as("a_ts"))
-      val b = e.select($"user_id".as("b_user"), $"event_id".as("b_id"), $"ts".as("b_ts"))
-      a.join(b, $"user_id" === $"b_user" && $"b_ts" > $"a_ts" &&
-          $"b_ts" <= $"a_ts" + expr("INTERVAL 5 MINUTES"))
+      def bucket(ts: Column): Column = floor(unix_timestamp(ts) / 300L)
+      val a = e.select($"user_id", $"ts".as("a_ts"),
+        explode(array(bucket($"ts"), bucket($"ts") + 1L)).as("bkt"))
+      val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"),
+        bucket($"ts").as("b_bkt"))
+      a.join(b, $"user_id" === $"b_user" && $"bkt" === $"b_bkt" &&
+          $"b_ts" > $"a_ts" && $"b_ts" <= $"a_ts" + expr("INTERVAL 5 MINUTES"))
         .groupBy($"user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy($"user_id")
     },
