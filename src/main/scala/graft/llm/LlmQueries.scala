@@ -122,6 +122,35 @@ object LlmQueries {
       .select($"a_id", $"b_id", $"inter", jac.as("jac"))
   }
 
+  /** Threshold- and metric-INDEPENDENT candidate pair frame: every doc
+    * pair sharing ≥1 shingle, with its intersection count and both set
+    * sizes — (a_id, b_id, inter, na, nb). Jaccard and containment are
+    * pure PROJECTIONS of this frame (inter/(na+nb−inter) vs
+    * inter/min(na,nb)), so on the naive dispatch path the inverted-index
+    * self-join that dominates BOTH builds (35.8 s + 38.6 s at sf1 as
+    * separate builds) runs ONCE per (session, dir) and each family just
+    * filters it. Only materialized when the df profile dispatches naive
+    * (blowup ≤ cutover) — exactly the corpora where candidate volume is
+    * bounded, so the persist footprint is the profile-certified Σdf²
+    * candidate count, never the heavy-tailed blowup (prefix-path corpora
+    * never build this frame; their candidate generation is metric- and
+    * threshold-specific by construction).
+    */
+  private val interMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def interCounts(s: SparkSession, d: String): DataFrame =
+    interMemo.computeIfAbsent((s, d), _ => {
+      val tok = shingleTok(documents(s, d))
+      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      tok.as("a").join(tok.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .persist()
+    })
+
   /** Session-scoped materialized intermediate over [[jaccardPairs]].
     *
     * Four registered queries (dedup_ngram_jaccard, dedup_cluster,
@@ -137,15 +166,26 @@ object LlmQueries {
     * sessions or scale factors never cross-contaminate. `persist()` is
     * lazy: plan audits still see the full join lineage and nothing runs at
     * plan time.
+    *
+    * Naive dispatch derives from the SHARED [[interCounts]] frame
+    * (output-identical to [[jaccardPairs]] by construction — the same
+    * pair/count plan with the metric applied as a projection;
+    * SharedInterSpec pins all three paths equal); heavy-tailed corpora
+    * dispatch to [[jaccardPairsPrefix]] exactly as before.
     */
   private val pairMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
   private[llm] def goodPairs(s: SparkSession, d: String, t: Double): DataFrame =
-    pairMemo.computeIfAbsent((s, d, t),
-      // the auto dispatch, not the naive join directly: all four pair-graph
-      // consumers inherit the heavy-tail protection (output-identical either
-      // way — LlmSpec pins A/B equality — so the oracle hash is unaffected)
-      _ => jaccardPairsAuto(documents(s, d), t, docShingleStats(s, d)).persist())
+    pairMemo.computeIfAbsent((s, d, t), _ => {
+      val frame =
+        if (docShingleStats(s, d).blowup <= JaccardBlowupCutover) {
+          val jac = col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter"))
+          interCounts(s, d).filter(jac >= t)
+            .select($"a_id", $"b_id", $"inter", jac.as("jac"))
+        } else jaccardPairsPrefix(documents(s, d), t)
+      frame.persist()
+    })
 
   /** Containment-pair twin of [[goodPairs]] — same build-once-share
     * contract, separate map because the metric differs (inter/min vs
@@ -154,12 +194,20 @@ object LlmQueries {
     * verdict flagged the asymmetry: the shingle *profile* was memoized but
     * the containment pair frame was rebuilt per invocation (2.85 s warm,
     * the registry's slowest query) while its Jaccard siblings read cache.
+    * Naive dispatch shares [[interCounts]] with the Jaccard family.
     */
   private val containPairMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
   private[llm] def goodContainPairs(s: SparkSession, d: String, t: Double): DataFrame =
-    containPairMemo.computeIfAbsent((s, d, t),
-      _ => containmentPairsAuto(documents(s, d), t, docShingleStats(s, d)).persist())
+    containPairMemo.computeIfAbsent((s, d, t), _ => {
+      val frame =
+        if (docShingleStats(s, d).blowup <= JaccardBlowupCutover) {
+          val cont = col("inter").cast(DoubleType) / least(col("na"), col("nb"))
+          interCounts(s, d).filter(cont >= t)
+            .select($"a_id", $"b_id", $"inter", cont.as("cont"))
+        } else containmentPairsPrefix(documents(s, d), t)
+      frame.persist()
+    })
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin family): order
     * every doc's shingles by a global total order (document frequency asc,
@@ -2491,6 +2539,14 @@ object LlmQueries {
     */
   def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shingle_stats" -> ((s, d) => { docShingleStats(s, d); () }),
+    // the metric-independent candidate frame both pair families project;
+    // built here once so jaccard/contain build stages report their own
+    // marginal (filter-only) cost. No-op on heavy-tailed corpora, where
+    // the dispatch routes both families to their prefix paths instead.
+    "inter_counts" -> ((s, d) =>
+      if (docShingleStats(s, d).blowup <= JaccardBlowupCutover) {
+        interCounts(s, d).count(); ()
+      }),
     "jaccard_pairs" -> ((s, d) => { goodPairs(s, d, 0.5).count(); () }),
     "contain_pairs" -> ((s, d) => { goodContainPairs(s, d, 0.8).count(); () }),
     "minhash_pairs" -> ((s, d) => { minhashPairs(s, d).count(); () }),
