@@ -140,14 +140,30 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def interCounts(s: SparkSession, d: String): DataFrame =
     interMemo.computeIfAbsent((s, d), _ => {
-      val tok = shingleTok(documents(s, d))
-      val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // per-doc distinct-shingle count n is taken from the ARRAY before the
+      // explode (size(arr) — same value the old groupBy(doc_id).count()
+      // computed) and rides the w-shuffle as one extra long per token, so
+      // na/nb fall out of the pair aggregation itself (min of a
+      // group-constant). The alternative — joining the aggregated pair
+      // frame against a per-doc count dim twice — re-shuffles the LARGEST
+      // frame in the build two more times the moment the dim outgrows
+      // broadcast: the sf10 gate measured exactly that demotion, 92.9 MB
+      // at sf1 → 4.7 GB at sf10 (51× on 10× docs). With n inlined the
+      // candidate frame is terminal: one token self-join shuffle, one pair
+      // aggregation, done — the same two exchanges at every scale.
+      val tok = documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("arr", array_distinct(
+          transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
+        .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
+          explode(col("arr")).as("w"))
       tok.as("a").join(tok.as("b"),
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-        .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-        .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .agg(count(lit(1)).as("inter"),
+          min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
         .persist()
     })
 

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scale-path dedup companions to [[LlmQueries]]: benchmark decontamination
   * by exact token-span overlap, and the fully distributed connected-components
@@ -52,10 +53,17 @@ object ScaleDedup {
           .union(mins(s).select($"src".as("a"), $"m".as("b")))
       canon(moved)
     }
-    // exact fingerprint of the canonical edge set: (count, Σ src·2³² + dst)
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum($"src" * 4294967296L + $"dst")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // exact fingerprint of the canonical edge set: (count, Σ src·2³² + dst).
+    // The sum runs in DECIMAL(38,0) end-to-end: per-edge src·2³² alone
+    // overflows LONG once ids reach 2³¹, and the SUM overflows far earlier
+    // (≈ 4×10³ edges at 500k ids — found by the sf10 gate, where ANSI mode
+    // correctly refused the silent wrap the convergence check would
+    // otherwise have keyed on).
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val fp = ($"src".cast(DecimalType(38, 0)) * lit(4294967296L) + $"dst")
+      val r = e.agg(count(lit(1)), sum(fp)).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     // localCheckpoint (not persist): truncates LINEAGE, not just caches —
     // without it the logical plan doubles every round and Catalyst

@@ -786,6 +786,11 @@ object AnalyticsQueries {
     // at sf0.1, 21 at sf10) — each a hash join of the frontier against
     // part, so the total work is one scan of part per LEVEL, not per row.
     Q("sql_recursive", RecursiveTreeSql) { (s, d) =>
+      // the walk visits each part exactly once (linear, not exponential);
+      // Spark's 1M-row recursion valve is a runaway guard, not a semantic
+      // bound, and the sf10 gate (2M parts) trips it — raise it to a
+      // still-finite ceiling that any registered scale stays under
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       part(s, d).createOrReplaceTempView("part")
       s.sql(RecursiveTreeSql)
     },
