@@ -138,33 +138,72 @@ object LlmQueries {
     */
   private val interMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Dispatch bound for [[interCounts]]' two physically different (but
+    * row-identical — SharedInterSpec pins it) builds: up to this many docs
+    * the per-doc count dim (16 B/doc → 64 MB here) is FORCED broadcast and
+    * the pair frame joins it after aggregation — the cheap shape, because
+    * the token exchange carries only (doc_id, w). Past it the dim can't
+    * broadcast and those joins would re-shuffle the LARGEST frame in the
+    * build twice (the sf10 gate measured exactly that demotion before the
+    * broadcast was explicit: 92.9 MB at sf1 → 4.7 GB at sf10, 51× on 10×
+    * docs), so the count switches to riding the token shuffle instead
+    * (size of the shingle array before the explode — one extra long per
+    * token, ~1.8× the exchange, and the candidate frame becomes terminal).
+    */
+  private[llm] val InterBroadcastDocsCutover = 4000000L
+
+  /** Corpus doc count, memoized per (session, dir) — parquet metadata
+    * count, one cheap job, shared by every dispatch that needs it.
+    */
+  private val docCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private[llm] def docCount(s: SparkSession, d: String): Long =
+    docCountMemo.computeIfAbsent((s, d), _ => documents(s, d).count()).longValue()
+
+  /** Broadcast-dim shape: count dim joined AFTER the pair aggregation,
+    * explicitly broadcast (Catalyst's own estimate demoted this exact join
+    * to sort-merge at sf10 while the dim was 8 MB on disk).
+    */
+  private[llm] def interCountsBroadcast(docs: DataFrame): DataFrame = {
+    val tok = shingleTok(docs)
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n".as("na"))), "a_id")
+      .join(broadcast(cnt.select($"doc_id".as("b_id"), $"n".as("nb"))), "b_id")
+  }
+
+  /** Carry-n shape for corpora whose count dim outgrows broadcast: n is
+    * computed on the shingle ARRAY before the explode (same value the
+    * groupBy count produces) and rides the w-shuffle, so na/nb fall out of
+    * the pair aggregation (min of a group-constant) and the candidate
+    * frame never reshuffles.
+    */
+  private[llm] def interCountsCarryN(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("arr", array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
+        explode(col("arr")).as("w"))
+    tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+  }
+
   private[llm] def interCounts(s: SparkSession, d: String): DataFrame =
     interMemo.computeIfAbsent((s, d), _ => {
-      // per-doc distinct-shingle count n is taken from the ARRAY before the
-      // explode (size(arr) — same value the old groupBy(doc_id).count()
-      // computed) and rides the w-shuffle as one extra long per token, so
-      // na/nb fall out of the pair aggregation itself (min of a
-      // group-constant). The alternative — joining the aggregated pair
-      // frame against a per-doc count dim twice — re-shuffles the LARGEST
-      // frame in the build two more times the moment the dim outgrows
-      // broadcast: the sf10 gate measured exactly that demotion, 92.9 MB
-      // at sf1 → 4.7 GB at sf10 (51× on 10× docs). With n inlined the
-      // candidate frame is terminal: one token self-join shuffle, one pair
-      // aggregation, done — the same two exchanges at every scale.
-      val tok = documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 3)
-        .withColumn("arr", array_distinct(
-          transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
-        .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
-          explode(col("arr")).as("w"))
-      tok.as("a").join(tok.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"),
-          min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
-        .persist()
+      val docs = documents(s, d)
+      val frame =
+        if (docCount(s, d) <= InterBroadcastDocsCutover) interCountsBroadcast(docs)
+        else interCountsCarryN(docs)
+      frame.persist()
     })
 
   /** Session-scoped materialized intermediate over [[jaccardPairs]].

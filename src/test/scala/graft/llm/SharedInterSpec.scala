@@ -49,6 +49,18 @@ class SharedInterSpec extends AnyFunSuite with SparkTestBase {
     assert(direct.nonEmpty, "fixture must produce at least one jaccard pair")
   }
 
+  test("broadcast-dim and carry-n interCounts shapes are row-identical") {
+    val docs = graft.Tables.documents(spark, dir)
+    def rows5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.select("a_id", "b_id", "inter", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val bc = rows5(LlmQueries.interCountsBroadcast(docs))
+    val cn = rows5(LlmQueries.interCountsCarryN(docs))
+    assert(bc == cn)
+    assert(bc.nonEmpty, "fixture must produce candidate pairs")
+  }
+
   test("shared-frame containment pairs == direct containmentPairs at t=0.8") {
     val docs = graft.Tables.documents(spark, dir)
     val direct = rowsOf(LlmQueries.containmentPairs(docs, 0.8))
