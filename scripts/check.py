@@ -3,13 +3,59 @@
 entry in DuckDB over the testdata parquet tables and compare against the
 Verify-dumped Spark result parquet (columns sorted by name, exact values).
 
+Comparison happens at the ARROW level, not pandas: pandas flattens DuckDB
+decimals to float64, which hid a real driver-gate failure (sql_q2: Spark
+Decimal('22.10') vs DuckDB 22.1 hash differently even though the values are
+numerically equal). Every cell is canonicalized to a string the way the
+driver's hash does — decimal.Decimal keeps its scale — so a raw-DECIMAL
+output column with mismatched scale FAILS here exactly as it would there.
+
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, decimal, datetime
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonical string for one cell, mirroring the driver's hash input.
+
+    decimal.Decimal deliberately preserves scale (str(Decimal('22.10')) !=
+    str(Decimal('22.1'))) — that is the divergence class this gate must see.
+    """
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return "bin:" + v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        # the driver's pandas-level hash reads a DATE as a midnight
+        # Timestamp, so a date and a timestamp-at-midnight compare equal
+        # there; mirror that (decimals stay strict — that class the
+        # driver DOES fail on)
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    return str(v)
+
+
+def col_values(tbl, name):
+    return [canon(v) for v in tbl.column(name).to_pylist()]
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -23,47 +69,47 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
         try:
-            exp = con.execute(sql).fetchdf()
+            exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
-        gc, ec = sorted(got.columns), sorted(exp.columns)
+        gc, ec = sorted(got.column_names), sorted(exp.column_names)
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} duck={ec}"); n_fail += 1; continue
-        got, exp = got[gc], exp[gc]
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); n_fail += 1; continue
+        if got.num_rows != exp.num_rows:
+            print(f"FAIL {name}: rows spark={got.num_rows} duck={exp.num_rows}"); n_fail += 1; continue
         bad = None
+        dec_cols = []
         for c in gc:
-            gv, ev = got[c].tolist(), exp[c].tolist()
+            gt, et = got.schema.field(c).type, exp.schema.field(c).type
+            if pa.types.is_decimal(gt) or pa.types.is_decimal(et):
+                dec_cols.append(f"{c}(spark={gt},duck={et})")
+            gv, ev = col_values(got, c), col_values(exp, c)
             for i, (a, b) in enumerate(zip(gv, ev)):
-                if a is None and b is None: continue
-                if isinstance(a, float) and isinstance(b, float):
-                    if math.isnan(a) and math.isnan(b): continue
-                    if a != b:
-                        bad = (c, i, a, b, abs(a - b)); break
-                elif isinstance(a, (list, tuple)) or str(type(a).__name__) == 'ndarray':
-                    if list(a) != list(b): bad = (c, i, a, b, None); break
-                elif a != b:
-                    if str(a) == str(b): continue  # dtype wrapper mismatch
-                    bad = (c, i, a, b, None); break
-            if bad: break
+                if a != b:
+                    bad = (c, i, a, b); break
+            if bad:
+                break
         if bad:
-            c, i, a, b, delta = bad
-            print(f"FAIL {name}: col={c} row={i} spark={a!r} duck={b!r} delta={delta}")
+            c, i, a, b = bad
+            print(f"FAIL {name}: col={c} row={i} spark={a!r} duck={b!r}")
             n_fail += 1
         else:
-            # dtype-level schema check (int32 vs int64 etc.)
-            gt = [str(got[c].dtype) for c in gc]
-            et = [str(exp[c].dtype) for c in gc]
-            note = "" if gt == et else f"  [dtype diff: {list(zip(gc, gt, et))}]"
-            print(f"PASS {name} ({len(got)} rows){note}")
+            note = ""
+            if dec_cols:
+                # Values canonicalized identically this time, but a raw
+                # DECIMAL output column is one scale mismatch away from a
+                # driver hash-red; the registry policy is ONE final cast to
+                # DOUBLE. Surface it loudly.
+                note = f"  [WARN raw-decimal output: {dec_cols}]"
+            print(f"PASS {name} ({got.num_rows} rows){note}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -16,6 +16,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(GraftSession.RecursionRowLimitKey, GraftSession.RecursionRowLimit)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // self-provision a missing scale dir (sf1 is gitignored and regenerated

@@ -70,6 +70,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(GraftSession.RecursionRowLimitKey, GraftSession.RecursionRowLimit)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -15,6 +15,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(GraftSession.RecursionRowLimitKey, GraftSession.RecursionRowLimit)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Comma-separated names time each in sequence (repeat a name to see

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass readability counters for `text_readability`: word, sentence,
+  * and syllable counts in a single scan of the document string.
+  *
+  * The higher-order-function formulation this replaces ran THREE regex
+  * passes per document (`split(lower(text), "[^a-z]+")`,
+  * `split(text, "[.!?]+")`, and a per-word `regexp_extract_all` under an
+  * interpreted `aggregate` lambda) — the registry's second-worst sf1→sf10
+  * map-only time grower (14.9×). Semantics are pinned to the regex
+  * formulation the DuckDB oracle still runs:
+  *
+  *  - words   = maximal runs of characters that lowercase into [a-z]
+  *              (the `[^a-z]+` split over `lower(text)`);
+  *  - syllables = per word, max(1, count of maximal [aeiouy]+ runs);
+  *  - sentences = max(1, segments of the ORIGINAL text split on
+  *              `[.!?]+` runs whose space-trim is non-empty — i.e.
+  *              containing any char that is not ' ').
+  *
+  * Case folding is per code point (Character.toLowerCase), matching the
+  * engines' string-level lower() for every single-code-point mapping;
+  * the handful of multi-char expansions (e.g. U+0130) would diverge, but
+  * cannot survive either engine's `[a-z]` class as more than a word
+  * break and do not occur in the gated corpora (hash-checked at
+  * sf0.01/sf1/sf10).
+  */
+object TextStats {
+
+  /** Returns {n_words, n_sentences, n_syllables}. Called from generated
+    * code via the object's static forwarder — the loop stays inside the
+    * whole-stage-codegen'd operator with zero regex machinery.
+    */
+  def readability(s: String): Array[Long] = {
+    var nWords = 0L
+    var nSentences = 0L
+    var nSyllables = 0L
+    var inWord = false
+    var inVowelRun = false
+    var wordSyllables = 0L
+    var segHasNonSpace = false
+    var prevWasSentSep = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      val isLetter = lc >= 'a' && lc <= 'z'
+      if (isLetter) {
+        if (!inWord) { inWord = true; wordSyllables = 0L; inVowelRun = false }
+        val isVowel = lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' ||
+          lc == 'u' || lc == 'y'
+        if (isVowel && !inVowelRun) wordSyllables += 1L
+        inVowelRun = isVowel
+      } else if (inWord) {
+        nWords += 1L
+        nSyllables += math.max(1L, wordSyllables)
+        inWord = false
+      }
+      val isSentSep = cp == '.' || cp == '!' || cp == '?'
+      if (isSentSep) {
+        if (!prevWasSentSep) {
+          if (segHasNonSpace) nSentences += 1L
+          segHasNonSpace = false
+        }
+      } else if (cp != ' ') {
+        segHasNonSpace = true
+      }
+      prevWasSentSep = isSentSep
+      i += Character.charCount(cp)
+    }
+    if (inWord) { nWords += 1L; nSyllables += math.max(1L, wordSyllables) }
+    if (segHasNonSpace) nSentences += 1L
+    Array(nWords, math.max(1L, nSentences), nSyllables)
+  }
+
+  /** Column wrapper: a struct (n_words, n_sentences, n_syllables). */
+  def readabilityCol(text: Column): Column =
+    Bridge.column(ReadabilityCounts(Bridge.expression(text)))
+}
+
+case class ReadabilityCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"readability_counts requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false)))
+
+  override def prettyName: String = "readability_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = TextStats.readability(input.asInstanceOf[UTF8String].toString)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextStats.readability($c.toString());
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$arr[0], $arr[1], $arr[2]});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ReadabilityCounts =
+    copy(child = newChild)
+}

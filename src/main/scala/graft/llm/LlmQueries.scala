@@ -160,12 +160,36 @@ object LlmQueries {
   private[llm] def docCount(s: SparkSession, d: String): Long =
     docCountMemo.computeIfAbsent((s, d), _ => documents(s, d).count()).longValue()
 
+  /** Pair-stage task count for the [[interCounts]] build. The inverted-
+    * index self-join emits ~Σdf²/2 candidate rows into a map-side partial
+    * aggregation, and at a FIXED 32-partition layout the per-task pair
+    * volume grows linearly with the corpus until the partial hash table
+    * spills and stops combining — the sf10 gate measured 27× shuffle
+    * growth on 11.8× measured-linear candidate growth, attributed exactly
+    * to this (BASELINE.md). The profile's Σdf² is the exact candidate
+    * estimate, so scale tasks with it: ~[[PairsPerTask]] candidate pairs
+    * per task, floored at the session's shuffle parallelism (never fewer
+    * tasks than the configured cluster width), capped at 4096 so task
+    * count can't outrun the scheduler on a pathological profile.
+    */
+  private[llm] val PairsPerTask = 2e6
+  private[llm] def pairBuildPartitions(s: SparkSession, sumDf2: Double): Int = {
+    val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val target = math.ceil((sumDf2 / 2.0) / PairsPerTask)
+    math.min(4096.0, math.max(base.toDouble, target)).toInt
+  }
+
   /** Broadcast-dim shape: count dim joined AFTER the pair aggregation,
     * explicitly broadcast (Catalyst's own estimate demoted this exact join
-    * to sort-merge at sf10 while the dim was 8 MB on disk).
+    * to sort-merge at sf10 while the dim was 8 MB on disk). `pairParts`
+    * (0 = leave the session layout alone) widens the w-exchange feeding
+    * the self-join so the pair partial-agg stays combine-effective — see
+    * [[pairBuildPartitions]]; the self-join's two sides share the one
+    * repartitioned frame, so the layout is paid once.
     */
-  private[llm] def interCountsBroadcast(docs: DataFrame): DataFrame = {
-    val tok = shingleTok(docs)
+  private[llm] def interCountsBroadcast(docs: DataFrame, pairParts: Int = 0): DataFrame = {
+    val tok0 = shingleTok(docs)
+    val tok = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
     val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -181,8 +205,8 @@ object LlmQueries {
     * the pair aggregation (min of a group-constant) and the candidate
     * frame never reshuffles.
     */
-  private[llm] def interCountsCarryN(docs: DataFrame): DataFrame = {
-    val tok = docs
+  private[llm] def interCountsCarryN(docs: DataFrame, pairParts: Int = 0): DataFrame = {
+    val tok0 = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("arr", array_distinct(
@@ -190,6 +214,7 @@ object LlmQueries {
           i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
       .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
         explode(col("arr")).as("w"))
+    val tok = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
     tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -200,11 +225,31 @@ object LlmQueries {
   private[llm] def interCounts(s: SparkSession, d: String): DataFrame =
     interMemo.computeIfAbsent((s, d), _ => {
       val docs = documents(s, d)
+      // interCounts is only built on the naive-dispatch path, where the
+      // profile (memoized, already paid by the blowup dispatch) is in
+      // hand — its Σdf² sizes the pair stage.
+      val parts = pairBuildPartitions(s, docShingleStats(s, d).sumDf2)
       val frame =
-        if (docCount(s, d) <= InterBroadcastDocsCutover) interCountsBroadcast(docs)
-        else interCountsCarryN(docs)
+        if (docCount(s, d) <= InterBroadcastDocsCutover)
+          interCountsBroadcast(docs, parts)
+        else interCountsCarryN(docs, parts)
       frame.persist()
     })
+
+  /** Drop the parent candidate frame's cache once BOTH filtered pair
+    * families are materialized (Bench's jaccard_pairs + contain_pairs
+    * build stages force them): the unthresholded frame can dwarf the
+    * good-pair frames at scale and no registered consumer reads it after
+    * the two projections exist. The memo entry stays, so an off-registry
+    * threshold still gets a correct (recomputed-lineage) answer. On the
+    * lazy consumer path (Verify, ad-hoc use) nothing forces the children,
+    * so the parent stays cached — unpersisting before a child
+    * materializes would recompute the whole self-join.
+    */
+  private[llm] def releaseInterCounts(s: SparkSession, d: String): Unit = {
+    val frame = interMemo.get((s, d))
+    if (frame != null) { frame.unpersist(); () }
+  }
 
   /** Session-scoped materialized intermediate over [[jaccardPairs]].
     *
@@ -803,9 +848,16 @@ object LlmQueries {
     def sqlCos(dv: String, dn: String, cv: String, cn: String) =
       s"CAST(${sqlQdot(dv, cv)} AS DOUBLE) / " +
         s"(sqrt(CAST($dn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE)))"
+    // K is DERIVED from the corpus (kk mirrors deriveCellCount; rank
+    // seeding mirrors coldStartRows) — probe selectivity keeps improving
+    // as the corpus grows instead of freezing at a 16-cell demo grid
     s"""WITH e AS (SELECT vec_id, label, ${sqlQuantize("embedding")} AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, ${sqlQnorm2("v")} AS n2 FROM e),
-       |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+       |kk AS (SELECT greatest(16, CAST(ceil(count(*) / $SemTargetCellPop.0) AS BIGINT)) AS k FROM n),
+       |c AS (SELECT cid, cv, cn2 FROM (
+       |    SELECT vec_id AS cid, v AS cv, n2 AS cn2,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+       |  WHERE rn <= (SELECT k FROM kk)),
        |qv AS (SELECT v, n2 FROM n WHERE vec_id = 1),
        |probe AS (SELECT cid FROM c, qv
        |  ORDER BY ${sqlCos("qv.v", "qv.n2", "c.cv", "c.cn2")} DESC, cid LIMIT 2),
@@ -830,7 +882,10 @@ object LlmQueries {
       : (String, Seq[(Long, Array[Long])]) =
     cellLayoutMemo.computeIfAbsent((s, d), { _ =>
       val eq = lshFrame(s, d).select($"vec_id", $"label", $"v", $"n2")
-      val cents = VectorIndex.centroids(eq)
+      // same derived-K rank-seeded cold start as the in-memory path —
+      // the two physical paths must share one coarse quantizer for the
+      // shared oracle to pin them to one semantic result
+      val cents = coldStartRows(eq, deriveCellCount(embCount(eq, Some((s, d)))))
       val dir = java.nio.file.Files.createTempDirectory("ivf-cells").toString
       VectorIndex.writeCellLayout(eq, cents, dir)
       (dir, cents)
@@ -845,17 +900,71 @@ object LlmQueries {
     * batch/stream parity): the "train the tokenizer offline, meter the
     * ingest stream" deployment shape.
     */
-  def bpeTokenize(s: SparkSession, trainDir: String, docs: DataFrame): DataFrame = {
-    val wordToks = bpeTrained(s, trainDir)._2
-      .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
-    docs
-      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
-      .filter(length($"w") >= 1)
-      .join(wordToks, Seq("w"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(coalesce($"toks", lit(1L))).as("n_tokens"))
-  }
+  def bpeTokenize(s: SparkSession, trainDir: String, docs: DataFrame): DataFrame =
+    if (!docs.isStreaming &&
+        bpeVocabCount(s, trainDir) <= BpeVocabBroadcastCutover) {
+      // broadcast-vocab serving: ONE codegen scan per document against
+      // the broadcast word→token-count table ([[graft.functions.
+      // BpeMeter]]) — zero shuffle, no per-occurrence explode row, no
+      // join probe. The zero-word filter mirrors the explode path
+      // dropping the group; BpeStreamingSpec pins this path equal to the
+      // join path (its batch side dispatches here, its stream side
+      // below).
+      val bc = bpeVocabBcast(s, trainDir)
+      docs
+        .withColumn("__m", graft.functions.BpeMeter.meterCol($"text", bc))
+        .filter($"__m.n_words" >= 1)
+        .select($"doc_id", $"__m.n_words".as("n_words"),
+          $"__m.n_tokens".as("n_tokens"))
+    } else {
+      // vocab-keyed join serving: the scale path when a web-scale vocab
+      // outgrows a broadcast (AQE broadcasts the dim while it fits), and
+      // the STREAMING path always — the histogram is a static persisted
+      // frame, so this is a stream-static join + stateful agg, and the
+      // spec's complete-mode sink requires the aggregation
+      val wordToks = bpeTrained(s, trainDir)._2
+        .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
+      docs
+        .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
+        .filter(length($"w") >= 1)
+        .join(wordToks, Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce($"toks", lit(1L))).as("n_tokens"))
+    }
+
+  /** Broadcast cutover for [[bpeTokenize]]'s serving dispatch: up to this
+    * many distinct trained words the vocabulary collects to one bounded
+    * driver map (~tens of MB) and ships as a broadcast; past it the
+    * serving join keys on the word — the same broadcast-vs-shuffle
+    * boundary as [[InterBroadcastDocsCutover]], sized for entry strings
+    * instead of 16-byte count rows.
+    */
+  private[llm] val BpeVocabBroadcastCutover = 1000000L
+
+  private val bpeVocabCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def bpeVocabCount(s: SparkSession, d: String): Long =
+    bpeVocabCountMemo.computeIfAbsent((s, d),
+      _ => bpeTrained(s, d)._2.count()).longValue()
+
+  /** The trained word→token-count table as a broadcast HashMap, memoized
+    * per (session, dir) — only ever built on the ≤-cutover dispatch, so
+    * the collect is bounded by [[BpeVocabBroadcastCutover]].
+    */
+  private val bpeVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]]]()
+  private def bpeVocabBcast(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]] =
+    bpeVocabMemo.computeIfAbsent((s, d), _ => {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      bpeTrained(s, d)._2
+        .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
+        .collect()
+        .foreach(r => m.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+      s.sparkContext.broadcast(m)
+    })
 
   /** One-Lloyd-round trained PQ codebook, memoized per (session, dir) —
     * a deployment trains the index once offline; re-paying the training
@@ -1429,38 +1538,33 @@ object LlmQueries {
         .toDF("k", "n_hit_single", "recall_single", "n_hit_multi", "recall_multi")
     },
 
-    // IVF ANN: coarse-quantize to the nearest of 16 fixed centroids (the
-    // first 16 vectors — deterministic, standing in for trained k-means
-    // cells), then probe only the query's 2 nearest cells. Centroids are
-    // driver state (as in any IVF index), so cell assignment is a pure map
-    // over the broadcast literal — NO shuffle; the probe filter drops
-    // ~7/8 of the table before the top-k. All cosines are exact-integer
-    // dots cast to DOUBLE in a fixed op order, so the DuckDB oracle replays
-    // cell assignment, probe selection, and the final top-k identically.
+    // IVF ANN: coarse-quantize to the nearest of K cold-start centroids
+    // (the K smallest present vec_ids — deterministic, standing in for
+    // trained k-means cells; sim_ann_ivf_kmeans adds the Lloyd round),
+    // then probe only the query's 2 nearest cells. K is DERIVED from the
+    // corpus, K = max(16, ⌈n/2000⌉) like the kmeans/SemDeDup siblings, so
+    // probe selectivity (nprobe/K of the table scanned) keeps improving
+    // with corpus growth instead of freezing at a 16-cell grid. Centroids
+    // are driver state (as in any IVF index), so cell assignment is a
+    // pure map over the broadcast literal — NO shuffle. All cosines are
+    // exact-integer dots cast to DOUBLE in a fixed op order, so the
+    // DuckDB oracle replays cell assignment, probe selection, and the
+    // final top-k identically.
     Q("sim_ann_ivf", simAnnIvfOracleSql) { (s, d) =>
-      val nCent = 16
       val nProbe = 2
       // Centroids (and the query vector) are collected driver state, as in
-      // any IVF index — the collect here is the "load the index" step, tiny
-      // and bounded by nCent. If the bucket lacks vec_id 1 (the query) the
-      // query degrades to an empty result like its LSH sibling would.
+      // any IVF index — the collect here is the "load the index" step,
+      // bounded by the derived K. If the bucket lacks vec_id 1 (the query)
+      // the query degrades to an empty result like its LSH sibling would.
       // Reads the SAME memoized persisted (v, n2) index pass as the rest
       // of the ANN family (build-once-share contract): a private
       // quantize+repartition per invocation re-paid the index build on
       // every call (~2 s of the sf1 warm time before round 6).
       val eq = lshFrame(s, d)
-      val centRows = eq.filter($"vec_id" < nCent)
-        .select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-      // same op order as the SQL: exact int dot/norms, one double division
-      def qcos(x: Array[Long], y: Array[Long]): Double = {
-        var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
-        while (i < x.length) {
-          dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
-        }
-        dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
-      }
+      val nCent = deriveCellCount(embCount(eq, Some((s, d))))
+      val centRows = coldStartRows(eq, nCent)
+      // vec_id 1, if present, is by construction among the K ≥ 16
+      // smallest present ids, so the seed rows double as the query lookup
       val qvOpt = centRows.find(_._1 == 1L).map(_._2)
       if (qvOpt.isEmpty)
         eq.select($"vec_id", $"label", lit(0L).as("cell"), lit(0.0).as("cos"))
@@ -1469,26 +1573,13 @@ object LlmQueries {
         val qv = qvOpt.get
         val qn2 = qv.map(x => x * x).sum
         val probeCells = centRows
-          .map { case (cid, cv) => (cid, qcos(qv, cv)) }
+          .map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
           .take(nProbe).map(_._1)
-        // centroid norms stamped as literals — not recomputed per row
-        val centLit = array(centRows.map { case (cid, cv) =>
-          struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"),
-            lit(cv.map(x => x * x).sum).as("cn2"))
-        }: _*)
-        def colCos(v: Column, n2: Column, cv: Column, cn2: Column): Column =
-          qdot(v, cv).cast(DoubleType) /
-            (sqrt(n2.cast(DoubleType)) * sqrt(cn2.cast(DoubleType)))
-        // array_max over (cos, -cid) structs = argmax cosine, ties to the
-        // smaller cid — lexicographic struct ordering, no shuffle.
-        val cell = -array_max(transform(centLit, c => struct(
-          colCos($"v", $"n2", c.getField("cv"), c.getField("cn2")).as("cos"),
-          (-c.getField("cid")).as("ncid")))).getField("ncid")
-        eq.withColumn("cell", cell)
+        eq.withColumn("cell", ivfCellCol(centRows))
           .filter($"cell".isin(probeCells: _*))
           .select($"vec_id", $"label", $"cell",
-            colCos($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
+            ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2)).as("cos"))
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
       }
@@ -1683,8 +1774,13 @@ object LlmQueries {
           val qv = qRow.head.getSeq[Long](0).toArray
           val qn2 = qv.map(x => x * x).sum
           def qcos = ivfCosCol($"v", $"n2", array(qv.map(lit(_)): _*), lit(qn2))
+          // the exact top-10 is at most 10 longs: collect it ONCE and
+          // intersect each swept K's result on the driver, instead of
+          // re-running the full-corpus exact scan as the build side of a
+          // join per K (it is unpersisted — 3 sweeps re-executed it)
           val exactIds = eq.filter($"vec_id" =!= 1)
             .orderBy(qcos.desc, $"vec_id").limit(10).select($"vec_id")
+            .collect().map(_.getLong(0)).toSet
           ks.map { k =>
             val refined = kSweepCents(s, d, eq, k)
             val probes = refined.map { case (cid, cv) => (cid, qcosArr(qv, cv)) }
@@ -1692,7 +1788,8 @@ object LlmQueries {
             val approx = eq.withColumn("cell", ivfCellCol(refined))
               .filter($"cell".isin(probes: _*) && $"vec_id" =!= 1)
               .orderBy(qcos.desc, $"vec_id").limit(10).select($"vec_id")
-            val hit = exactIds.join(approx, "vec_id").count()
+              .collect().map(_.getLong(0))
+            val hit = approx.count(exactIds).toLong
             (k, np(k), hit, hit / 10.0)
           }
         }
@@ -2405,23 +2502,32 @@ object LlmQueries {
 
     // The BPE-training inner loop, one iteration: adjacent character-pair
     // frequencies over lowercased alpha words — the table a tokenizer
-    // trainer maximizes over to pick its next merge. Explode is linear in
-    // corpus chars; the rollup is vocabulary-bounded (≤26² pairs), so the
-    // only full-data shuffle carries 2-char keys. Top-k via TakeOrdered.
+    // trainer maximizes over to pick its next merge. Pairs are counted
+    // over the DISTINCT-word histogram weighted by occurrence count (the
+    // same trick bpe_merges uses, and how GPT-2's trainer actually works):
+    // the per-char explode runs once per VOCABULARY word, not once per
+    // corpus occurrence — identical counts, CPU bounded by vocab size on
+    // replicated corpora (this was the single most expensive sf10 entry,
+    // 88 s of pure interpreted-expression CPU, at occurrence granularity).
+    // Two shuffles, both tiny after map-side combine: word keys (vocab-
+    // sized) then 2-char pair keys (≤26²). Top-k via TakeOrdered.
     Q("bpe_pair_counts",
       """WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |  FROM documents),
-        |p AS (SELECT unnest([substring(w, i, 2) FOR i IN range(1, length(w))]) AS pair
-        |  FROM w WHERE length(w) >= 2)
-        |SELECT pair, count(*) AS n FROM p
+        |h AS (SELECT w, count(*) AS freq FROM w WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT unnest([substring(w, i, 2) FOR i IN range(1, length(w))]) AS pair,
+        |  freq FROM h)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 200""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
         .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
         .withColumn("cs", split($"w", ""))
         .select(explode(transform(sequence(lit(1), length($"w") - 1),
-          i => concat(element_at($"cs", i), element_at($"cs", i + 1)))).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("n"))
+          i => concat(element_at($"cs", i), element_at($"cs", i + 1)))).as("pair"),
+          $"freq")
+        .groupBy($"pair").agg(sum($"freq").cast(LongType).as("n"))
         .orderBy($"n".desc, $"pair")
         .limit(200)
     },
@@ -2484,17 +2590,15 @@ object LlmQueries {
         |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
         |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = filter(split(lower($"text"), "[^a-z]+"), w => length(w) > 0)
-      val sentences = greatest(lit(1),
-        size(filter(split($"text", "[.!?]+"), x => trim(x) =!= ""))).cast(LongType)
+      // one codegen scan per document ([[graft.functions.TextStats]])
+      // instead of three regex passes + an interpreted per-word lambda —
+      // the oracle above still runs the regex formulation, so the hash
+      // pins the scan to it
       val t = documents(s, d)
-        .withColumn("__words", words)
-        .withColumn("n_words", size($"__words").cast(LongType))
-        .withColumn("n_sentences", sentences)
-        .withColumn("n_syllables",
-          aggregate($"__words", lit(0L), (acc, w) =>
-            acc + greatest(lit(1),
-              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast(LongType)))
+        .withColumn("__rc", graft.functions.TextStats.readabilityCol($"text"))
+        .withColumn("n_words", $"__rc.n_words")
+        .withColumn("n_sentences", $"__rc.n_sentences")
+        .withColumn("n_syllables", $"__rc.n_syllables")
       t.filter($"n_words" > 0)
         .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
           (lit(206.835) - lit(1.015) *
@@ -2603,7 +2707,12 @@ object LlmQueries {
         interCounts(s, d).count(); ()
       }),
     "jaccard_pairs" -> ((s, d) => { goodPairs(s, d, 0.5).count(); () }),
-    "contain_pairs" -> ((s, d) => { goodContainPairs(s, d, 0.8).count(); () }),
+    "contain_pairs" -> ((s, d) => {
+      goodContainPairs(s, d, 0.8).count()
+      // both registry pair families are now materialized — release the
+      // unthresholded parent frame they projected from
+      releaseInterCounts(s, d)
+    }),
     "minhash_pairs" -> ((s, d) => { minhashPairs(s, d).count(); () }),
     "incremental_sigs" -> ((s, d) => { incrementalPairs(s, d).count(); () }),
     "lsh_frame" -> ((s, d) => { lshFrame(s, d).count(); () }),

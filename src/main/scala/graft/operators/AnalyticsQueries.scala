@@ -786,11 +786,15 @@ object AnalyticsQueries {
     // at sf0.1, 21 at sf10) — each a hash join of the frontier against
     // part, so the total work is one scan of part per LEVEL, not per row.
     Q("sql_recursive", RecursiveTreeSql) { (s, d) =>
-      // the walk visits each part exactly once (linear, not exponential);
-      // Spark's 1M-row recursion valve is a runaway guard, not a semantic
-      // bound, and the sf10 gate (2M parts) trips it — raise it to a
-      // still-finite ceiling that any registered scale stays under
-      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+      // the walk visits each part exactly once (linear, not exponential),
+      // but Spark's default 1M-row recursion valve is a runaway guard the
+      // sf10 gate (2M parts) trips. The raised ceiling is a SESSION
+      // BOOTSTRAP policy (GraftSession.RecursionRowLimit, set in every
+      // gate builder), NOT a mutation here: UnionLoopExec reads the conf
+      // at execution time, so a set-then-restore around this lazily-
+      // executed frame would silently re-arm the 1M valve before the
+      // recursion ever ran — and a set without restore would disable the
+      // valve for every later recursive query on a shared session.
       part(s, d).createOrReplaceTempView("part")
       s.sql(RecursiveTreeSql)
     },

@@ -346,7 +346,8 @@ object RelationalQueries {
   // both sides' partsupp scans prune to the region's suppliers.
   private val Q2Sql =
     s"""WITH $PartsuppCte
-       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       |  CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
        |FROM part JOIN partsupp ON p_partkey = ps_partkey
        |JOIN supplier ON s_suppkey = ps_suppkey
        |JOIN nation ON s_nationkey = n_nationkey
