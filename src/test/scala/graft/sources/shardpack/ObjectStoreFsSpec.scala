@@ -157,6 +157,64 @@ class ObjectStoreFsSpec extends AnyFunSuite with SparkTestBase {
       "commit sweep deleted a concurrent job's direct-written shard")
   }
 
+  // ---- replayed / raced direct commits (driver retry + task-attempt
+  // races are exactly where a zero-rename protocol can silently double or
+  // lose data; these drive the BatchWrite contract directly so the
+  // failure injection is precise) ----
+
+  private def directBatchWrite(dir: String, schema: org.apache.spark.sql.types.StructType) =
+    new ShardpackBatchWrite(dir, schema, truncateFirst = false,
+      codec = "none", shardCap = ShardpackFormat.DefaultShardCap,
+      shardMeta = Array.emptyByteArray, directOpt = Some(true))
+
+  test("replayed direct job commit is a no-op: shards stay published, zero renames") {
+    val dir = s3xDir()
+    val df = docsDf(40)
+    val bw = directBatchWrite(dir, df.schema)
+    bw.createBatchWriterFactory(null)
+    val w = bw.writerFactory.createWriter(0, 0L)
+    df.queryExecution.toRdd.collect().foreach(w.write)
+    val msg = w.commit()
+    bw.commit(Array(msg))
+    assert(spark.read.format("shardpack").load(dir).count() === 40)
+    // the driver lost the commit ack and replays job commit with the same
+    // messages: src == dst for every pair, so the replay must promote
+    // nothing, sweep nothing it published, and perform zero copies
+    val before = S3xFileSystem.renameCalls.get()
+    bw.commit(Array(msg))
+    assert(S3xFileSystem.renameCalls.get() - before === 0)
+    assert(spark.read.format("shardpack").load(dir).count() === 40,
+      "replayed commit changed the published generation")
+  }
+
+  test("direct commit sweeps a failed attempt's already-visible shards (raced attempts)") {
+    val dir = s3xDir()
+    val df = docsDf(30)
+    val bw = directBatchWrite(dir, df.schema)
+    bw.createBatchWriterFactory(null)
+    val rows = df.queryExecution.toRdd.collect()
+    // attempt 1 completes its shard at the FINAL name (visible — the
+    // direct-mode window), then the executor dies before the commit
+    // message reaches the driver: no abort() ever runs for it
+    val w1 = bw.writerFactory.createWriter(0, 0L)
+    rows.foreach(w1.write)
+    w1.commit() // shard finalized; message lost with the executor
+    // the retried attempt writes under a fresh writer uuid and reports
+    val w2 = bw.writerFactory.createWriter(0, 1L)
+    rows.foreach(w2.write)
+    val msg2 = w2.commit()
+    bw.commit(Array(msg2))
+    // job commit's jobUuid-scoped sweep must remove attempt 1's orphans —
+    // they share this job's uuid but appear in no commit message
+    assert(spark.read.format("shardpack").load(dir).count() === 30,
+      "orphaned attempt shards doubled the data")
+    val fs = new Path(dir).getFileSystem(HadoopConfs.session())
+    val shardCount = fs.listStatus(new Path(dir))
+      .count(_.getPath.getName.endsWith(ShardpackDataSource.FileSuffix))
+    assert(shardCount === msg2.asInstanceOf[ShardpackCommit].files.size,
+      "swept generation should hold exactly the committed attempt's shards")
+  }
+
   test("row-level delete commits with direct replacement shards") {
     val dir = s3xDir()
     docsDf(80).write.format("shardpack").mode("append").save(dir)
