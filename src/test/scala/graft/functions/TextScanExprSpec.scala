@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The two one-pass text-scan expressions (ReadabilityCounts, BpeMeter)
+  * replaced regex formulations whose DuckDB twins still run in the
+  * oracle SQL — so each scan must equal the regex reference model on
+  * arbitrary input, not just the gated corpora. The reference models here
+  * are the literal pre-rewrite Spark formulations re-run in plain JVM
+  * regex (`[^a-z]+` word split over lower(text), `[aeiouy]+` runs,
+  * `[.!?]+` sentence split with space-trim).
+  *
+  * Known, accepted divergence (documented on TextStats): code points
+  * whose lowercase is a MULTI-char expansion (e.g. U+0130) fold
+  * differently under per-code-point Character.toLowerCase than under
+  * string-level lower(); such characters cannot appear as [a-z] content
+  * in either engine and are excluded from the generator.
+  */
+class TextScanExprSpec extends AnyFunSuite with SparkTestBase {
+
+  private def refReadability(text: String): (Long, Long, Long) = {
+    val words = text.toLowerCase(Locale.ROOT).split("[^a-z]+", -1).filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    val nSyllables = words.map(w =>
+      math.max(1L, "[aeiouy]+".r.findAllIn(w).length.toLong)).sum
+    val nSentences = math.max(1L,
+      text.split("[.!?]+", -1).count(_.exists(_ != ' ')).toLong)
+    (nWords, nSentences, nSyllables)
+  }
+
+  private def refMeter(text: String, vocab: Map[String, Long]): (Long, Long) = {
+    val ws = text.toLowerCase(Locale.ROOT).split("[^a-z]+", -1).filter(_.nonEmpty)
+    (ws.length.toLong, ws.map(w => vocab.getOrElse(w, 1L)).sum)
+  }
+
+  private def corpus: Seq[String] = {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      10 -> Gen.alphaChar,
+      3 -> Gen.oneOf(' ', '.', '!', '?', ',', ';', '\n', '\t'),
+      2 -> Gen.numChar,
+      1 -> Gen.oneOf('é', 'ß', '中', 'K', 'Ø', 'ø'))
+    val gen = Gen.listOf(charGen).map(_.mkString)
+    (0 until 200).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", "   ", "...", "a", "A.b!C?d", ". leading", "trailing.",
+        "no sentence separators at all", "!!!", " . ! ? ", "yyyy", "rhythm",
+        "a.b", "ab..cd", "tab\there.and!more?", "K.kelvin")
+  }
+
+  test("TextStats.readability equals the regex reference on arbitrary strings") {
+    corpus.foreach { s =>
+      val got = TextStats.readability(s)
+      val (w, sen, syl) = refReadability(s)
+      assert((got(0), got(1), got(2)) == ((w, sen, syl)),
+        s"readability mismatch on ${s.take(60).mkString}: got ${got.toSeq}, want ($w,$sen,$syl)")
+    }
+  }
+
+  test("ReadabilityCounts codegen path matches the reference through a DataFrame") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = docs.toDF("id", "text")
+      .select($"id", TextStats.readabilityCol($"text").as("rc"))
+      .select($"id", $"rc.n_words", $"rc.n_sentences", $"rc.n_syllables")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    docs.foreach { case (i, t) =>
+      assert(rows(i) == refReadability(t), s"codegen mismatch on doc $i: '${t.take(60)}'")
+    }
+  }
+
+  test("BpeMeter.meter equals the split+lookup reference, seen and unseen words") {
+    val vocabPairs = corpus.flatMap(
+      _.toLowerCase(Locale.ROOT).split("[^a-z]+", -1).filter(_.nonEmpty))
+      .distinct.zipWithIndex.collect { case (w, i) if i % 3 != 0 => // leave 1/3 unseen
+        w -> ((i % 7) + 2L)
+      }
+    val vocab = vocabPairs.toMap
+    val jmap = new java.util.HashMap[String, java.lang.Long]()
+    vocabPairs.foreach { case (w, t) => jmap.put(w, java.lang.Long.valueOf(t)) }
+    corpus.foreach { s =>
+      val got = BpeMeter.meter(s, jmap)
+      assert((got(0), got(1)) == refMeter(s, vocab),
+        s"meter mismatch on '${s.take(60)}'")
+    }
+  }
+
+  test("BpeMeterExpr codegen path matches the reference through a DataFrame") {
+    import spark.implicits._
+    val vocab = Map("alpha" -> 3L, "beta" -> 2L, "rhythm" -> 4L)
+    val jmap = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (w, t) => jmap.put(w, java.lang.Long.valueOf(t)) }
+    val bc = spark.sparkContext.broadcast(jmap)
+    val docs = Seq("alpha beta gamma", "Alpha! rhythm? x", "", "...", "中 alpha中beta")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = docs.toDF("id", "text")
+      .select($"id", BpeMeter.meterCol($"text", bc).as("m"))
+      .select($"id", $"m.n_words", $"m.n_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (i, t) =>
+      assert(rows(i) == refMeter(t, vocab), s"codegen mismatch on doc $i: '$t'")
+    }
+  }
+}

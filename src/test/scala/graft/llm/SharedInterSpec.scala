@@ -70,4 +70,30 @@ class SharedInterSpec extends AnyFunSuite with SparkTestBase {
     // the containment plant (3 ⊂ 4) must be found with cont = 1.0
     assert(shared.exists { case (a, b, _, c) => a == 3L && b == 4L && c == 1.0 })
   }
+
+  test("pair-stage partition count scales with the Σdf² candidate estimate") {
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // benign profiles never shrink below the session's parallelism
+    assert(LlmQueries.pairBuildPartitions(spark, 0.0) == base)
+    assert(LlmQueries.pairBuildPartitions(spark, LlmQueries.PairsPerTask) == base)
+    // past the floor: ~PairsPerTask candidate pairs (Σdf²/2) per task
+    assert(LlmQueries.pairBuildPartitions(spark,
+      2.0 * LlmQueries.PairsPerTask * 100) == 100)
+    // the sf10 gate's measured profile lands well past the 32-task floor
+    assert(LlmQueries.pairBuildPartitions(spark,
+      2.0 * 133.4e6) > base, "sf10-scale Σdf² must widen the pair stage")
+    // pathological profile cannot outrun the scheduler
+    assert(LlmQueries.pairBuildPartitions(spark, 1e18) == 4096)
+  }
+
+  test("a widened pair stage leaves the candidate rows identical") {
+    val docs = graft.Tables.documents(spark, dir)
+    def rows5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.select("a_id", "b_id", "inter", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val plain = rows5(LlmQueries.interCountsBroadcast(docs))
+    assert(rows5(LlmQueries.interCountsBroadcast(docs, pairParts = 7)) == plain)
+    assert(rows5(LlmQueries.interCountsCarryN(docs, pairParts = 7)) == plain)
+  }
 }
