@@ -190,7 +190,11 @@ object LlmQueries {
   private[llm] def interCountsBroadcast(docs: DataFrame, pairParts: Int = 0): DataFrame = {
     val tok0 = shingleTok(docs)
     val tok = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
-    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // cnt reads the PRE-repartition frame: its doc_id rollup partial-aggs
+    // at the scan and ships doc-count rows — routing it through the
+    // widened w-exchange made it a third full-token reader of that
+    // exchange (the armed sf0.1 budget caught the 3× shuffle)
+    val cnt = tok0.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -227,8 +231,13 @@ object LlmQueries {
       val docs = documents(s, d)
       // interCounts is only built on the naive-dispatch path, where the
       // profile (memoized, already paid by the blowup dispatch) is in
-      // hand — its Σdf² sizes the pair stage.
-      val parts = pairBuildPartitions(s, docShingleStats(s, d).sumDf2)
+      // hand — its Σdf² sizes the pair stage. The explicit exchange only
+      // engages when the derived width EXCEEDS the session layout: at or
+      // below it the planner's own w-exchange is identical and cheaper
+      // (no separate repartition node).
+      val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val derived = pairBuildPartitions(s, docShingleStats(s, d).sumDf2)
+      val parts = if (derived > base) derived else 0
       val frame =
         if (docCount(s, d) <= InterBroadcastDocsCutover)
           interCountsBroadcast(docs, parts)
