@@ -84,6 +84,84 @@ object TextStats {
   /** Column wrapper: a struct (n_words, n_sentences, n_syllables). */
   def readabilityCol(text: Column): Column =
     Bridge.column(ReadabilityCounts(Bridge.expression(text)))
+
+  /** Within-document trigram repetition counters for `quality_repetition`:
+    * {n_grams, n_dup} in one scan, where n_grams is the document's word-
+    * trigram INSTANCE count and n_dup the instances whose trigram occurs
+    * more than once in the same document.
+    *
+    * The grouped formulation this replaces shuffled every (doc_id, gram)
+    * row — ~59M 30-byte strings at sf10 — for a statistic that is
+    * row-LOCAL: no cross-document state exists. Semantics pinned to the
+    * oracle's formulation: tokens are `string_split(text, ' ')` on the
+    * SINGLE-space separator with empties kept (len = spaces + 1), and
+    * gram i is tokens i..i+2 joined by ' ' — which, under single-space
+    * split + single-space join, is exactly the original substring from
+    * token i's start to token i+2's end, so the scan takes substrings
+    * instead of rebuilding strings.
+    */
+  def repetition(s: String): Array[Long] = {
+    val len = s.length
+    // token start offsets: 0 and every position after a space
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
+    if (spaces < 2) return Array(0L, 0L) // < 3 tokens: no trigrams
+    val starts = new Array[Int](spaces + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    val nTokens = spaces + 1
+    val counts = new java.util.HashMap[String, Int]()
+    var g = 0
+    while (g + 2 < nTokens) {
+      val end = if (g + 3 < nTokens) starts(g + 3) - 1 else len
+      val gram = s.substring(starts(g), end)
+      counts.merge(gram, 1, (a, b) => a + b)
+      g += 1
+    }
+    var nDup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > 1) nDup += c }
+    Array((nTokens - 2).toLong, nDup)
+  }
+
+  /** Column wrapper: a struct (n_grams, n_dup). */
+  def repetitionCol(text: Column): Column =
+    Bridge.column(RepetitionCounts(Bridge.expression(text)))
+}
+
+case class RepetitionCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false)))
+
+  override def prettyName: String = "repetition_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = TextStats.repetition(input.asInstanceOf[UTF8String].toString)
+    new GenericInternalRow(Array[Any](a(0), a(1)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextStats.repetition($c.toString());
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$arr[0], $arr[1]});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
 }
 
 case class ReadabilityCounts(child: Expression) extends UnaryExpression {

@@ -537,19 +537,22 @@ object TextRankQueries {
         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
         |    / SUM(c) AS dup_ratio
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // NON-distinct trigram instances (shingleTok dedups per doc — the
-      // dedup unit wants set semantics, repetition wants multiplicity)
+      // The statistic is row-LOCAL (per-doc trigram multiset, NON-distinct
+      // instances — shingleTok's set semantics are the dedup unit's, not
+      // repetition's), so it is ONE codegen scan per document
+      // ([[graft.functions.TextStats.repetition]]) — the grouped
+      // formulation the oracle still runs shuffled every (doc_id, gram)
+      // row (~59M 30-byte strings at sf10) for a zero-cross-document
+      // statistic. The pre-filter is the exact cheap equivalent of
+      // len(split(text,' ')) >= 3: at least two single-space separators
+      // (split keeps empties, so len = spaces + 1); it keeps the
+      // expensive scan off the pushed-down filter (a struct-field filter
+      // would re-evaluate the whole expression per row below the project).
       documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").cast(LongType).as("n_grams"),
-          (sum(when($"c" > 1, $"c").otherwise(0L)).cast(DoubleType) /
-            sum($"c")).as("dup_ratio"))
+        .filter(expr("locate(' ', text, locate(' ', text) + 1) > 0"))
+        .withColumn("__r", graft.functions.TextStats.repetitionCol($"text"))
+        .select($"doc_id", $"__r.n_grams".as("n_grams"),
+          ($"__r.n_dup".cast(DoubleType) / $"__r.n_grams").as("dup_ratio"))
         .orderBy($"doc_id")
     },
 

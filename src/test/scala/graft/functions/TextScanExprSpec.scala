@@ -91,6 +91,44 @@ class TextScanExprSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def refRepetition(text: String): (Long, Long) = {
+    // the oracle formulation: single-space split KEEPING empties, trigram
+    // = tokens i..i+2 joined by ' ', count instances and dup instances
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) return (0L, 0L)
+    val grams = (0 until ws.length - 2).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+    val byGram = grams.groupBy(identity).view.mapValues(_.size.toLong)
+    (grams.size.toLong, byGram.values.filter(_ > 1).sum)
+  }
+
+  test("TextStats.repetition equals the split+group reference, empties included") {
+    val cases = corpus ++ Seq(
+      "a b c a b c a b c",       // repeated trigrams
+      "a  b  c",                 // empty tokens between double spaces
+      " a b",                    // leading space -> empty first token
+      "a b ", "a b", "  ",       // trailing empty / too few tokens / all-empty
+      "x x x x x",               // self-similar run
+      "a b c")
+    cases.foreach { s =>
+      val got = TextStats.repetition(s)
+      assert((got(0), got(1)) == refRepetition(s),
+        s"repetition mismatch on '${s.take(60)}'")
+    }
+  }
+
+  test("RepetitionCounts codegen path matches the reference through a DataFrame") {
+    import spark.implicits._
+    val docs = (corpus ++ Seq("a b c a b c a b c", "a  b  c d", " a b c "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = docs.toDF("id", "text")
+      .select($"id", TextStats.repetitionCol($"text").as("r"))
+      .select($"id", $"r.n_grams", $"r.n_dup")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (i, t) =>
+      assert(rows(i) == refRepetition(t), s"codegen mismatch on doc $i: '${t.take(60)}'")
+    }
+  }
+
   test("BpeMeterExpr codegen path matches the reference through a DataFrame") {
     import spark.implicits._
     val vocab = Map("alpha" -> 3L, "beta" -> 2L, "rhythm" -> 4L)
