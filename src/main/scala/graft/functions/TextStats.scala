@@ -129,6 +129,71 @@ object TextStats {
   /** Column wrapper: a struct (n_grams, n_dup). */
   def repetitionCol(text: Column): Column =
     Bridge.column(RepetitionCounts(Bridge.expression(text)))
+
+  /** All word trigrams of a document in one scan, for
+    * `explode(word_trigrams(text))` shapes (`ngram_counts`): the
+    * `split → transform(sequence) → slice → concat_ws` chain evaluated
+    * five interpreted-tree nodes and three allocations per gram; under
+    * single-space split + single-space join each trigram is an exact
+    * SUBSTRING of the original text (see [[repetition]]), so this builds
+    * the array with one substring per gram. Documents with fewer than
+    * three tokens return an empty array — `explode` then drops them,
+    * exactly like the `size(ws) >= 3` pre-filter it replaces.
+    */
+  def wordTrigrams(s: String): Array[UTF8String] = {
+    val len = s.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') spaces += 1; i += 1 }
+    if (spaces < 2) return Array.empty
+    val starts = new Array[Int](spaces + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    val nTokens = spaces + 1
+    val out = new Array[UTF8String](nTokens - 2)
+    var g = 0
+    while (g + 2 < nTokens) {
+      val end = if (g + 3 < nTokens) starts(g + 3) - 1 else len
+      out(g) = UTF8String.fromString(s.substring(starts(g), end))
+      g += 1
+    }
+    out
+  }
+
+  /** Column wrapper: array<string> of the document's word trigrams. */
+  def wordTrigramsCol(text: Column): Column =
+    Bridge.column(WordTrigrams(Bridge.expression(text)))
+}
+
+case class WordTrigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_trigrams requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "word_trigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextStats.wordTrigrams(input.asInstanceOf[UTF8String].toString)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.TextStats.wordTrigrams($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordTrigrams =
+    copy(child = newChild)
 }
 
 case class RepetitionCounts(child: Expression) extends UnaryExpression {

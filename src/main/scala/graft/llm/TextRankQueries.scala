@@ -621,12 +621,14 @@ object TextRankQueries {
         |  WHERE len(ws) >= 3)
         |SELECT gram, count(*) AS n FROM tok GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 100""".stripMargin) { (s, d) =>
+      // gram generation is [[graft.functions.TextStats.wordTrigrams]] —
+      // one substring per gram instead of the 5-node
+      // split/transform/slice/concat_ws chain (the oracle keeps that
+      // formulation); <3-token docs yield an empty array, which explode
+      // drops exactly like the size(ws) >= 3 pre-filter did
       documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 3)
         .select(explode(
-          transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("gram"))
+          graft.functions.TextStats.wordTrigramsCol($"text")).as("gram"))
         .groupBy($"gram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"gram")
         .limit(100)

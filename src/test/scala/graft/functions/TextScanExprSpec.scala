@@ -116,6 +116,34 @@ class TextScanExprSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TextStats.wordTrigrams equals the split+join reference, empties included") {
+    val cases = corpus ++ Seq("a b c a b c", "a  b  c", " a b c ", "x y", "", "a b c")
+    cases.foreach { s =>
+      val ws = s.split(" ", -1)
+      val want =
+        if (ws.length < 3) Seq.empty
+        else (0 until ws.length - 2).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      val got = TextStats.wordTrigrams(s).map(_.toString).toSeq
+      assert(got == want, s"trigram mismatch on '${s.take(60)}'")
+    }
+  }
+
+  test("WordTrigrams codegen path explodes like the transform chain") {
+    import spark.implicits._
+    val docs = (corpus ++ Seq("a b c d", "one two", " x y z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val viaExpr = docs.toDF("id", "text")
+      .select($"id", explode(TextStats.wordTrigramsCol($"text")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaChain = docs.toDF("id", "text")
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 3)
+      .select($"id", explode(transform(sequence(lit(0), size($"ws") - 3),
+        i => concat_ws(" ", slice($"ws", i + 1, lit(3))))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaExpr == viaChain)
+  }
+
   test("RepetitionCounts codegen path matches the reference through a DataFrame") {
     import spark.implicits._
     val docs = (corpus ++ Seq("a b c a b c a b c", "a  b  c d", " a b c "))
