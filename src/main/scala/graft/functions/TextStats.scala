@@ -164,6 +164,67 @@ object TextStats {
   /** Column wrapper: array<string> of the document's word trigrams. */
   def wordTrigramsCol(text: Column): Column =
     Bridge.column(WordTrigrams(Bridge.expression(text)))
+
+  /** Lowercased a–z word tokens of at least `minLen` chars in one scan:
+    * the `split(lower(text), "[^a-z]+")` + length-filter chain that every
+    * unigram tokenizer in the registry runs (TF-IDF/BM25/perplexity
+    * tokens at minLen 3, the BPE histograms at 2, the distill features at
+    * 1) costs a full regex pass plus a second filter pass per document —
+    * the `build:word_tok` memo fill alone was 24 s at sf10. A token is a
+    * maximal run of code points whose [[Character.toLowerCase]] lands in
+    * [a-z]; the same single-code-point folding caveat as [[readability]]
+    * applies and is pinned by the same spec. Empty tokens (which the
+    * regex split emits at separator boundaries) never materialize, so
+    * `minLen = 1` is exactly the `w != ""` filter.
+    */
+  def wordTokens(s: String, minLen: Int): Array[UTF8String] = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (lc >= 'a' && lc <= 'z') sb.append(lc.toChar)
+      else {
+        if (sb.length >= minLen) out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length >= minLen) out.add(UTF8String.fromString(sb.toString))
+    out.toArray(new Array[UTF8String](out.size))
+  }
+
+  /** Column wrapper: array<string> of lowercased a–z tokens, length ≥
+    * `minLen`.
+    */
+  def wordTokensCol(text: Column, minLen: Int): Column =
+    Bridge.column(WordTokens(Bridge.expression(text), minLen))
+
+  /** First `n` lowercased letters of the document in one scan — the fuzzy
+    * skeleton `substring(regexp_replace(lower(text), "[^a-z]", ""), 1, n)`
+    * without the two intermediate full-length strings; the scan stops as
+    * soon as `n` letters are collected, so a 100 KB document pays for its
+    * first ~n letters, not its length. Same folding caveat as
+    * [[wordTokens]].
+    */
+  def lettersPrefix(s: String, n: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    val len = s.length
+    while (i < len && sb.length < n) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (lc >= 'a' && lc <= 'z') sb.append(lc.toChar)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column wrapper: the first `n` lowercased letters of the text. */
+  def lettersPrefixCol(text: Column, n: Int): Column =
+    Bridge.column(LettersPrefix(Bridge.expression(text), n))
 }
 
 case class WordTrigrams(child: Expression) extends UnaryExpression {
@@ -260,5 +321,59 @@ case class ReadabilityCounts(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ReadabilityCounts =
+    copy(child = newChild)
+}
+
+case class WordTokens(child: Expression, minLen: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_tokens requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "word_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextStats.wordTokens(input.asInstanceOf[UTF8String].toString, minLen)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.TextStats.wordTokens($c.toString(), $minLen));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+case class LettersPrefix(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"letters_prefix requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "letters_prefix"
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.lettersPrefix(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.TextStats.lettersPrefix($c.toString(), $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LettersPrefix =
     copy(child = newChild)
 }

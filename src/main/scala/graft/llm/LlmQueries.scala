@@ -48,22 +48,20 @@ object LlmQueries {
   /** Shared lang-ID scorer (lang_id + doc_lang_confusion): stopword-lexicon
     * vote per language, argmax by the lexicographically largest
     * (score, lang) struct — the same tie order DuckDB's list_max applies.
+    * One scan via [[graft.functions.LangVotes]] (the per-language
+    * interpreted `aggregate` lambdas were doc_lang_confusion's whole
+    * 15.5 s at sf10); the oracle keeps the list_filter formulation, and
+    * LangVotesSpec pins the expression A/B against the greatest(struct)
+    * chain it replaced.
     */
   private def langPred(s: SparkSession, d: String): DataFrame = {
-    val words = split($"text", " ")
-    def score(stops: Seq[String]): Column =
-      aggregate(words, lit(0),
-        (acc, w) => acc + when(w.isin(stops: _*), 1).otherwise(0))
-    val scored = LangLexicons.toSeq.sortBy(_._1).map { case (l, stops) =>
-      struct(score(stops).as("score"), lit(l).as("lang"))
-    }
+    val v = graft.functions.LangVotes
+      .langVotesCol($"text", LangLexicons.toSeq.sortBy(_._1))
     documents(s, d)
+      .select($"doc_id", $"lang", v.as("v"))
       .select($"doc_id", $"lang",
-        greatest(scored: _*).getField("lang").as("pred_lang"),
-        greatest(scored: _*).getField("score").as("pred_score"))
-      .withColumn("pred_lang",
-        when($"pred_score" > 0, $"pred_lang").otherwise(lit("unk")))
-      .select($"doc_id", $"lang", $"pred_lang", $"pred_score")
+        when($"v.score" > 0, $"v.lang").otherwise(lit("unk")).as("pred_lang"),
+        $"v.score".as("pred_score"))
   }
 
   /** Exact-dedup cap for the O(docs²)-flavored demo queries (pairwise
@@ -77,15 +75,17 @@ object LlmQueries {
     * shingling unit). Unigram tokens are useless on a small-vocabulary
     * corpus — every pair of long docs shares most words — while 3-gram
     * shingles keep the candidate space sparse (measured max doc-frequency of
-    * a shingle at sf0.1: 25 of 5000 docs).
+    * a shingle at sf0.1: 25 of 5000 docs). Grams come from the one-scan
+    * [[graft.functions.TextStats.wordTrigrams]] expression (sf10 measured
+    * the split→transform→slice→concat_ws chain as the dominant CPU of
+    * every shingle-fed build); the DuckDB mirror below still runs the
+    * chain formulation, so the oracle hashes prove the rewrite. Docs with
+    * <3 tokens yield an empty gram array — explode drops them, exactly
+    * like the `size(ws) >= 3` pre-filter it replaces.
     */
   private def shingleTok(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("ws")) - 3),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))))).as("w"))
+    docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextStats.wordTrigramsCol(col("text")))).as("w"))
 
   /** DuckDB mirror of [[shingleTok]] (docs with <3 words yield no rows in
     * both engines).
@@ -792,8 +792,8 @@ object LlmQueries {
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
     bpeMemo.computeIfAbsent((s, d), { _ =>
       val tok = documents(s, d)
-        .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
-        .filter(length($"w") >= 2)
+        .select(explode(
+          graft.functions.TextStats.wordTokensCol($"text", 2)).as("w"))
       // DOUBLE-space separators ("  x  y  "): every symbol occurrence
       // owns a boundary space on each side, so ONE literal
       // replace(" a  b ", " ab ") is exactly greedy left-to-right BPE —
@@ -934,8 +934,8 @@ object LlmQueries {
       val wordToks = bpeTrained(s, trainDir)._2
         .select($"w", size(split(trim($"s"), "  ")).cast(LongType).as("toks"))
       docs
-        .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
-        .filter(length($"w") >= 1)
+        .select($"doc_id", explode(
+          graft.functions.TextStats.wordTokensCol($"text", 1)).as("w"))
         .join(wordToks, Seq("w"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"),
@@ -2529,8 +2529,8 @@ object LlmQueries {
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 200""".stripMargin) { (s, d) =>
       documents(s, d)
-        .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
-        .filter(length($"w") >= 2)
+        .select(explode(
+          graft.functions.TextStats.wordTokensCol($"text", 2)).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("freq"))
         .withColumn("cs", split($"w", ""))
         .select(explode(transform(sequence(lit(1), length($"w") - 1),

@@ -26,8 +26,7 @@ object QualityDistill {
 
   private def tok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-      .filter(col("w") =!= "")
+      explode(graft.functions.TextStats.wordTokensCol(col("text"), 1)).as("w"))
 
   private def bucketOf(w: Column): Column =
     graft.functions.CrossHash.wordHash(w) % B
@@ -103,7 +102,7 @@ object QualityDistill {
 
   /** The model's single feature as a row-local Column. */
   private[llm] def servedFeature(m: StumpModel): Column = {
-    val words = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val words = graft.functions.TextStats.wordTokensCol(col("text"), 1)
     val matching =
       if (m.bucket == B.toLong) words
       else filter(words, w => bucketOf(w) === m.bucket)

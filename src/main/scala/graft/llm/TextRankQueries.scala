@@ -26,12 +26,15 @@ object TextRankQueries {
 
   /** Unigram word tokens (lowercased, a–z runs, length ≥ 3) — the TF-IDF /
     * BM25 tokenization unit. 3-gram shingles (LlmQueries) stay the DEDUP
-    * unit; relevance scoring wants unigram term statistics.
+    * unit; relevance scoring wants unigram term statistics. One scan via
+    * [[graft.functions.TextStats.wordTokens]] (the regex split + filter
+    * chain was the whole of `build:word_tok`'s 24 s at sf10); the DuckDB
+    * mirror keeps the regex formulation, so the oracle hashes prove the
+    * rewrite.
     */
   private[llm] def wordTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), "[^a-z]+"),
-        w => length(w) >= 3)).as("w"))
+      explode(graft.functions.TextStats.wordTokensCol(col("text"), 3)).as("w"))
 
   /** Per-doc unigram-LM cross-entropy: (doc_id, n_words, xent) from a
     * (doc_id, w) token frame. THE shared scorer behind `quality_perplexity`
@@ -76,11 +79,15 @@ object TextRankQueries {
     * keys. `repartition(doc_id)` because the documents table is one
     * parquet split — without it every downstream join and DP verify runs
     * as a single task on one core (measured 170 s → 24 s at sf1/local[8]).
+    * The skeleton comes from the one-scan early-exit
+    * [[graft.functions.TextStats.lettersPrefix]] (the
+    * regexp_replace+substring chain materialized two full-length
+    * intermediates per doc); the oracle keeps the regex formulation.
     */
   private def fuzzySkeletons(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
       .select($"doc_id",
-        substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
+        graft.functions.TextStats.lettersPrefixCol($"text", 200).as("nrm"))
       .filter(length($"nrm") >= 16)
       .withColumn("p", substring($"nrm", 1, 16))
       .withColumn("sfx", expr("right(nrm, 16)"))

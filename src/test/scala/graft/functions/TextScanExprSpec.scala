@@ -157,6 +157,72 @@ class TextScanExprSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def refWordTokens(text: String, minLen: Int): Seq[String] =
+    text.toLowerCase(Locale.ROOT).split("[^a-z]+", -1).filter(_.length >= minLen).toSeq
+
+  test("TextStats.wordTokens equals the split+filter reference at every minLen") {
+    for (s <- corpus; minLen <- 1 to 3) {
+      val got = TextStats.wordTokens(s, minLen).map(_.toString).toSeq
+      val want = refWordTokens(s, minLen)
+      assert(got == want,
+        s"wordTokens($minLen) mismatch on '${s.take(60)}': got $got, want $want")
+    }
+  }
+
+  test("WordTokens codegen path explodes like the regex split chain") {
+    import spark.implicits._
+    for (minLen <- Seq(1, 2, 3)) {
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("id", "text")
+      val a = df.select($"id",
+          explode(TextStats.wordTokensCol($"text", minLen)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val b = df.select($"id",
+          explode(filter(split(lower($"text"), "[^a-z]+"),
+            w => length(w) >= minLen)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(a == b, s"WordTokens explode A/B mismatch at minLen=$minLen")
+    }
+  }
+
+  test("TextStats.lettersPrefix equals the regexp_replace+substring reference") {
+    for (s <- corpus; n <- Seq(1, 16, 200)) {
+      val want = s.toLowerCase(Locale.ROOT).replaceAll("[^a-z]", "").take(n)
+      val got = TextStats.lettersPrefix(s, n).toString
+      assert(got == want,
+        s"lettersPrefix($n) mismatch on '${s.take(60)}': got '$got', want '$want'")
+    }
+  }
+
+  test("LettersPrefix codegen path matches the regex chain through a DataFrame") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val a = df.select($"id", TextStats.lettersPrefixCol($"text", 200).as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = df.select($"id",
+        substring(regexp_replace(lower($"text"), "[^a-z]", ""), 1, 200).as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "LettersPrefix A/B mismatch vs regexp_replace chain")
+  }
+
+  test("distinct word_trigrams explodes like the array_distinct transform chain") {
+    import spark.implicits._
+    val docs = (corpus ++ Seq("a b c a b c a b c", "x y z x y z w"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val a = df.select($"doc_id", explode(array_distinct(
+        TextStats.wordTrigramsCol($"text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = df.withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(0), size($"ws") - 3),
+          i => concat_ws(" ", slice($"ws", i + 1, lit(3)))))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "distinct-shingle explode A/B mismatch vs the original chain")
+  }
+
   test("BpeMeterExpr codegen path matches the reference through a DataFrame") {
     import spark.implicits._
     val vocab = Map("alpha" -> 3L, "beta" -> 2L, "rhythm" -> 4L)
