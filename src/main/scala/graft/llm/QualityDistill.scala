@@ -33,17 +33,23 @@ object QualityDistill {
 
   /** Zero-filled (doc_id, b, x) feature frame over all B+1 features. */
   private[llm] def featFrame(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val cnts = tok(docs)
+    // Dense per-doc aggregate instead of the (doc × B) zero-fill grid
+    // join: the grid shape exchanged and joined B rows per document and
+    // re-read the joined frame for the total row (441 MB shuffle at
+    // sf10); one groupBy(doc_id) with B conditional sums produces the
+    // same zero-filled rows from a doc-count-sized frame, the total is a
+    // row-local sum of the dense columns, and the left join back to
+    // `docs` only restores all-zero rows for documents with no tokens.
+    val dense = (0 until B).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"x$i"))
+    val byDoc = tok(docs)
       .select(col("doc_id"), bucketOf(col("w")).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
-    val grid = docs.select(col("doc_id"))
-      .crossJoin(broadcast(spark.range(B).select(col("id").as("b"))))
-    val feat0 = grid.join(cnts, Seq("doc_id", "b"), "left")
-      .select(col("doc_id"), col("b"), coalesce(col("x"), lit(0L)).as("x"))
-    feat0.unionByName(
-      feat0.groupBy(col("doc_id")).agg(sum(col("x")).as("x"))
-        .select(col("doc_id"), lit(B.toLong).as("b"), col("x")))
+      .groupBy(col("doc_id"))
+      .agg(dense.head, dense.tail: _*)
+    val xs = (0 until B).map(i => coalesce(col(s"x$i"), lit(0L)))
+    docs.select(col("doc_id")).join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), posexplode(array(xs :+ xs.reduce(_ + _): _*)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("b"), col("col").as("x"))
   }
 
   /** The Gopher keep rule as a 0/1 label — quality_gopher's expressions
