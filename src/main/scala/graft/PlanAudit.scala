@@ -49,8 +49,10 @@ object PlanAudit {
     // build sides = 1-row sketch-stats frames (n, h_K per sketch) composed
     // into the single output row; every input-sized frame streams once
     "agg_kmv_theta" -> Set("NESTED_LOOP"),
-    // build sides = the 16-row feature grid + 1-row total-positives and
-    // best-split frames; the histogram and scoring passes stream once
+    // build sides = 1-row total-positives and best-split frames (the
+    // former 16-row zero-fill grid join is gone — featFrame aggregates
+    // dense per-doc bucket columns); the histogram and scoring passes
+    // stream once
     "quality_distill_stump" -> Set("NESTED_LOOP"),
     // the TPC-H extension queries derive partsupp with a
     // (SELECT COUNT(*) FROM supplier) scalar subquery — a 1-row

@@ -72,6 +72,129 @@ object TextRankQueries {
       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
       |    FROM documents) WHERE length(w) >= 3""".stripMargin
 
+  /** Broadcast cutover for the corpus-statistics serving dispatch
+    * (perplexity/rarity/tfidf): up to this many distinct words the
+    * (c, df) vocabulary collects to one bounded driver map (~tens of MB)
+    * and ships as a broadcast — the whole score becomes one row-local
+    * codegen scan per document ([[graft.functions.VocabMeters]]). Past it
+    * the vocab-keyed join paths run — the same boundary as
+    * [[LlmQueries.BpeVocabBroadcastCutover]], and the right one at
+    * 100 TB: a web corpus's unigram vocabulary (typo tail included) does
+    * NOT stay broadcast-sized, so the join path is the scale story and
+    * the broadcast path is the common-case fast path.
+    */
+  private[llm] val VocabBroadcastCutover = 1000000L
+
+  /** Vocabulary statistics of `docs` under the minLen-3 tokenizer:
+    * Some((w → [c, df] broadcast, total tokens, doc count)) when the
+    * vocabulary fits [[VocabBroadcastCutover]], None past it. Both
+    * inputs are vocabulary-keyed aggregates with map-side combine — the
+    * df side explodes per-doc DISTINCT words (array_distinct before the
+    * explode), so neither pass exchanges a (doc_id, w)-sized frame.
+    */
+  private[llm] def vocabStatsOf(docs: DataFrame,
+      cutover: Long = VocabBroadcastCutover)
+      : Option[(graft.functions.VocabMeters.Stats, Long, Long)] = {
+    val c = wordTok(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val df = docs.select(explode(array_distinct(
+        graft.functions.TextStats.wordTokensCol(col("text"), 3))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val joined = c.join(df, "w").persist()
+    val vocabN = joined.count()
+    val out = if (vocabN > cutover) None
+    else {
+      val m = new java.util.HashMap[String, Array[Long]]()
+      var tot = 0L
+      joined.collect().foreach { r =>
+        m.put(r.getString(0), Array(r.getLong(1), r.getLong(2)))
+        tot += r.getLong(1)
+      }
+      Some((docs.sparkSession.sparkContext.broadcast(m), tot, docs.count()))
+    }
+    joined.unpersist()
+    out
+  }
+
+  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Option[(graft.functions.VocabMeters.Stats, Long, Long)]]()
+  private def vocabStats(s: SparkSession, d: String)
+      : Option[(graft.functions.VocabMeters.Stats, Long, Long)] =
+    vocabMemo.computeIfAbsent((s, d), _ => vocabStatsOf(documents(s, d)))
+
+  /** quality_perplexity body, dispatched on the vocab stats: one
+    * broadcast-vocab scan per doc below the cutover, the shared
+    * [[xentFrame]] join shape past it. `tk` is the token frame of `docs`
+    * (the session memo for registered queries, [[wordTok]] in specs).
+    */
+  private[llm] def perplexityFrame(docs: DataFrame, tk: DataFrame,
+      stats: Option[(graft.functions.VocabMeters.Stats, Long, Long)]): DataFrame =
+    stats match {
+      case Some((bc, tot, _)) =>
+        docs
+          .withColumn("__x", graft.functions.VocabMeters.sumsCol(col("text"), bc, tot))
+          .filter(col("__x.n_words") >= 1)
+          .select(col("doc_id"), col("__x.n_words").as("n_words"),
+            (col("__x.g_sum").cast(DoubleType) / 1000000L / col("__x.n_words"))
+              .as("xent"))
+          .select(col("doc_id"), col("n_words"), col("xent"),
+            round(exp(col("xent")), 6).as("ppl"))
+          .orderBy(col("doc_id"))
+      case None =>
+        xentFrame(tk)
+          .select(col("doc_id"), col("n_words"), col("xent"),
+            round(exp(col("xent")), 6).as("ppl"))
+          .orderBy(col("doc_id"))
+    }
+
+  /** quality_rarity body, same dispatch as [[perplexityFrame]]. */
+  private[llm] def rarityFrame(docs: DataFrame, tk: DataFrame,
+      stats: Option[(graft.functions.VocabMeters.Stats, Long, Long)]): DataFrame =
+    stats match {
+      case Some((bc, tot, _)) =>
+        docs
+          .withColumn("__x", graft.functions.VocabMeters.sumsCol(col("text"), bc, tot))
+          .filter(col("__x.n_words") >= 1)
+          .select(col("doc_id"), col("__x.n_words").as("n_words"),
+            (col("__x.df_sum").cast(DoubleType) / col("__x.n_words")).as("mean_df"))
+          .orderBy(col("doc_id"))
+      case None =>
+        val df = tk.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        tk.join(df, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            (sum(col("df")).cast(DoubleType) / count(lit(1))).as("mean_df"))
+          .orderBy(col("doc_id"))
+    }
+
+  /** tfidf_topterms body, same dispatch: the broadcast path emits each
+    * doc's top-k slice row-locally (score, ties, and HALF_UP rounding
+    * replay the join path's expression tree — VocabMeterSpec pins it).
+    */
+  private[llm] def tfidfFrame(docs: DataFrame, tk: DataFrame,
+      stats: Option[(graft.functions.VocabMeters.Stats, Long, Long)]): DataFrame =
+    stats match {
+      case Some((bc, _, nDocs)) =>
+        docs
+          .select(col("doc_id"), explode(
+            graft.functions.VocabMeters.tfidfTopCol(col("text"), bc, nDocs, 3)).as("t"))
+          .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+            col("t.df").as("df"), col("t.score").as("score"))
+          .orderBy(col("doc_id"), col("term"))
+      case None =>
+        val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val sc = tf.join(df, "w").crossJoin(n)
+          .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+            round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6).as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        sc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("term"))
+    }
+
   // ───────────────── fuzzy dedup (blocked edit distance) ─────────────────
 
   /** Normalized skeleton frame (doc_id, nrm, p, sfx): the a–z skeleton
@@ -247,18 +370,7 @@ object TextRankQueries {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, term) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-      val tf = tok(s, d)
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
-      val n = documents(s, d).agg(count(lit(1)).as("n"))
-      val sc = tf.join(df, "w").crossJoin(n)
-        .select($"doc_id", $"w".as("term"), $"tf", $"df",
-          round($"tf" * log($"n".cast(DoubleType) / $"df"), 6).as("score"))
-      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-      sc.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select($"doc_id", $"term", $"tf", $"df", $"score")
-        .orderBy($"doc_id", $"term")
+      tfidfFrame(documents(s, d), tok(s, d), vocabStats(s, d))
     },
 
     // BM25 (Okapi, k1=1.2 b=0.75) ranked retrieval for the fixed query
@@ -571,13 +683,7 @@ object TextRankQueries {
          |  CAST(SUM(df.df) AS DOUBLE) / count(*) AS mean_df
          |FROM tok t JOIN df ON t.w = df.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val tk = tok(s, d)
-      val df = tk.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
-      tk.join(df, "w")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          (sum($"df").cast(DoubleType) / count(lit(1))).as("mean_df"))
-        .orderBy($"doc_id")
+      rarityFrame(documents(s, d), tok(s, d), vocabStats(s, d))
     },
 
     // Unigram-LM perplexity — the classic cheap quality filter (CCNet's
@@ -605,9 +711,7 @@ object TextRankQueries {
          |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS xent,
          |  round(exp(CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m)), 6) AS ppl
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      xentFrame(tok(s, d))
-        .select($"doc_id", $"n_words", $"xent", round(exp($"xent"), 6).as("ppl"))
-        .orderBy($"doc_id")
+      perplexityFrame(documents(s, d), tok(s, d), vocabStats(s, d))
     },
 
     // Corpus-level n-gram frequency table — the raw material of an n-gram
@@ -648,6 +752,7 @@ object TextRankQueries {
     */
   def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "word_tok" -> ((s, d) => { tok(s, d).count(); () }),
+    "vocab_stats" -> ((s, d) => { vocabStats(s, d); () }),
     "fuzzy_stats" -> ((s, d) => { fuzzyStats(s, d); () }))
 
   private implicit class Interp(val sc: StringContext) {
