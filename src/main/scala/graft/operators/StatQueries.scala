@@ -397,6 +397,18 @@ object StatQueries {
     // cents, then two 0.5-quantile interpolations (each a + (b−a)/2) and
     // one final /2: every value is an exact quarter-integer both engines
     // represent identically, so no rounding grid is involved at all.
+    //
+    // The oracle keeps the two quantile_cont corpus passes; the Spark
+    // side exploits that q100 lives on a tiny discrete domain (integer
+    // cents of a bounded quantity): ONE map-side-combined scan builds the
+    // (flag, q100, count) histogram, and both medians are exact weighted
+    // quantiles over that ≤O(domain) frame — value at 0-based index i of
+    // the sorted multiset is min(q100 | cumcount > i), interpolated at
+    // lo = (n−1) div 2, hi = n div 2 (the (N−1)·q convention both engines
+    // use). The deviation histogram re-groups the SAME histogram, so the
+    // corpus is read once and no 60M-row percentile buffer exists. At
+    // 100 TB this is the only exact-percentile shape that scales on a
+    // discrete domain; continuous domains go to agg_approx_percentile.
     Q("agg_mad",
       """WITH q AS (
         |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS q100
@@ -410,16 +422,36 @@ object StatQueries {
         |  count(*) AS cnt
         |FROM q JOIN med ON q.l_returnflag = med.l_returnflag
         |GROUP BY q.l_returnflag, med.med2 ORDER BY q.l_returnflag""".stripMargin) { (s, d) =>
-      val q = lineitem(s, d)
+      val hist = lineitem(s, d)
         .select($"l_returnflag", (round($"l_quantity" * 100).cast(LongType)).as("q100"))
-      val med = q.groupBy($"l_returnflag")
-        .agg(percentile($"q100" * 2, lit(0.5)).as("med2"))
-      q.join(med, "l_returnflag")
-        .groupBy($"l_returnflag", $"med2")
-        .agg((percentile(abs($"q100" * 2 - $"med2"), lit(0.5)) / 2).as("mad_cents"),
-          count(lit(1)).as("cnt"))
-        .select($"l_returnflag", $"mad_cents",
-          ($"med2".cast(DoubleType) / 2).as("median_cents"), $"cnt")
+        .groupBy($"l_returnflag", $"q100")
+        .agg(count(lit(1)).as("c"))
+      // both branches share the identical (flag, q100) exchange —
+      // Catalyst's ReuseExchange runs the corpus scan once
+      val wQ = Window.partitionBy($"l_returnflag").orderBy($"q100")
+      val bounds = hist.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+        .select($"l_returnflag", $"n",
+          (($"n" - 1) / 2).as("lo"), ($"n" / 2).as("hi"))
+      val med = hist.withColumn("cum", sum($"c").over(wQ))
+        .join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag", $"n")
+        .agg(min(when($"cum" > $"lo", $"q100")).as("vlo"),
+          min(when($"cum" > $"hi", $"q100")).as("vhi"))
+        // quantile_cont(q100*2, .5) = 2·vlo + (2·vhi − 2·vlo)·0.5 = vlo + vhi
+        .select($"l_returnflag", $"n", ($"vlo" + $"vhi").cast(DoubleType).as("med2"))
+      val dev = hist.join(broadcast(med), "l_returnflag")
+        .groupBy($"l_returnflag", $"n", $"med2",
+          abs($"q100" * 2 - $"med2").as("dv"))
+        .agg(sum($"c").as("c"))
+      val wD = Window.partitionBy($"l_returnflag").orderBy($"dv")
+      dev.withColumn("cum", sum($"c").over(wD))
+        .withColumn("lo", ($"n" - 1) / 2).withColumn("hi", $"n" / 2)
+        .groupBy($"l_returnflag", $"n", $"med2")
+        .agg(min(when($"cum" > $"lo", $"dv")).as("dlo"),
+          min(when($"cum" > $"hi", $"dv")).as("dhi"))
+        .select($"l_returnflag",
+          (($"dlo" + ($"dhi" - $"dlo") * 0.5) / 2).as("mad_cents"),
+          ($"med2" / 2).as("median_cents"), $"n".as("cnt"))
         .orderBy($"l_returnflag")
     },
 

@@ -83,16 +83,22 @@ object StreamShapeQueries {
     // Deterministic keyed dedup: keep the lowest event_id per
     // (user_id, event_type) — the batch shape of
     // dropDuplicatesWithinWatermark, made order-stable for hashing.
+    // The oracle keeps the ROW_NUMBER formulation; the Spark side runs
+    // it as min(struct(event_id, value)) — event_id is the unique head
+    // of the struct, so lexicographic MIN picks exactly the rn=1 row,
+    // and a hash aggregate with map-side partial combine replaces the
+    // window's full per-group sort of every event (the shuffle carries
+    // one partial row per (user, type, map task), not the corpus).
     Q("stream_dedup",
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
       events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"user_id", $"event_type", $"event_id", $"value")
+        .groupBy($"user_id", $"event_type")
+        .agg(min(struct($"event_id", $"value")).as("m"))
+        .select($"user_id", $"event_type",
+          $"m.event_id".as("event_id"), $"m.value".as("value"))
         .orderBy($"user_id", $"event_type")
     }
   )
