@@ -92,4 +92,74 @@ class StatQueriesSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // quantile_cont at q=0.5 with the (N−1)·q convention, on the doubled
+  // domain (so the result is integral for even and odd counts alike)
+  private def medTimes2(vs: Seq[Long]): Double = {
+    val sorted = vs.sorted.map(_ * 2L)
+    sorted((vs.size - 1) / 2).toDouble * 0.5 + sorted(vs.size / 2).toDouble * 0.5
+  }
+
+  test("agg_mad histogram quantile is exactly the two-pass percentile on random multisets") {
+    // The registered query computes both medians as weighted quantiles over
+    // the (flag, q100, count) HISTOGRAM; this pins that shape to the direct
+    // definition on adversarial group shapes the fixed tables can't cover:
+    // size-1 groups, even/odd sizes, all-equal values, and two-point groups
+    // where interpolation must land exactly between distinct values.
+    val rnd = new scala.util.Random(20260815L)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val shapes: Seq[(String, Seq[Double])] = Seq(
+      "A" -> Seq.fill(1)(rnd.nextInt(200) / 4.0),             // singleton
+      "B" -> Seq.fill(40)(rnd.nextInt(200) / 4.0),            // even n
+      "C" -> Seq.fill(41)(rnd.nextInt(200) / 4.0),            // odd n
+      "D" -> Seq.fill(17)(12.25),                             // all equal
+      "E" -> (Seq.fill(8)(3.0) ++ Seq.fill(8)(44.75)),        // two-point, interp between
+      "F" -> Seq.fill(137)(rnd.nextInt(8) / 4.0))             // heavy duplicates
+    for ((f, qs) <- shapes; q <- qs) rows += ((f, q))
+    val dir = java.nio.file.Files.createTempDirectory("madspec").toString
+    spark.createDataFrame(rows.toSeq).toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val got = SparkEntry.queries("agg_mad")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == shapes.map(_._1).toSet)
+    for ((f, qs) <- shapes) {
+      val q100 = qs.map(q => math.round(q * 100))
+      val med2 = medTimes2(q100)
+      val devs = q100.map(v => math.round(math.abs(v * 2 - med2))) // dv is integral: med2 is
+      // quantile_cont(devs, .5) = medTimes2(devs)/2, and mad_cents halves it
+      val madCents = medTimes2(devs) / 4.0
+      val r = got(f)
+      assert(r.getAs[Double]("median_cents") == med2 / 2.0, s"$f median")
+      assert(r.getAs[Double]("mad_cents") == madCents, s"$f mad")
+      assert(r.getAs[Long]("cnt") == qs.size.toLong, s"$f cnt")
+    }
+  }
+
+  test("stream_dedup min(struct) picks exactly the ROW_NUMBER()=1 row per key") {
+    // Random events with many key collisions, written as an events table;
+    // the registered min(struct(event_id, value)) aggregate must be
+    // row-identical to the window formulation it replaced.
+    val rnd = new scala.util.Random(42L)
+    val ev = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong, s"t${rnd.nextInt(5)}",
+        rnd.nextInt(1000) / 100.0,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dedupspec").toString
+    spark.createDataFrame(ev).toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("stream_dedup")(spark, dir).collect()
+    val byWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type").collect()
+    }
+    assert(got.length == byWindow.length)
+    got.zip(byWindow).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
 }
