@@ -1182,6 +1182,54 @@ object LlmQueries {
         .orderBy($"h")
     },
 
+    // Paragraph-level boilerplate dedup (the CCNet construction, Wenzek et
+    // al. 2020, arXiv:1911.00359 §3.1: hash every paragraph, drop the ones
+    // whose hash repeats across documents — headers, footers, navigation
+    // chrome). Corpus text has no paragraph marks, so the unit is the
+    // doc_chunk convention's non-overlapping 32-word block. Per doc:
+    // block count, boilerplate blocks (block-hash seen in ≥2 distinct
+    // docs), and tokens surviving the drop. The text is gone before the
+    // first exchange — blocks travel as (doc_id, toks, h); the df count
+    // map-combines on h, the backjoin shuffles hash-sized keys, and the
+    // per-doc rollup map-combines again, so at 100 TB every exchange is
+    // block-metadata-sized, never corpus-sized.
+    Q("dedup_paragraph",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, words, n, (n + 31) // 32 AS n_blk FROM s),
+        |x AS (SELECT doc_id, words, n, unnest(range(0, n_blk)) AS b FROM c),
+        |blk AS (SELECT doc_id,
+        |    CAST(least(32, n - b * 32) AS BIGINT) AS toks,
+        |    sha256(array_to_string(
+        |      list_slice(words, b * 32 + 1, b * 32 + least(32, n - b * 32)),
+        |      ' ')) AS h
+        |  FROM x),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM blk GROUP BY h)
+        |SELECT blk.doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN df.df < 2 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM blk JOIN df ON blk.h = df.h
+        |GROUP BY blk.doc_id ORDER BY blk.doc_id""".stripMargin) { (s, d) =>
+      val blk = documents(s, d)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .withColumn("n", size($"words").cast(LongType))
+        .withColumn("n_blk", expr("(n + 31) div 32"))
+        .select($"doc_id", $"words", $"n",
+          explode(sequence(lit(0L), $"n_blk" - 1)).as("b"))
+        .withColumn("toks", least(lit(32L), $"n" - $"b" * 32))
+        .select($"doc_id", $"toks",
+          sha2(array_join(slice($"words", ($"b" * 32 + 1).cast(IntegerType),
+            $"toks".cast(IntegerType)), " "), 256).as("h"))
+      val dfByHash = blk.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df"))
+      blk.join(dfByHash, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_boiler"),
+          sum(when($"df" < 2, $"toks").otherwise(0L)).as("kept_tokens"))
+        .orderBy($"doc_id")
+    },
+
     // Exact 3-gram-shingle Jaccard near-dup pairs over a bounded sample;
     // inter/union counted via an inverted-index join on shingle — the same
     // shape scales out by sharding on shingle.
