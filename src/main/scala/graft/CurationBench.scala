@@ -59,6 +59,7 @@ object CurationBench {
 
     stage("filterLangs(en,de)")(_.filterLangs("en", "de"))
     stage("dedupExact")(_.dedupExact())
+    stage("dropBoilerplate")(_.dropBoilerplate())
     stage("dedupNear")(_.dedupNear())
     stage("filterGopher")(_.filterGopher())
     stage("filterRepetition")(_.filterRepetition())

@@ -112,6 +112,42 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       alphaRatio >= 0.8 && bulletRatio <= 0.9)
   }
 
+  /** CCNet paragraph-level boilerplate removal (arXiv:1911.00359 §3.1,
+    * `dedup_paragraph`'s rewrite form): hash every non-overlapping
+    * `blockWords`-word block, and REWRITE each document keeping only the
+    * blocks whose hash appears in fewer than `minDf` distinct documents —
+    * shared headers, footers and navigation chrome disappear while unique
+    * content survives in order. Documents that were pure boilerplate drop
+    * out entirely. This is the one curation stage where block TEXT must
+    * cross an exchange (the kept blocks reassemble per doc); the volume is
+    * ≤ the corpus and shrinks with what the filter removes, the df count
+    * itself map-combines on hashes only, and the boilerplate hash set is a
+    * repeated-hash-only frame that AQE can broadcast for the anti-join.
+    */
+  def dropBoilerplate(blockWords: Int = 32, minDf: Long = 2): CurationPipeline =
+    step(s"dropBoilerplate($blockWords,$minDf)") { d =>
+      val blk = d
+        .withColumn("__ws", split(col("text"), " "))
+        .withColumn("__n", size(col("__ws")).cast(LongType))
+        .withColumn("__b", explode(sequence(lit(0L),
+          expr(s"(__n + ${blockWords - 1}) div $blockWords") - 1)))
+        .withColumn("__bt", concat_ws(" ", slice(col("__ws"),
+          (col("__b") * blockWords + 1).cast(IntegerType), lit(blockWords))))
+        .select(col("doc_id"), col("__b"), col("__bt"),
+          sha2(col("__bt"), 256).as("__h"))
+      val boiler = blk.groupBy(col("__h"))
+        .agg(countDistinct(col("doc_id")).as("__df"))
+        .filter(col("__df") >= minDf)
+        .select(col("__h"))
+      val kept = blk.join(boiler, Seq("__h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__b"), col("__bt")))),
+          s => s.getField("__bt")), " ").as("__newtext"))
+      d.drop("text").join(kept, Seq("doc_id"))
+        .withColumnRenamed("__newtext", "text")
+    }
+
   /** Drop documents whose duplicate word-trigram instance ratio exceeds
     * `maxDupRatio` (quality_repetition's signal — boilerplate and
     * degenerate generations). Grouping is per-document, so the extra

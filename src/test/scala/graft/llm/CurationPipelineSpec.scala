@@ -184,6 +184,34 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == expected)
   }
 
+  test("dropBoilerplate removes planted shared blocks, keeps unique content in order") {
+    // Plant a shared 8-word header on many docs, unique bodies behind it,
+    // one pure-boilerplate doc, and one untouched singleton.
+    val header = (1 to 8).map(i => s"hdr$i").mkString(" ")
+    val rows = (1L to 6L).map { id =>
+      val body = (1 to 13).map(i => s"doc${id}w$i").mkString(" ")
+      (id, s"$header $body")
+    } :+ ((7L, header))                       // pure boilerplate
+    val plantedRaw = (8L, (1 to 11).map(i => s"only$i").mkString(" "))
+    val planted = rows :+ plantedRaw          // unique singleton
+    val df = spark.createDataFrame(planted).toDF("doc_id", "text")
+
+    val out = CurationPipeline(df).dropBoilerplate(blockWords = 8).result
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // header block (words 1-8, identical across 7 docs) is gone; each
+    // body survives verbatim and in order (13 words = blocks 2 and 3,
+    // both unique to their doc)
+    for (id <- 1L to 6L)
+      assert(out(id) == (1 to 13).map(i => s"doc${id}w$i").mkString(" "), s"doc $id")
+    assert(!out.contains(7L), "pure-boilerplate doc must drop out")
+    assert(out(8L) == plantedRaw._2, "singleton doc untouched")
+    // non-text columns carried through untouched
+    val out2 = CurationPipeline(df.withColumn("lang", lit("en")))
+      .dropBoilerplate(blockWords = 8).result
+    assert(out2.columns.toSet == Set("doc_id", "lang", "text"))
+    assert(out2.filter(col("lang") === "en").count() == out2.count())
+  }
+
   test("filterPerplexity keeps exactly the docs inside the cross-entropy band") {
     val xents = graft.SparkEntry.queries("quality_perplexity")(spark, sf)
       .select("doc_id", "xent").collect()
