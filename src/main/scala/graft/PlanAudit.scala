@@ -38,6 +38,7 @@ object PlanAudit {
     "bm25_search" -> Set("NESTED_LOOP"), // build sides = 1-row stats frames (N, avgdl, df)
     "agg_share" -> Set("NESTED_LOOP"), // build side = 1-row grand-total frame
     "quality_perplexity" -> Set("NESTED_LOOP"), // build side = 1-row corpus-total frame
+    "dsir_score" -> Set("NESTED_LOOP"), // build sides = two 1-row total frames (Nr+V, Nt)
     "events_rfm" -> Set("NESTED_LOOP"), // build side = 1-row quantile-threshold frame
     "sql_q22" -> Set("NESTED_LOOP"), // build side = 1-row global-average frame
     // build sides = 1-row hour-mean frame + vocabulary-bounded busy-hours

@@ -714,6 +714,68 @@ object TextRankQueries {
       perplexityFrame(documents(s, d), tok(s, d), vocabStats(s, d))
     },
 
+    // DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169): rank
+    // raw-corpus documents by how much more likely their tokens are under
+    // a TARGET distribution than under the raw distribution — the
+    // importance weight a resampler draws against. Target here is the
+    // deterministic `source = 'src0'` stratum (the "quality corpus"
+    // stand-in); features are the shared unigram token convention
+    // (`SqlWordTok`, the word_tok memo), both unigram models Laplace(+1)
+    // smoothed over the RAW vocabulary. Determinism: each m·ln-ratio term
+    // snaps to the 1e-6 integer grid and sums as BIGINT (the
+    // quality_perplexity pattern — order-independent under partial
+    // aggregation). Plan at 100 TB: two vocab-sized count tables (target
+    // counts ride the same token frame), totals are 1-row broadcasts, the
+    // per-doc rollup is the same token→vocab backjoin as the xent family —
+    // every aggregate map-combines; nothing is corpus² anywhere.
+    Q("dsir_score",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |cr AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+         |ct AS (SELECT t.w, count(*) AS ct FROM tok t
+         |  JOIN tgt ON t.doc_id = tgt.doc_id GROUP BY t.w),
+         |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |  CAST(count(*) AS BIGINT) AS v FROM cr),
+         |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
+         |voc AS (SELECT cr.w,
+         |    ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1) / (nt.nt + nn.v)) -
+         |    ln((CAST(cr.cr AS DOUBLE) + 1) / (nn.nr + nn.v)) AS lr
+         |  FROM cr LEFT JOIN ct ON cr.w = ct.w CROSS JOIN nn CROSS JOIN nt),
+         |m AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY doc_id, w),
+         |terms AS (SELECT m.doc_id, m.m,
+         |    CAST(round(m.m * voc.lr * 1000000) AS BIGINT) AS g
+         |  FROM m JOIN voc ON m.w = voc.w)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_words,
+         |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS logratio
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = tok(s, d)
+      val tgtIds = graft.Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      val cr = tk.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val ct = tk.join(tgtIds, "doc_id")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
+        count(lit(1)).cast(LongType).as("v"))
+      val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
+      val voc = cr.join(ct, Seq("w"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
+        .select(col("w"),
+          (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
+              (col("nt") + col("v"))) -
+            log((col("cr").cast(DoubleType) + 1) /
+              (col("nr") + col("v")))).as("lr"))
+      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      m.join(voc, "w")
+        .select(col("doc_id"), col("m"),
+          round(col("m") * col("lr") * 1000000L, 0).cast(LongType).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).cast(LongType).as("n_words"),
+          (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
+            .as("logratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-level n-gram frequency table — the raw material of an n-gram
     // LM, contamination fingerprints, and boilerplate mining: top word
     // trigrams by INSTANCE count (multiplicity, not per-doc sets). Exact
