@@ -39,6 +39,7 @@ object PlanAudit {
     "agg_share" -> Set("NESTED_LOOP"), // build side = 1-row grand-total frame
     "quality_perplexity" -> Set("NESTED_LOOP"), // build side = 1-row corpus-total frame
     "dsir_score" -> Set("NESTED_LOOP"), // build sides = two 1-row total frames (Nr+V, Nt)
+    "dsir_resample" -> Set("NESTED_LOOP"), // build sides = dsir totals + 1-row (Z, n) frame
     "events_rfm" -> Set("NESTED_LOOP"), // build side = 1-row quantile-threshold frame
     "sql_q22" -> Set("NESTED_LOOP"), // build side = 1-row global-average frame
     // build sides = 1-row hour-mean frame + vocabulary-bounded busy-hours

@@ -190,19 +190,24 @@ object ScaleDedup {
            |  FROM edges e JOIN p${k - 1} p ON p.u = e.u JOIN deg dg ON dg.u = e.u, nn
            |  GROUP BY e.v, n)""".stripMargin
       }.mkString(",\n")
-      s"""WITH tok AS ($tok),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |pair AS (
+      // MATERIALIZED: DuckDB 1.0 inlines every CTE reference, so without
+      // the hints the corpus² pair build re-executes once per `edges`/`deg`
+      // reference in the unrolled iteration chain (6+ replays — measured
+      // 137 s vs 8.8 s at sf1, and an out-of-disk spill at sf10). The
+      // hints change execution only; the value chain is untouched.
+      s"""WITH tok AS MATERIALIZED ($tok),
+         |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS MATERIALIZED (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
          |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
-         |good AS (
+         |good AS MATERIALIZED (
          |  SELECT a_id, b_id FROM pair
          |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-         |edges AS (SELECT a_id AS u, b_id AS v FROM good
+         |edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM good
          |          UNION ALL SELECT b_id, a_id FROM good),
-         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |deg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY u),
          |nn AS (SELECT count(*) AS n FROM deg),
          |p0 AS (SELECT u, 1000000000000 // n AS p FROM deg, nn),
          |$iters

@@ -72,6 +72,71 @@ object TextRankQueries {
       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
       |    FROM documents) WHERE length(w) >= 3""".stripMargin
 
+  /** Per-doc DSIR frame `dsir(doc_id, n_words, logratio)` as DuckDB CTEs —
+    * the SQL mirror of [[dsirDoc]]; dsir_score and dsir_resample both
+    * splice it so the score a resampler draws against can never drift
+    * from the score the ranking query reports.
+    */
+  private val SqlDsirDoc =
+    s"""tok AS (
+       |  $SqlWordTok),
+       |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+       |cr AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+       |ct AS (SELECT t.w, count(*) AS ct FROM tok t
+       |  JOIN tgt ON t.doc_id = tgt.doc_id GROUP BY t.w),
+       |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |  CAST(count(*) AS BIGINT) AS v FROM cr),
+       |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
+       |voc AS (SELECT cr.w,
+       |    ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1) / (nt.nt + nn.v)) -
+       |    ln((CAST(cr.cr AS DOUBLE) + 1) / (nn.nr + nn.v)) AS lr
+       |  FROM cr LEFT JOIN ct ON cr.w = ct.w CROSS JOIN nn CROSS JOIN nt),
+       |m AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY doc_id, w),
+       |terms AS (SELECT m.doc_id, m.m,
+       |    CAST(round(m.m * voc.lr * 1000000) AS BIGINT) AS g
+       |  FROM m JOIN voc ON m.w = voc.w),
+       |dsir AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_words,
+       |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS logratio
+       |FROM terms GROUP BY doc_id)""".stripMargin
+
+  /** Session-cached per-doc DSIR importance frame (doc_id, n_words,
+    * logratio) shared by dsir_score and dsir_resample — the same
+    * shared-intermediate contract as [[tok]]: the two vocab-sized count
+    * tables and the token backjoin run once, both consumers reuse the
+    * persisted frame (3 narrow columns × doc count — the cheapest frame
+    * in the memo family). Charged to Bench as `build:dsir_doc`.
+    */
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dsirDoc(s: SparkSession, d: String): DataFrame =
+    dsirMemo.computeIfAbsent((s, d), _ => {
+      val tk = tok(s, d)
+      val tgtIds = documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      val cr = tk.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val ct = tk.join(tgtIds, "doc_id")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
+        count(lit(1)).cast(LongType).as("v"))
+      val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
+      val voc = cr.join(ct, Seq("w"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
+        .select(col("w"),
+          (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
+              (col("nt") + col("v"))) -
+            log((col("cr").cast(DoubleType) + 1) /
+              (col("nr") + col("v")))).as("lr"))
+      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      m.join(voc, "w")
+        .select(col("doc_id"), col("m"),
+          round(col("m") * col("lr") * 1000000L, 0).cast(LongType).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).cast(LongType).as("n_words"),
+          (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
+            .as("logratio"))
+        .persist()
+    })
+
   /** Broadcast cutover for the corpus-statistics serving dispatch
     * (perplexity/rarity/tfidf): up to this many distinct words the
     * (c, df) vocabulary collects to one bounded driver map (~tens of MB)
@@ -729,51 +794,72 @@ object TextRankQueries {
     // per-doc rollup is the same token→vocab backjoin as the xent family —
     // every aggregate map-combines; nothing is corpus² anywhere.
     Q("dsir_score",
-      s"""WITH tok AS (
-         |  $SqlWordTok),
-         |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
-         |cr AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
-         |ct AS (SELECT t.w, count(*) AS ct FROM tok t
-         |  JOIN tgt ON t.doc_id = tgt.doc_id GROUP BY t.w),
-         |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
-         |  CAST(count(*) AS BIGINT) AS v FROM cr),
-         |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
-         |voc AS (SELECT cr.w,
-         |    ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1) / (nt.nt + nn.v)) -
-         |    ln((CAST(cr.cr AS DOUBLE) + 1) / (nn.nr + nn.v)) AS lr
-         |  FROM cr LEFT JOIN ct ON cr.w = ct.w CROSS JOIN nn CROSS JOIN nt),
-         |m AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY doc_id, w),
-         |terms AS (SELECT m.doc_id, m.m,
-         |    CAST(round(m.m * voc.lr * 1000000) AS BIGINT) AS g
-         |  FROM m JOIN voc ON m.w = voc.w)
-         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_words,
-         |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS logratio
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tk = tok(s, d)
-      val tgtIds = graft.Tables.documents(s, d)
-        .filter(col("source") === "src0").select(col("doc_id"))
-      val cr = tk.groupBy(col("w")).agg(count(lit(1)).as("cr"))
-      val ct = tk.join(tgtIds, "doc_id")
-        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-      val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
-        count(lit(1)).cast(LongType).as("v"))
-      val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
-      val voc = cr.join(ct, Seq("w"), "left")
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
-        .select(col("w"),
-          (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
-              (col("nt") + col("v"))) -
-            log((col("cr").cast(DoubleType) + 1) /
-              (col("nr") + col("v")))).as("lr"))
-      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
-      m.join(voc, "w")
-        .select(col("doc_id"), col("m"),
-          round(col("m") * col("lr") * 1000000L, 0).cast(LongType).as("g"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("m")).cast(LongType).as("n_words"),
-          (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
-            .as("logratio"))
-        .orderBy(col("doc_id"))
+      s"""WITH $SqlDsirDoc
+         |SELECT doc_id, n_words, logratio FROM dsir
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dsirDoc(s, d).orderBy(col("doc_id"))
+    },
+
+    // DSIR importance RESAMPLING — the second half of the Xie et al. 2023
+    // construction: draw a target-sized subset with probability
+    // proportional to the importance weight w = exp(logratio). The draw
+    // is Bernoulli ("accept doc i iff u_i < N·w_i/Z", E[kept] = N up to
+    // heavy-doc clipping at p=1), NOT a global top-N sort: at 100 TB a
+    // weighted top-10%-of-corpus is a full-corpus TakeOrdered through one
+    // task, while the Bernoulli rule is one map-side comparison per doc
+    // against a broadcast 1-row (Z, n) frame — embarrassingly parallel,
+    // shuffle-free past the per-doc score itself. Determinism: u_i is a
+    // seeded multiplicative hash of doc_id reduced mod the prime P (exact
+    // BIGINT in both engines at every registered id scale; a >2^53-doc id
+    // space would move this to the 128-bit lane like dedup_cluster_dist's
+    // fingerprint), the weight snaps to the 1e-6 grid, and the accept
+    // comparison runs in exact 128-bit arithmetic (DECIMAL(38,0) here,
+    // HUGEINT in the oracle) so no engine pair can disagree on a
+    // boundary. Output is the per-source composition shift — the point of
+    // DSIR is that the kept set's mixture tilts toward the target
+    // (src0's keep_rate is pinned strictly highest in DsirResampleSpec).
+    Q("dsir_resample",
+      s"""WITH $SqlDsirDoc,
+         |w AS (SELECT doc_id,
+         |    CAST(round(exp(logratio) * 1000000) AS BIGINT) AS wgrid
+         |  FROM dsir),
+         |z AS (SELECT CAST(sum(wgrid) AS BIGINT) AS z,
+         |    CAST(count(*) AS BIGINT) AS n FROM w),
+         |acc AS (SELECT w.doc_id, w.wgrid FROM w, z
+         |  WHERE CAST((w.doc_id * 2654435761) % 1000000007 AS HUGEINT)
+         |        * z.z * 10
+         |      < CAST(w.wgrid AS HUGEINT) * z.n * 1000000007),
+         |tot AS (SELECT source, count(*) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT d.source, CAST(tot.n_docs AS BIGINT) AS n_docs,
+         |  count(*) AS n_kept,
+         |  round(CAST(count(*) AS DOUBLE) / tot.n_docs, 6) AS keep_rate,
+         |  CAST(sum(acc.wgrid) AS BIGINT) AS weight_kept
+         |FROM acc JOIN documents d ON acc.doc_id = d.doc_id
+         |JOIN tot ON tot.source = d.source
+         |GROUP BY d.source, tot.n_docs ORDER BY d.source""".stripMargin) {
+      (s, d) =>
+        val dec = DecimalType(38, 0)
+        val P = 1000000007L
+        val w = dsirDoc(s, d).select(col("doc_id"),
+          round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
+        val z = w.agg(sum(col("wgrid")).cast(LongType).as("z"),
+          count(lit(1)).cast(LongType).as("n"))
+        val acc = w.crossJoin(broadcast(z))
+          .filter(((col("doc_id") * 2654435761L) % P).cast(dec) * col("z") * 10 <
+            col("wgrid").cast(dec) * col("n") * P)
+        val tot = documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        acc.join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("wgrid")).cast(LongType).as("weight_kept"))
+          .join(broadcast(tot), "source")
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("n_kept").cast(DoubleType) / col("n_docs"), 6)
+              .as("keep_rate"),
+            col("weight_kept"))
+          .orderBy(col("source"))
     },
 
     // Corpus-level n-gram frequency table — the raw material of an n-gram
@@ -815,7 +901,8 @@ object TextRankQueries {
   def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "word_tok" -> ((s, d) => { tok(s, d).count(); () }),
     "vocab_stats" -> ((s, d) => { vocabStats(s, d); () }),
-    "fuzzy_stats" -> ((s, d) => { fuzzyStats(s, d); () }))
+    "fuzzy_stats" -> ((s, d) => { fuzzyStats(s, d); () }),
+    "dsir_doc" -> ((s, d) => { dsirDoc(s, d).count(); () }))
 
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
