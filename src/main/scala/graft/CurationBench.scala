@@ -63,6 +63,11 @@ object CurationBench {
     stage("dedupNear")(_.dedupNear())
     stage("filterGopher")(_.filterGopher())
     stage("filterRepetition")(_.filterRepetition())
+    // DSIR selection against the src0 stratum as the quality-corpus
+    // stand-in; keep half — a selection gate, not a decimation, so the
+    // later stages still see a meaningful corpus
+    stage("selectDsir")(_.selectDsir(
+      docs.filter(col("source") === "src0"), num = 1, den = 2))
     stage("rebalanceByLang")(_.rebalanceByLang())
     stage("decontaminate")(_.decontaminate(benchmark))
     stage("maskPii")(_.maskPii())

@@ -189,6 +189,28 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
       d.join(keep, Seq("doc_id"), "left_semi")
     }
 
+  /** DSIR data selection (Xie et al. 2023, `dsir_resample`'s machinery):
+    * fit unigram LMs on the CURRENT pipeline frame (raw) and on `target`
+    * (the quality corpus the selection should resemble), score every doc
+    * by its Laplace-smoothed token log-likelihood ratio, and keep a
+    * Bernoulli importance draw with expected size `num/den` of the
+    * corpus. The same [[TextRankQueries.dsirScoredFrame]] /
+    * [[TextRankQueries.dsirAcceptFrame]] pair backs the registered
+    * queries, so the gate selects on exactly the weight `dsir_score`
+    * reports. Scale shape: two vocab-sized count tables, 1-row broadcast
+    * totals, one token→vocab backjoin, then a map-side accept — nothing
+    * corpus² and no global sort; the draw is a pure function of doc_id,
+    * so reruns, engines, and cluster sizes agree.
+    */
+  def selectDsir(target: DataFrame, num: Long = 1L, den: Long = 10L): CurationPipeline =
+    step(s"selectDsir($num/$den)") { d =>
+      val scored = TextRankQueries.dsirScoredFrame(
+        TextRankQueries.wordTok(d), TextRankQueries.wordTok(target))
+      val keep = TextRankQueries.dsirAcceptFrame(scored, num, den)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
   /** Redact email-shaped tokens and long digit runs (pii_mask's patterns). */
   def maskPii(): CurationPipeline = step("maskPii") {
     _.withColumn("text",

@@ -113,29 +113,59 @@ object TextRankQueries {
       val tk = tok(s, d)
       val tgtIds = documents(s, d)
         .filter(col("source") === "src0").select(col("doc_id"))
-      val cr = tk.groupBy(col("w")).agg(count(lit(1)).as("cr"))
-      val ct = tk.join(tgtIds, "doc_id")
-        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-      val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
-        count(lit(1)).cast(LongType).as("v"))
-      val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
-      val voc = cr.join(ct, Seq("w"), "left")
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
-        .select(col("w"),
-          (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
-              (col("nt") + col("v"))) -
-            log((col("cr").cast(DoubleType) + 1) /
-              (col("nr") + col("v")))).as("lr"))
-      val m = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
-      m.join(voc, "w")
-        .select(col("doc_id"), col("m"),
-          round(col("m") * col("lr") * 1000000L, 0).cast(LongType).as("g"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("m")).cast(LongType).as("n_words"),
-          (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
-            .as("logratio"))
-        .persist()
+      dsirScoredFrame(tk, tk.join(tgtIds, "doc_id")).persist()
     })
+
+  /** Per-doc DSIR importance frame (doc_id, n_words, logratio) from a raw
+    * (doc_id, w) token frame and a target token frame — the scorer behind
+    * `dsir_score`/`dsir_resample` AND [[CurationPipeline.selectDsir]] (one
+    * definition, so the pipeline gate and the reported score can't
+    * drift). Both unigram models are Laplace(+1)-smoothed over the RAW
+    * vocabulary; each m·ln-ratio term snaps to the 1e-6 grid and sums as
+    * BIGINT (order-independent under partial aggregation).
+    */
+  private[llm] def dsirScoredFrame(rawTok: DataFrame, tgtTok: DataFrame): DataFrame = {
+    val cr = rawTok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val ct = tgtTok.groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
+      count(lit(1)).cast(LongType).as("v"))
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
+    val voc = cr.join(ct, Seq("w"), "left")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
+      .select(col("w"),
+        (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
+            (col("nt") + col("v"))) -
+          log((col("cr").cast(DoubleType) + 1) /
+            (col("nr") + col("v")))).as("lr"))
+    val m = rawTok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+    m.join(voc, "w")
+      .select(col("doc_id"), col("m"),
+        round(col("m") * col("lr") * 1000000L, 0).cast(LongType).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast(LongType).as("n_words"),
+        (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
+          .as("logratio"))
+  }
+
+  /** Bernoulli importance draw over a scored frame: keep doc i iff
+    * `hash(doc_id) · Z · den < wgrid_i · n · num · P` — expected kept
+    * fraction num/den (up to p-clipping on heavy docs), exact 128-bit
+    * boundary arithmetic, one map-side comparison per doc against the
+    * broadcast 1-row (Z, n) frame. Returns (doc_id, wgrid).
+    */
+  private[llm] def dsirAcceptFrame(scored: DataFrame,
+      num: Long = 1L, den: Long = 10L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val P = 1000000007L
+    val w = scored.select(col("doc_id"),
+      round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
+    val z = w.agg(sum(col("wgrid")).cast(LongType).as("z"),
+      count(lit(1)).cast(LongType).as("n"))
+    w.crossJoin(broadcast(z))
+      .filter(((col("doc_id") * 2654435761L) % P).cast(dec) * col("z") * den <
+        col("wgrid").cast(dec) * col("n") * num * P)
+      .select(col("doc_id"), col("wgrid"))
+  }
 
   /** Broadcast cutover for the corpus-statistics serving dispatch
     * (perplexity/rarity/tfidf): up to this many distinct words the
@@ -839,15 +869,7 @@ object TextRankQueries {
          |JOIN tot ON tot.source = d.source
          |GROUP BY d.source, tot.n_docs ORDER BY d.source""".stripMargin) {
       (s, d) =>
-        val dec = DecimalType(38, 0)
-        val P = 1000000007L
-        val w = dsirDoc(s, d).select(col("doc_id"),
-          round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
-        val z = w.agg(sum(col("wgrid")).cast(LongType).as("z"),
-          count(lit(1)).cast(LongType).as("n"))
-        val acc = w.crossJoin(broadcast(z))
-          .filter(((col("doc_id") * 2654435761L) % P).cast(dec) * col("z") * 10 <
-            col("wgrid").cast(dec) * col("n") * P)
+        val acc = dsirAcceptFrame(dsirDoc(s, d))
         val tot = documents(s, d).groupBy(col("source"))
           .agg(count(lit(1)).cast(LongType).as("n_docs"))
         acc.join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")

@@ -47,6 +47,29 @@ class DsirResampleSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("selectDsir pipeline stage keeps exactly the query's draw (A/B pin)") {
+    // same corpus, same target (src0), same num/den as dsir_resample →
+    // the pipeline gate must keep exactly the docs the query accepts;
+    // replay the acceptance from dsir_score's weights as the referee
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = CurationPipeline(docs)
+      .selectDsir(docs.filter(org.apache.spark.sql.functions.col("source") === "src0"))
+      .result.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val scores = byName("dsir_score").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val P = BigInt(1000000007L)
+    val wgrid = scores.map { case (id, lr) =>
+      id -> BigInt(math.round(math.exp(lr) * 1000000L))
+    }
+    val z = wgrid.values.sum
+    val n = BigInt(wgrid.size)
+    val expected = wgrid.filter { case (id, w) =>
+      (BigInt(id) * 2654435761L % P) * z * 10 < w * n * P
+    }.keySet
+    assert(kept === expected)
+  }
+
   test("the kept mixture tilts toward the target stratum") {
     val rows = byName("dsir_resample").fn(spark, sf).collect()
     val rates = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
