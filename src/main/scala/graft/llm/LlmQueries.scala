@@ -523,7 +523,19 @@ object LlmQueries {
   private val minhashMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashMemo.computeIfAbsent((s, d), _ => minhashPairsOf(documents(s, d)))
+    minhashMemo.computeIfAbsent((s, d),
+      _ => minhashPairsFrom(minhashSig(s, d)))
+
+  /** Memoized 32-perm signature frame over the driver tables — shared by
+    * the band join ([[minhashPairs]]) and the band-calibration sweep
+    * (`dedup_minhash_curve`): the shingle explode + 32-way min-agg is the
+    * expensive stage, and every banding config reads the SAME signatures
+    * (that is what makes the sweep a calibration, not three experiments).
+    */
+  private val sigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] def minhashSig(s: SparkSession, d: String): DataFrame =
+    sigMemo.computeIfAbsent((s, d), _ => minhashSigOf(documents(s, d)))
 
   /** Shared 6-plane LSH frame (vec_id, label, v, bkt, n2), materialized
     * behind an exchange and memoized per (session, dir) — the "build the
@@ -699,21 +711,30 @@ object LlmQueries {
     * text) — the memoized entry above binds it to the driver tables;
     * [[CurationPipeline.dedupNear]] applies it mid-pipeline.
     */
-  private[llm] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+  private[llm] def minhashPairsOf(docsDf: DataFrame): DataFrame =
+    minhashPairsFrom(minhashSigOf(docsDf))
+
+  /** 32-perm MinHash signature frame (doc_id, sig ARRAY<BIGINT>) over an
+    * arbitrary document frame. Persisted: it is referenced three times by
+    * the pair build alone (banding + both sides of the pair rejoin), plus
+    * every calibration config (ReuseExchange does NOT unify the consumers'
+    * exchanges once AQE broadcasts two of them). Lazy — nothing runs at
+    * plan time; ~8 B + 256 B per doc cached.
+    */
+  private[llm] def minhashSigOf(docsDf: DataFrame): DataFrame = {
+    val numHashes = 32
+    val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
+    val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
+    tok.groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .persist()
+  }
+
+  private[llm] def minhashPairsFrom(sig: DataFrame): DataFrame = {
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
-      val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-      val sig = tok.groupBy($"doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        // referenced three times below (banding + both sides of the pair
-        // rejoin); persisted so the shingle explode + 32-way min-agg — the
-        // expensive stage — runs once (ReuseExchange does NOT unify the
-        // three consumers' exchanges once AQE broadcasts two of them).
-        // Lazy: nothing runs at plan time; ~8 B + 256 B per doc cached.
-        .persist()
       // NARROW band join: the bucket shuffle carries only (doc_id, band,
       // bh) — 24 bytes/row — not the 32-long signature array (which
       // posexplode would duplicate ×8 bands). Candidates dedupe on the
@@ -1373,6 +1394,97 @@ object LlmQueries {
       ScaleDedup.connectedComponents(minhashPairs(s, d).select($"a_id", $"b_id"))
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
+    },
+
+    // LSH band-calibration sweep — the S-curve measured on THIS corpus
+    // instead of argued from 1-(1-j^r)^b: over the SAME memoized 32-perm
+    // signatures, run the band join at (b,r) ∈ {(16,2),(8,4),(4,8)} and
+    // score each config's candidate set against the exact-Jaccard truth
+    // pairs (the goodPairs frame dedup_ngram_jaccard verifies). One row
+    // per config: candidate volume, recall and precision at the 0.5
+    // threshold — the table a deployment reads before picking its banding
+    // (more bands/shorter rows = recall up, candidates up). The sweep is
+    // the MinHash counterpart of sim_ann_recall_k's coarse-quantizer
+    // sweep. Scale shape: signatures build once (build:minhash_sig);
+    // each config is one narrow (doc_id, band, bh) self-join — the
+    // dedup_minhash shape — and the scoring join carries only id pairs;
+    // the three counts are bounded driver actions (the recall_k
+    // precedent), never a collected pair set.
+    Q("dedup_minhash_curve", {
+      val sigColsSql = (0 until 32)
+        .map(i => s"min(${H.sqlAffine(i, "x")}) AS h$i").mkString(", ")
+      def bandSql(b: Int, r: Int) = (0 until b).map(i =>
+        s"SELECT doc_id, $i AS band, " +
+          s"${H.sqlFoldHash((0 until r).map(j => s"h${i * r + j}"))} AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      def cfgSql(b: Int, r: Int) =
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  (SELECT count(*) FROM cand$b) AS n_cand,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  (SELECT count(*) FROM cand$b c JOIN truth t
+           |     ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_hit""".stripMargin
+      // MATERIALIZED: DuckDB 1.0 inlines every CTE reference — without the
+      // hints the corpus² pair build and the signature aggregation re-run
+      // per referencing config (the graph_pagerank lesson)
+      s"""WITH tok AS MATERIALIZED (
+         |  ${sqlShingleTok("documents")}),
+         |x AS MATERIALIZED (SELECT doc_id, ${H.sqlWordHash("w")} AS x FROM tok),
+         |sig AS MATERIALIZED (SELECT doc_id, $sigColsSql FROM x GROUP BY doc_id),
+         |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pair AS MATERIALIZED (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS MATERIALIZED (SELECT a_id, b_id FROM pair
+         |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |band16 AS MATERIALIZED (${bandSql(16, 2)}),
+         |cand16 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM band16 a JOIN band16 b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |band8 AS MATERIALIZED (${bandSql(8, 4)}),
+         |cand8 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM band8 a JOIN band8 b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |band4 AS MATERIALIZED (${bandSql(4, 8)}),
+         |cand4 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM band4 a JOIN band4 b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |cfg AS (${cfgSql(16, 2)} UNION ALL ${cfgSql(8, 4)} UNION ALL ${cfgSql(4, 8)})
+         |SELECT bands, rows_per_band, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(CASE WHEN n_truth = 0 THEN 0
+         |    ELSE CAST(n_hit AS DOUBLE) / n_truth END, 6) AS recall,
+         |  round(CASE WHEN n_cand = 0 THEN 0
+         |    ELSE CAST(n_hit AS DOUBLE) / n_cand END, 6) AS prec
+         |FROM cfg ORDER BY bands DESC""".stripMargin
+    }) { (s, d) =>
+      val sig = minhashSig(s, d)
+      val truth = goodPairs(s, d, 0.5).select($"a_id", $"b_id")
+      val nTruth = truth.count()
+      val measured = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+        val banded = sig.select($"doc_id",
+            posexplode(array((0 until b).map(i =>
+              H.foldHash((0 until r).map(j => col("sig")(i * r + j)))): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct().persist()
+        val nCand = cand.count()
+        val nHit = cand.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+        cand.unpersist()
+        (b, r, nCand, nTruth, nHit)
+      }
+      val spark = s
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      measured.toDF("bands", "rows_per_band", "n_cand", "n_truth", "n_hit")
+        .withColumn("recall", round(when(col("n_truth") === 0, 0.0)
+          .otherwise(col("n_hit").cast(DoubleType) / col("n_truth")), 6))
+        .withColumn("prec", round(when(col("n_cand") === 0, 0.0)
+          .otherwise(col("n_hit").cast(DoubleType) / col("n_cand")), 6))
+        .orderBy(col("bands").desc)
     },
 
     // 62-bit SimHash over tokens (31 bits from each of two independent
@@ -2770,6 +2882,7 @@ object LlmQueries {
       // unthresholded parent frame they projected from
       releaseInterCounts(s, d)
     }),
+    "minhash_sig" -> ((s, d) => { minhashSig(s, d).count(); () }),
     "minhash_pairs" -> ((s, d) => { minhashPairs(s, d).count(); () }),
     "incremental_sigs" -> ((s, d) => { incrementalPairs(s, d).count(); () }),
     "lsh_frame" -> ((s, d) => { lshFrame(s, d).count(); () }),
