@@ -38,6 +38,7 @@ object PlanAudit {
     "bm25_search" -> Set("NESTED_LOOP"), // build sides = 1-row stats frames (N, avgdl, df)
     "agg_share" -> Set("NESTED_LOOP"), // build side = 1-row grand-total frame
     "quality_perplexity" -> Set("NESTED_LOOP"), // build side = 1-row corpus-total frame
+    "quality_bigram" -> Set("NESTED_LOOP"), // build side = 1-row vocab-size frame
     "dsir_score" -> Set("NESTED_LOOP"), // build sides = two 1-row total frames (Nr+V, Nt)
     "dsir_resample" -> Set("NESTED_LOOP"), // build sides = dsir totals + 1-row (Z, n) frame
     "events_rfm" -> Set("NESTED_LOOP"), // build side = 1-row quantile-threshold frame

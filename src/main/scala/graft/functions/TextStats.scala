@@ -202,6 +202,32 @@ object TextStats {
   def wordTokensCol(text: Column, minLen: Int): Column =
     Bridge.column(WordTokens(Bridge.expression(text), minLen))
 
+  /** Adjacent-token bigrams over [[wordTokens]] in one scan — the
+    * `transform(sequence(...), i -> concat(element_at ws i, ' ',
+    * element_at ws i+1))` chain costs two interpreted array probes plus a
+    * three-part concat per gram (measured 50.5 s at sf10 for
+    * quality_bigram); this allocates exactly one UTF8String per gram off
+    * the already-tokenized array. Documents with fewer than two tokens
+    * return an empty array — `explode` drops them like the
+    * `size(ws) >= 2` pre-filter it replaces.
+    */
+  def wordBigrams(s: String, minLen: Int): Array[UTF8String] = {
+    val toks = wordTokens(s, minLen)
+    if (toks.length < 2) return Array.empty
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[UTF8String](toks.length - 1)
+    var i = 0
+    while (i + 1 < toks.length) {
+      out(i) = UTF8String.concatWs(sep, toks(i), toks(i + 1))
+      i += 1
+    }
+    out
+  }
+
+  /** Column wrapper: array<string> of adjacent lowercased-token bigrams. */
+  def wordBigramsCol(text: Column, minLen: Int): Column =
+    Bridge.column(WordBigrams(Bridge.expression(text), minLen))
+
   /** First `n` lowercased letters of the document in one scan — the fuzzy
     * skeleton `substring(regexp_replace(lower(text), "[^a-z]", ""), 1, n)`
     * without the two intermediate full-length strings; the scan stops as
@@ -351,6 +377,36 @@ case class WordTokens(child: Expression, minLen: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+case class WordBigrams(child: Expression, minLen: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_bigrams requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextStats.wordBigrams(input.asInstanceOf[UTF8String].toString, minLen)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.TextStats.wordBigrams($c.toString(), $minLen));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
     copy(child = newChild)
 }
 

@@ -809,6 +809,69 @@ object TextRankQueries {
       perplexityFrame(documents(s, d), tok(s, d), vocabStats(s, d))
     },
 
+    // Bigram-LM cross-entropy — one model order past quality_perplexity's
+    // unigram: per-doc −mean ln p(w2|w1) with Laplace(+1) smoothing over
+    // the unigram vocabulary (p = (c12+1)/(c1+V)), the direction of the
+    // CCNet/KenLM n-gram quality filter. Too-low = stock phrasing chained
+    // from common transitions (boilerplate), too-high = incoherent token
+    // soup that even plausible unigrams can't save — transitions carry
+    // signal unigram frequency misses. Bigrams come from the SAME token
+    // convention as the xent family (lowercased a–z runs, length ≥ 3),
+    // generated in one scan per doc (no window/self-join); each m·ln term
+    // snaps to the 1e-6 grid and sums as BIGINT. Plan at 100 TB: one
+    // bigram-vocab-sized count table (≤ corpus tokens, map-combined), the
+    // unigram table and 1-row V total it conditions on are the dsir/xent
+    // frames, and the per-doc rollup is the same backjoin — nothing
+    // corpus² and no per-doc window.
+    Q("quality_bigram",
+      s"""WITH tok AS (
+         |  $SqlWordTok),
+         |ws AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    w -> length(w) >= 3) AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest([ws[i]||' '||ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+         |  FROM ws WHERE len(ws) >= 2),
+         |c1 AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+         |voc AS (SELECT c2.bg,
+         |    ln((CAST(c2.c2 AS DOUBLE) + 1) / (c1.c1 + vv.v)) AS lp
+         |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w CROSS JOIN vv),
+         |m AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY doc_id, bg),
+         |terms AS (SELECT m.doc_id, m.m,
+         |    CAST(round(m.m * voc.lp * -1000000) AS BIGINT) AS g
+         |  FROM m JOIN voc ON m.bg = voc.bg)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(g) AS DOUBLE) / 1000000 / SUM(m) AS xent2
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // bigram generation is [[graft.functions.TextStats.wordBigrams]] —
+      // one scan, one allocation per gram (the oracle keeps the list-
+      // comprehension formulation, so the hash gates prove the rewrite);
+      // <2-token docs yield an empty array, which explode drops exactly
+      // like the oracle's len(ws) >= 2 pre-filter
+      val bg = documents(s, d)
+        .select(col("doc_id"), explode(
+          graft.functions.TextStats.wordBigramsCol(col("text"), 3)).as("bg"))
+      val c1 = tok(s, d).groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vv = c1.agg(count(lit(1)).cast(LongType).as("v"))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val voc = c2
+        .join(c1, substring_index(col("bg"), " ", 1) === col("w"))
+        .crossJoin(broadcast(vv))
+        .select(col("bg"),
+          log((col("c2").cast(DoubleType) + 1) / (col("c1") + col("v"))).as("lp"))
+      val m = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      m.join(voc, "bg")
+        .select(col("doc_id"), col("m"),
+          round(col("m") * col("lp") * -1000000L, 0).cast(LongType).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).cast(LongType).as("n_bigrams"),
+          (sum(col("g")).cast(DoubleType) / 1000000L / sum(col("m")))
+            .as("xent2"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169): rank
     // raw-corpus documents by how much more likely their tokens are under
     // a TARGET distribution than under the raw distribution — the

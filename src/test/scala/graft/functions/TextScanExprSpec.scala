@@ -185,6 +185,33 @@ class TextScanExprSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TextStats.wordBigrams equals adjacent joins over the token reference") {
+    for (s <- corpus; minLen <- 1 to 3) {
+      val toks = refWordTokens(s, minLen)
+      val want = toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+      val got = TextStats.wordBigrams(s, minLen).map(_.toString).toSeq
+      assert(got == want,
+        s"wordBigrams($minLen) mismatch on '${s.take(60)}': got $got, want $want")
+    }
+  }
+
+  test("WordBigrams codegen path explodes like the transform chain") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val a = df.select($"id",
+        explode(TextStats.wordBigramsCol($"text", 3)).as("bg"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val ws = filter(split(lower($"text"), "[^a-z]+"), w => length(w) >= 3)
+    val b = df.select($"id", ws.as("__ws"))
+      .filter(size($"__ws") >= 2)
+      .select($"id", explode(transform(sequence(lit(0), size($"__ws") - 2),
+        i => concat(element_at($"__ws", i + 1), lit(" "),
+          element_at($"__ws", i + 2)))).as("bg"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "WordBigrams explode A/B mismatch")
+  }
+
   test("TextStats.lettersPrefix equals the regexp_replace+substring reference") {
     for (s <- corpus; n <- Seq(1, 16, 200)) {
       val want = s.toLowerCase(Locale.ROOT).replaceAll("[^a-z]", "").take(n)
