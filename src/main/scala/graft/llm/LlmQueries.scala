@@ -721,8 +721,14 @@ object LlmQueries {
     * exchanges once AQE broadcasts two of them). Lazy — nothing runs at
     * plan time; ~8 B + 256 B per doc cached.
     */
+  /** Signature width shared by [[minhashSigOf]], the band join's slot
+    * arithmetic ([[minhashPairsFrom]]) and the calibration configs —
+    * one constant, so the sig build and its consumers can't desync.
+    */
+  private[llm] val MinhashPerms = 32
+
   private[llm] def minhashSigOf(docsDf: DataFrame): DataFrame = {
-    val numHashes = 32
+    val numHashes = MinhashPerms
     val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
     val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
     tok.groupBy($"doc_id")
@@ -732,7 +738,7 @@ object LlmQueries {
   }
 
   private[llm] def minhashPairsFrom(sig: DataFrame): DataFrame = {
-      val numHashes = 32
+      val numHashes = MinhashPerms
       val bands = 8
       val rows = numHashes / bands
       // NARROW band join: the bucket shuffle carries only (doc_id, band,

@@ -78,11 +78,11 @@ object TextRankQueries {
     * from the score the ranking query reports.
     */
   private val SqlDsirDoc =
-    s"""tok AS (
+    s"""tok AS MATERIALIZED (
        |  $SqlWordTok),
        |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
-       |cr AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
-       |ct AS (SELECT t.w, count(*) AS ct FROM tok t
+       |cr AS MATERIALIZED (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+       |ct AS MATERIALIZED (SELECT t.w, count(*) AS ct FROM tok t
        |  JOIN tgt ON t.doc_id = tgt.doc_id GROUP BY t.w),
        |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
        |  CAST(count(*) AS BIGINT) AS v FROM cr),
@@ -157,12 +157,21 @@ object TextRankQueries {
       num: Long = 1L, den: Long = 10L): DataFrame = {
     val dec = DecimalType(38, 0)
     val P = 1000000007L
+    // persisted: referenced by BOTH the (Z, n) aggregate and the accept
+    // scan — unpersisted, the full scoring lineage would execute twice
+    // (the registered queries pass the dsirDoc memo and don't care, but
+    // CurationPipeline.selectDsir scores the live pipeline frame). The
+    // frame is 16 B/doc; session-scoped like the other shared
+    // intermediates.
     val w = scored.select(col("doc_id"),
       round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
-    val z = w.agg(sum(col("wgrid")).cast(LongType).as("z"),
+      .persist()
+    // Z in DECIMAL(38,0), doc_id reduced mod P before the multiply — see
+    // the dsir_resample comment for both overflow cliffs
+    val z = w.agg(sum(col("wgrid").cast(dec)).as("z"),
       count(lit(1)).cast(LongType).as("n"))
     w.crossJoin(broadcast(z))
-      .filter(((col("doc_id") * 2654435761L) % P).cast(dec) * col("z") * den <
+      .filter(((col("doc_id") % P) * 2654435761L % P).cast(dec) * col("z") * den <
         col("wgrid").cast(dec) * col("n") * num * P)
       .select(col("doc_id"), col("wgrid"))
   }
@@ -834,11 +843,12 @@ object TextRankQueries {
          |  FROM ws WHERE len(ws) >= 2),
          |c1 AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
          |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
-         |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+         |m AS MATERIALIZED (SELECT doc_id, bg, count(*) AS m
+         |  FROM bg GROUP BY doc_id, bg),
+         |c2 AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c2 FROM m GROUP BY bg),
          |voc AS (SELECT c2.bg,
          |    ln((CAST(c2.c2 AS DOUBLE) + 1) / (c1.c1 + vv.v)) AS lp
          |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w CROSS JOIN vv),
-         |m AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY doc_id, bg),
          |terms AS (SELECT m.doc_id, m.m,
          |    CAST(round(m.m * voc.lp * -1000000) AS BIGINT) AS g
          |  FROM m JOIN voc ON m.bg = voc.bg)
@@ -855,13 +865,18 @@ object TextRankQueries {
           graft.functions.TextStats.wordBigramsCol(col("text"), 3)).as("bg"))
       val c1 = tok(s, d).groupBy(col("w")).agg(count(lit(1)).as("c1"))
       val vv = c1.agg(count(lit(1)).cast(LongType).as("v"))
-      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      // the per-doc histogram feeds BOTH the corpus bigram counts (c2 =
+      // Σm, a vocab-sized map-combined exchange over m instead of a
+      // second full bigram explode of the corpus) and the per-doc terms
+      // join — persisted so the one explode runs once
+      val m = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+        .persist()
+      val c2 = m.groupBy(col("bg")).agg(sum(col("m")).cast(LongType).as("c2"))
       val voc = c2
         .join(c1, substring_index(col("bg"), " ", 1) === col("w"))
         .crossJoin(broadcast(vv))
         .select(col("bg"),
           log((col("c2").cast(DoubleType) + 1) / (col("c1") + col("v"))).as("lp"))
-      val m = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
       m.join(voc, "bg")
         .select(col("doc_id"), col("m"),
           round(col("m") * col("lp") * -1000000L, 0).cast(LongType).as("g"))
@@ -902,25 +917,27 @@ object TextRankQueries {
     // task, while the Bernoulli rule is one map-side comparison per doc
     // against a broadcast 1-row (Z, n) frame — embarrassingly parallel,
     // shuffle-free past the per-doc score itself. Determinism: u_i is a
-    // seeded multiplicative hash of doc_id reduced mod the prime P (exact
-    // BIGINT in both engines at every registered id scale; a >2^53-doc id
-    // space would move this to the 128-bit lane like dedup_cluster_dist's
-    // fingerprint), the weight snaps to the 1e-6 grid, and the accept
-    // comparison runs in exact 128-bit arithmetic (DECIMAL(38,0) here,
-    // HUGEINT in the oracle) so no engine pair can disagree on a
-    // boundary. Output is the per-source composition shift — the point of
-    // DSIR is that the kept set's mixture tilts toward the target
-    // (src0's keep_rate is pinned strictly highest in DsirResampleSpec).
+    // seeded multiplicative hash of doc_id, with doc_id reduced mod the
+    // prime P BEFORE the multiply so the product stays ≤ (P−1)·2654435761
+    // ≈ 2.7e18 < 2^63 at ANY id scale (unreduced, ids past ~3.5e9 would
+    // wrap in Spark and error in DuckDB); the weight snaps to the 1e-6
+    // grid, Z stays in the 128-bit lane (HUGEINT sum / DECIMAL(38,0) —
+    // a 64-bit Z caps the corpus at ~9e12 docs of mean weight), and the
+    // accept comparison runs in exact 128-bit arithmetic so no engine
+    // pair can disagree on a boundary. Output is the per-source
+    // composition shift — the point of DSIR is that the kept set's
+    // mixture tilts toward the target (src0's keep_rate is pinned
+    // strictly highest in DsirResampleSpec).
     Q("dsir_resample",
       s"""WITH $SqlDsirDoc,
-         |w AS (SELECT doc_id,
+         |w AS MATERIALIZED (SELECT doc_id,
          |    CAST(round(exp(logratio) * 1000000) AS BIGINT) AS wgrid
          |  FROM dsir),
-         |z AS (SELECT CAST(sum(wgrid) AS BIGINT) AS z,
+         |z AS (SELECT sum(CAST(wgrid AS HUGEINT)) AS z,
          |    CAST(count(*) AS BIGINT) AS n FROM w),
          |acc AS (SELECT w.doc_id, w.wgrid FROM w, z
-         |  WHERE CAST((w.doc_id * 2654435761) % 1000000007 AS HUGEINT)
-         |        * z.z * 10
+         |  WHERE CAST((w.doc_id % 1000000007) * 2654435761 % 1000000007
+         |          AS HUGEINT) * z.z * 10
          |      < CAST(w.wgrid AS HUGEINT) * z.n * 1000000007),
          |tot AS (SELECT source, count(*) AS n_docs
          |  FROM documents GROUP BY source)
