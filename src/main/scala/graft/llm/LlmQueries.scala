@@ -1104,30 +1104,57 @@ object LlmQueries {
     */
   private[llm] def semanticDedupFrame(eq: DataFrame, tau: Double,
       memoKey: Option[(SparkSession, String)],
-      targetCellPop: Long = SemTargetCellPop): DataFrame = {
+      targetCellPop: Long = SemTargetCellPop,
+      assignCutover: Int = VectorIndex.CellAssignJoinCutover,
+      assignProbe: Int = VectorIndex.DefaultAssignProbe): DataFrame = {
     val nCent = deriveCellCount(embCount(eq, memoKey), targetCellPop)
-    val initRows = coldStartRows(eq, nCent)
-    if (initRows.isEmpty)
-      eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
-        lit(null).cast(LongType).as("dup_of")).filter(lit(false))
-    else {
-      val dim = initRows.head._2.length
-      val refined = memoKey match {
-        case Some((s, d)) => kmeansRefined(s, d, eq, initRows, dim)
-        case scala.None => kmeansRefinedOf(eq, initRows, dim)
-      }
-      val cells = eq.withColumn("cell", ivfCellCol(refined))
+    if (nCent > assignCutover) {
+      // K past the broadcast-literal cutover: centroids stay in a FRAME,
+      // assignment is the pruned join, Lloyd is fully distributed —
+      // nothing K-sized in the plan or on the driver (VERDICT r9 #1; the
+      // dedup_cluster cutover pattern applied to the coarse quantizer).
+      // The gated corpora never reach this branch (K = 100 at sf10); it
+      // is the 1e9+-embedding story, exercised by CellAssignCutoverSpec.
+      val init = VectorIndex.coldStartFrame(eq, nCent)
+      val refined = VectorIndex.trainCentroidsFrame(eq, init, nCent,
+        rounds = 1, probe = assignProbe)
+      val cells = VectorIndex
+        .assignCellsJoin(eq.select($"vec_id", $"v", $"n2"), refined, nCent,
+          assignProbe)
         .select($"vec_id", $"cell", $"v", $"n2")
-      val dups = cells.as("a")
-        .join(cells.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .filter(ivfCosCol(col("a.v"), col("a.n2"), col("b.v"), col("b.n2")) >= tau)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"))
-        .groupBy($"vec_id").agg(min($"a_id").as("dup_of"))
-      cells.select($"vec_id", $"cell")
-        .join(dups, Seq("vec_id"), "left")
-        .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+      withinCellDups(cells, tau)
+    } else {
+      val initRows = coldStartRows(eq, nCent)
+      if (initRows.isEmpty)
+        eq.select($"vec_id", lit(0L).as("cell"), lit(false).as("is_dup"),
+          lit(null).cast(LongType).as("dup_of")).filter(lit(false))
+      else {
+        val dim = initRows.head._2.length
+        val refined = memoKey match {
+          case Some((s, d)) => kmeansRefined(s, d, eq, initRows, dim)
+          case scala.None => kmeansRefinedOf(eq, initRows, dim)
+        }
+        val cells = eq.withColumn("cell", ivfCellCol(refined))
+          .select($"vec_id", $"cell", $"v", $"n2")
+        withinCellDups(cells, tau)
+      }
     }
+  }
+
+  /** SemDeDup's within-cell stage, shared by both assignment paths: all
+    * pairs per cell (bounded by the derived target population), greedy
+    * collapse onto the smallest same-cell vec_id above `tau`.
+    */
+  private def withinCellDups(cells: DataFrame, tau: Double): DataFrame = {
+    val dups = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(ivfCosCol(col("a.v"), col("a.n2"), col("b.v"), col("b.n2")) >= tau)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"))
+      .groupBy($"vec_id").agg(min($"a_id").as("dup_of"))
+    cells.select($"vec_id", $"cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
   }
 
   /** One shared SQL text for the exact-arithmetic one-Lloyd-round k-means

@@ -278,4 +278,176 @@ object VectorIndex {
     spark.read.parquet(dir)
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast(LongType))
+
+  // --------------------------------------------------------------------
+  // Frame-held centroids: the K-cutover for cell ASSIGNMENT and Lloyd
+  // training. The literal-array path above ([[assignCells]]) embeds all
+  // K centroids in the plan and [[trainCentroids]] collects a K×dim
+  // aggregate to the driver — both grow linearly with K, and K itself is
+  // derived to grow linearly with the corpus (SemDeDup's fixed target
+  // cell population). At 1e10 embeddings K ≈ 5M: a multi-GB expression
+  // tree (codegen collapses far earlier), O(K·dim) work per row, and a
+  // ~320M-row driver collect. Past [[CellAssignJoinCutover]] the
+  // centroids therefore stay in a DataFrame and assignment runs as a
+  // PRUNED JOIN through a two-level coarse quantizer — the same cutover
+  // discipline as dedup_cluster's 100M-edge star-contraction switch.
+  // --------------------------------------------------------------------
+
+  /** Past this many centroids, [[assignCellsAuto]] dispatches from the
+    * broadcast-literal argmax to the pruned-join path. Below it the
+    * literal array is ≤ ~34 MB of plan (64-dim fixed-point longs) and the
+    * Lloyd collect ≤ ~4M rows — the bounded "load the index" regime; past
+    * it neither the plan nor the driver may hold the centroid set.
+    */
+  val CellAssignJoinCutover: Int = 65536
+
+  /** Default number of coarse groups probed per row on the join path.
+    * Probing is the standard IVF trade (FAISS's coarse-quantizer-over-
+    * centroids shape): a row's true argmax centroid lives in its nearest
+    * coarse group with high probability, and probing the top-P groups
+    * bounds per-row work at O(P·K/K1) ≈ O(P·√K) instead of O(K). With
+    * `probe >= the coarse-group count` the path is EXACT (every centroid
+    * scanned) — CellAssignCutoverSpec pins that route row-identical to
+    * the literal path.
+    */
+  val DefaultAssignProbe: Int = 8
+
+  /** Ceiling on the coarse-group count K1 = ceil(sqrt(K)): K1×dim longs
+    * are collected once and broadcast (≤ 4096 × 64 × 8 B ≈ 2 MB) — the
+    * only driver state the join path ever holds.
+    */
+  val MaxCoarseGroups: Int = 4096
+
+  /** Driver-side centroid rows → the (cid, cv, cn2) frame contract of the
+    * join path (migration shim between the two representations).
+    */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      .withColumn("cn2", qnorm2(col("cv")))
+  }
+
+  /** Cold-start centroid FRAME: the K smallest vec_ids present — the same
+    * seeding contract as [[LlmQueries.coldStartRows]] / the oracle's
+    * `row_number() OVER (ORDER BY vec_id) <= K`, kept distributed. The
+    * sort-limit is a per-partition top-K merge (32·K rows through one
+    * task) — acceptable as a one-time index-build step; a production
+    * deployment seeds by reservoir sample instead, which this API accepts
+    * as any (cid, cv, cn2) frame.
+    */
+  def coldStartFrame(index: DataFrame, k: Int): DataFrame =
+    index.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("cn2", qnorm2(col("cv")))
+
+  /** The bounded coarse-quantizer collect: the K1 smallest-cid centroids
+    * of `centDf`, K1 = min([[MaxCoarseGroups]], ceil(sqrt(K))).
+    */
+  private def coarseRows(centDf: DataFrame, k: Long): Array[(Long, Array[Long], Long)] = {
+    val k1 = math.min(MaxCoarseGroups.toLong, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    centDf.orderBy(col("cid")).limit(math.max(1, k1))
+      .select(col("cid"), col("cv"), col("cn2")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  /** Top-`probe` coarse-group ids for a (v, n2) row, by descending cosine
+    * with ties to the smaller gid — the same (cos, −cid) order the
+    * assignment argmax uses, so probe-rank-1 IS the row's nearest coarse
+    * group. Runs as a closure over the broadcast coarse array (no plan
+    * literals — the whole point of the path).
+    */
+  private def probeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]],
+      probe: Int) =
+    udf((v: Seq[Long], n2: Long) => {
+      val va = v.toArray
+      val scored = bc.value.map { case (gid, gv, gn2) =>
+        var dot = 0L; var i = 0
+        while (i < va.length) { dot += va(i) * gv(i); i += 1 }
+        val cos = dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(gn2.toDouble))
+        (-cos, gid)
+      }
+      scored.sorted.take(math.min(probe, scored.length)).map(_._2).toSeq
+    })
+
+  /** Append `cell: BIGINT` via the pruned join: rows probe their top-P
+    * coarse groups, join the per-group centroid-member arrays on the
+    * group id, and take the (cos, −cid) struct max — the SAME Double op
+    * order and tie-break as [[assignCells]], so whenever the probed
+    * groups contain the row's true argmax centroid (always, when
+    * `probe >= coarse-group count`) the result is row-identical to the
+    * literal path. Shuffle volume: n·P probe rows (~0.5 KB each) + one
+    * vec_id re-group — linear in the corpus, independent of K on the
+    * driver and in the plan.
+    *
+    * `centDf` contract: (cid BIGINT, cv ARRAY<BIGINT>, cn2 BIGINT).
+    * `df` must carry `vec_id` and `v` (and optionally `n2`).
+    */
+  def assignCellsJoin(df: DataFrame, centDf: DataFrame, k: Long,
+      probe: Int = DefaultAssignProbe): DataFrame = {
+    val spark = df.sparkSession
+    val coarse = coarseRows(centDf, k)
+    val bc = spark.sparkContext.broadcast(coarse)
+    val pu = probeUdf(bc, probe)
+    // exact coarse-group membership for every centroid: rank-1 probe
+    // (argmax over ALL K1 groups — no pruning at this level)
+    val gcu = probeUdf(bc, 1)
+    val members = centDf
+      .withColumn("g", gcu(col("cv"), col("cn2")).getItem(0))
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn2"))).as("members"))
+    val hasN2 = df.columns.contains("n2")
+    val base = if (hasN2) df else df.withColumn("n2", qnorm2(col("v")))
+    val best = base.select(col("vec_id"), col("v"), col("n2"))
+      .withColumn("g", explode(pu(col("v"), col("n2"))))
+      .join(members, Seq("g"))
+      .select(col("vec_id"),
+        array_max(transform(col("members"), c => struct(
+          (qdot(col("v"), c.getField("cv")).cast(DoubleType) /
+            (sqrt(col("n2").cast(DoubleType)) *
+              sqrt(c.getField("cn2").cast(DoubleType)))).as("cos"),
+          (-c.getField("cid")).as("ncid")))).as("b"))
+      .groupBy(col("vec_id")).agg(max(col("b")).as("b"))
+      .select(col("vec_id"), (-col("b").getField("ncid")).as("cell"))
+    df.join(best, Seq("vec_id"))
+  }
+
+  /** Distributed Lloyd rounds over frame-held centroids: pruned-join
+    * assignment → (cell, pos) floor-mean aggregate → centroid frame
+    * rebuilt by sorting the per-cell (pos, mean) structs back into an
+    * array. NOTHING K-sized touches the driver (the (cell, pos) frame is
+    * written back as the next round's `centDf`); the floor-mean double
+    * division matches [[trainCentroids]] bit-for-bit. A cell that loses
+    * every member keeps its previous centroid (left-join coalesce — the
+    * same deterministic empty-cell rule as the driver path).
+    */
+  def trainCentroidsFrame(index: DataFrame, initCents: DataFrame, k: Long,
+      rounds: Int = 1, probe: Int = DefaultAssignProbe): DataFrame = {
+    var cents = initCents.persist()
+    for (_ <- 0 until rounds) {
+      val asn = assignCellsJoin(index.select(col("vec_id"), col("v"), col("n2")),
+        cents, k, probe)
+      val upd = asn.select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("col")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvn"))
+        .select(col("cell").as("cid"), col("cvn"))
+        .withColumn("cn2n", qnorm2(col("cvn")))
+      val prev = cents
+      cents = prev
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("cvn"), col("cv")).as("cv"),
+          coalesce(col("cn2n"), col("cn2")).as("cn2"))
+        .persist()
+      cents.count() // materialize before releasing the previous round
+      prev.unpersist()
+    }
+    cents
+  }
 }
