@@ -714,6 +714,51 @@ object LlmQueries {
   private[llm] def minhashPairsOf(docsDf: DataFrame): DataFrame =
     minhashPairsFrom(minhashSigOf(docsDf))
 
+  /** Per-doc perceptual image hash frame (doc_id, h BIGINT) behind
+    * `dedup_image`, memoized per (session, dir): each document is
+    * rendered as a deterministic 16×16 grayscale BMP (word-hash bucket
+    * histogram → pixel intensities — the synthetic stand-in for a crawl's
+    * image payloads; the container ships no image corpus), then goes
+    * through the REAL pixel pipeline: BMP encode → ImageIO decode →
+    * 8×8 aHash ([[Multimodal.imageAHash]]). The oracle replays the hash
+    * arithmetic from the histogram directly, so a decode that returned
+    * anything but the planted pixel matrix hash-diverges — the round-trip
+    * IS the correctness proof of the decoder.
+    *
+    * Scale shape: one (doc_id, bucket)-granular map-combined aggregate
+    * (≤ 256 rows/doc), then a map-side O(256) encode+decode+hash per doc
+    * — no shuffle touches pixels; the frame is 16 B/doc. Persisted: the
+    * band join references it on both sides plus the final pair rejoin.
+    */
+  private val imageHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def imageHashFrame(s: SparkSession, d: String): DataFrame =
+    imageHashMemo.computeIfAbsent((s, d), _ => {
+      // shingle buckets, not unigram buckets: the driver corpus has ~31
+      // distinct words, so a unigram histogram saturates into one shared
+      // image (measured: 82% of ALL pairs within Hamming 3). 3-gram
+      // shingles are the same sparsity fix dedup_minhash rides.
+      val hist = shingleTok(documents(s, d))
+        .select($"doc_id", (H.wordHash($"w") % 256).cast(IntegerType).as("p"))
+        .groupBy($"doc_id", $"p").agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"p",
+          least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
+      val sparse = hist.groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
+        .select($"doc_id",
+          transform($"pv", e => e.getField("p")).as("ps"),
+          transform($"pv", e => e.getField("v")).as("vs"))
+      val hashUdf = udf((ps: Seq[Int], vs: Seq[Int]) => {
+        val gray = new Array[Int](256)
+        var i = 0
+        while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
+        val bmp = Multimodal.encodeBmpGray(16, 16, gray)
+        Multimodal.imageAHash(bmp).getOrElse(
+          sys.error("BMP pixel round-trip failed"))
+      })
+      sparse.select($"doc_id", hashUdf($"ps", $"vs").as("h")).persist()
+    })
+
   /** 32-perm MinHash signature frame (doc_id, sig ARRAY<BIGINT>) over an
     * arbitrary document frame. Persisted: it is referenced three times by
     * the pair build alone (banding + both sides of the pair rejoin), plus
@@ -2576,6 +2621,69 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // Image near-dup — the multimodal twin of dedup_minhash, over REAL
+    // pixel decode: every doc renders as a deterministic 16×16 grayscale
+    // BMP, the Spark side runs encode → ImageIO pixel decode → 8×8 aHash
+    // ([[imageHashFrame]]), hashes band into 4×16-bit slices and the
+    // band join + Hamming ≤ 3 filter yields candidate pairs — pigeonhole-
+    // exact recall (≤3 differing bits can touch at most 3 of 4 bands).
+    // The oracle never decodes: it replays the hash arithmetic from the
+    // histogram the pixels were planted from, so any decoder deviation
+    // hash-diverges. Bit 63 is built via the min-long literal (DuckDB
+    // raises on 1<<63) and band slices mask after an arithmetic shift —
+    // sign-identical in both engines. Map-side hashing, band-keyed
+    // shuffle bounded by 4 rows/doc: the minhash band-join scale shape.
+    Q("dedup_image", {
+      val bit = "CASE WHEN s.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << s.i) END"
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
+         |  FROM (${sqlShingleTok("documents")})),
+         |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
+         |  FROM w GROUP BY doc_id, p),
+         |cell AS (SELECT i, 32 * (i // 8) + 2 * (i % 8) AS p
+         |  FROM (SELECT unnest(range(64)) AS i)),
+         |samp AS (SELECT d.doc_id, c.i, COALESCE(h.v, 0) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM hist) d
+         |  CROSS JOIN cell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.p = c.p),
+         |mean AS (SELECT doc_id, sum(v) // 64 AS m FROM samp GROUP BY doc_id),
+         |hash AS (SELECT s.doc_id,
+         |    COALESCE(bit_or(CASE WHEN s.v > mn.m THEN $bit END),
+         |      CAST(0 AS BIGINT)) AS h
+         |  FROM samp s JOIN mean mn ON s.doc_id = mn.doc_id
+         |  GROUP BY s.doc_id),
+         |bands AS (SELECT doc_id, h, b, (h >> (16 * b)) & 65535 AS bv
+         |  FROM hash, (SELECT unnest(range(4)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS dist
+         |FROM cand c JOIN hash ha ON c.a_id = ha.doc_id
+         |  JOIN hash hb ON c.b_id = hb.doc_id
+         |WHERE bit_count(xor(ha.h, hb.h)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val hashed = imageHashFrame(s, d)
+      val bands = hashed.select($"doc_id", $"h",
+        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright($"h", b * 16).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("e"))
+        .select($"doc_id", $"e.b".as("b"), $"e.bv".as("bv"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(hashed.select($"doc_id".as("a_id"), $"h".as("ha")), Seq("a_id"))
+        .join(hashed.select($"doc_id".as("b_id"), $"h".as("hb")), Seq("b_id"))
+        .withColumn("dist", bit_count($"ha".bitwiseXOR($"hb")).cast(IntegerType))
+        .filter($"dist" <= 3)
+        .select($"a_id", $"b_id", $"dist")
+        .orderBy($"a_id", $"b_id")
+    },
+
     // Corpus mixture rebalancing — the data-mixing primitive: downsample
     // every language stratum to the smallest stratum's token budget with a
     // DETERMINISTIC per-doc hash gate (affine mod 10^6 vs floor(rate·10^6)
@@ -2926,7 +3034,8 @@ object LlmQueries {
       if (init.nonEmpty) { kmeansRefined(s, d, eq, init, init.head._2.length); () }
     }),
     "ivf_cell_layout" -> ((s, d) => { ivfCellLayout(s, d); () }),
-    "bpe_table" -> ((s, d) => { bpeTrained(s, d)._2.count(); () }))
+    "bpe_table" -> ((s, d) => { bpeTrained(s, d)._2.count(); () }),
+    "image_hash" -> ((s, d) => { imageHashFrame(s, d).count(); () }))
 
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -251,6 +251,127 @@ object Multimodal {
     else decodeStub(key, contentType, data)
   }
 
+  // ────────────────────── real pixel decode + perceptual hash ──────────
+  // The multimodal twin of dedup_minhash: decode pixels (JDK ImageIO —
+  // deterministic for uncompressed BMP and lossless PNG), reduce to an
+  // 8×8 perceptual hash, and band-join the 64-bit hashes for near-dup
+  // candidates. Everything below is exact integer arithmetic so a planted
+  // pixel matrix round-trips bit-identically and a SQL oracle can replay
+  // the hash from the pixel values directly.
+
+  /** Encode a row-major TOP-DOWN grayscale matrix (`gray(y*w+x)` ∈
+    * 0..255) as an uncompressed 24-bit BMP (B=G=R=v). BMPs store rows
+    * bottom-up with 4-byte row padding; [[decodeGrayPixels]] of the
+    * result returns `gray` exactly — the determinism anchor the
+    * dedup_image oracle leans on (pixels ARE the planted bytes, so
+    * DuckDB can hash the derivation while Spark hashes the decode).
+    */
+  def encodeBmpGray(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h, "dims must match payload")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def p32(i: Int, v: Int): Unit = { p16(i, v & 0xFFFF); p16(i + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54 + dataSize); p32(10, 54) // file size, pixel offset
+    p32(14, 40); p32(18, w); p32(22, h) // InfoHeader, positive h = bottom-up
+    p16(26, 1); p16(28, 24) // planes, bpp
+    p32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v = (gray(y * w + x) & 0xFF).toByte
+        val o = rowOff + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** FULL pixel decode via ImageIO (BMP/PNG/GIF/JPEG — deterministic for
+    * the uncompressed/lossless formats): top-down row-major grayscale,
+    * `v = (r + g + b) / 3` integer mean (equal channels, as
+    * [[encodeBmpGray]] plants, return exactly v). None when no JDK codec
+    * claims the payload.
+    */
+  def decodeGrayPixels(data: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) =
+              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, gray))
+      }
+    } catch { case _: Exception => None }
+
+  /** 8×8 average hash of a grayscale matrix, exact integer arithmetic:
+    * nearest-neighbor sample `(x·w)/8, (y·h)/8` (the [[resizeStub]] index
+    * map), mean = floor(Σ/64), bit `y*8+x` set iff sample > mean. Bit 63
+    * can be set, so consumers compare with XOR+bit_count (sign-safe), not
+    * arithmetic.
+    */
+  def aHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val s = new Array[Int](64)
+    var i = 0
+    var sum = 0L
+    while (i < 64) {
+      val x = i % 8; val y = i / 8
+      s(i) = gray((y * h / 8) * w + (x * w / 8))
+      sum += s(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (s(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** 8×9-grid difference hash: bit `y*8+x` set iff sample(x+1,y) >
+    * sample(x,y) over a 9-column nearest-neighbor grid — gradient-based,
+    * robust to global brightness shifts where [[aHash64]] is robust to
+    * local noise. Same exact-integer contract.
+    */
+  def dHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val s = Array.tabulate(72) { i => // 9 cols × 8 rows
+      val x = i % 9; val y = i / 9
+      gray((y * h / 8) * w + (x * w / 9))
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val x = i % 8; val y = i / 8
+      if (s(y * 9 + x + 1) > s(y * 9 + x)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Decode → aHash in one pass: the per-payload kernel behind
+    * `dedup_image`. None when the payload has no JDK-decodable pixels.
+    */
+  def imageAHash(data: Array[Byte]): Option[Long] =
+    decodeGrayPixels(data).map { case (w, h, g) => aHash64(w, h, g) }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */
