@@ -114,4 +114,127 @@ object QualityDistill {
       else filter(words, w => bucketOf(w) === m.bucket)
     size(matching).cast(LongType)
   }
+
+  // ────────────────────── boosted cascade (N-round residual fit) ───────
+  // quality_distill_boost: iterate the histogram split search stage-wise
+  // (Viola–Jones-style attentional cascade — each round trains on the
+  // SURVIVORS of the previous rounds, the AND-semiring residual fit), so
+  // a conjunction like Gopher ∧ low-repetition becomes learnable where a
+  // single one-direction stump cannot express it. Every stage's search
+  // space includes a keep-all stump (dir=ge at the subset's minimum
+  // value), so composite training error is NON-INCREASING by
+  // construction — the monotonicity StumpDistillSpec pins. All
+  // arithmetic is exact integers; ties break on (e, b, t, dir).
+
+  /** Extra row-local features for the cascade, past the stump's B+1:
+    * trigram instance count and duplicated-trigram instance count (the
+    * one-scan [[graft.functions.TextStats.repetitionCol]] counters) —
+    * the cheap signals that see what unigram counts cannot.
+    */
+  val FGrams: Long = B + 1L
+  val FDup: Long = B + 2L
+
+  /** One cascade stage: keep iff `x_bucket >= t` (ge) / `x_bucket < t`
+    * (!ge). `err` is the stage's misclassification count WITHIN its
+    * training survivors.
+    */
+  final case class CascadeStage(bucket: Long, threshold: Long, ge: Boolean,
+      err: Long)
+
+  /** [[featFrame]] plus the trigram features — B+3 rows per doc. */
+  private[llm] def featFrameExt(docs: DataFrame): DataFrame = {
+    val rep = docs
+      .withColumn("__r", graft.functions.TextStats.repetitionCol(col("text")))
+      .select(col("doc_id"), col("__r.n_grams").as("ng"), col("__r.n_dup").as("nd"))
+    featFrame(docs)
+      .unionAll(rep.select(col("doc_id"), lit(FGrams).as("b"), col("ng").as("x")))
+      .unionAll(rep.select(col("doc_id"), lit(FDup).as("b"), col("nd").as("x")))
+  }
+
+  /** Gopher ∧ low-repetition joint label: the stump's [[gopherLabel]]
+    * AND'd with `50·n_dup <= n_grams` (trigram dup ratio ≤ 0.02; docs
+    * with no trigrams pass — exact integers, no division).
+    */
+  private[llm] def jointLabel(docs: DataFrame): DataFrame = {
+    val rep = docs
+      .withColumn("__r", graft.functions.TextStats.repetitionCol(col("text")))
+      .select(col("doc_id"),
+        (col("__r.n_grams") === 0L ||
+          col("__r.n_dup") * 50L <= col("__r.n_grams")).as("rep_ok"))
+    gopherLabel(docs).join(rep, "doc_id")
+      .select(col("doc_id"),
+        when(col("y") === 1L && col("rep_ok"), 1L).otherwise(0L).as("y"))
+  }
+
+  /** Dual-direction best-split frame (b, t, dir, e): same histogram/cum
+    * scan as [[searchFrame]], but each (b, t) emits BOTH the `x >= t`
+    * error and the `x < t` error; argmin with (e, b, t, dir-desc) ties
+    * (ge preferred). `dir` is 1 for ge, 0 for lt.
+    */
+  private[llm] def searchFrameDual(feat: DataFrame, lab: DataFrame): DataFrame = {
+    val hist = feat.join(lab, "doc_id")
+      .groupBy(col("b"), col("x"))
+      .agg(sum(col("y")).as("pos_at"), count(lit(1)).as("n_at"))
+    val w = Window.partitionBy(col("b")).orderBy(col("x").desc)
+    val cum = hist.select(col("b"), col("x").as("t"),
+      sum(col("pos_at")).over(w).as("pos_ge"), sum(col("n_at")).over(w).as("n_ge"))
+    val tot = lab.agg(sum(col("y")).as("p"), count(lit(1)).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("b"), col("t"), explode(array(
+        struct(((col("n_ge") - col("pos_ge")) +
+          (col("p") - col("pos_ge"))).as("e"), lit(1).as("dir")),
+        struct((col("pos_ge") + (col("n") - col("n_ge")) -
+          (col("p") - col("pos_ge"))).as("e"), lit(0).as("dir")))).as("c"))
+      .select(col("b"), col("t"), col("c.dir").as("dir"), col("c.e").as("e"))
+      .orderBy(col("e"), col("b"), col("t"), col("dir").desc)
+      .limit(1)
+  }
+
+  /** Train the cascade: each round runs the dual split search on the
+    * docs every earlier stage kept, then narrows the survivor set. Each
+    * round's collect is the one-row model — the same bounded "load the
+    * index" contract as [[train]].
+    */
+  def trainCascade(docs: DataFrame, rounds: Int = 3): Seq[CascadeStage] = {
+    val feat = featFrameExt(docs).persist()
+    try {
+      var surviving = jointLabel(docs)
+      (1 to rounds).map { _ =>
+        val sub = feat.join(surviving.select(col("doc_id")), "doc_id")
+        val r = searchFrameDual(sub, surviving).collect()
+        require(r.nonEmpty, "empty corpus: no split candidates")
+        val st = CascadeStage(r.head.getLong(0), r.head.getLong(1),
+          r.head.getInt(2) == 1, r.head.getLong(3))
+        val keep = feat.filter(col("b") === st.bucket &&
+            (if (st.ge) col("x") >= st.threshold else col("x") < st.threshold))
+          .select(col("doc_id"))
+        surviving = surviving.join(keep, "doc_id")
+        st
+      }
+    } finally feat.unpersist()
+  }
+
+  /** One stage's served feature as a row-local Column. */
+  private[llm] def servedFeatureAt(bucket: Long): Column =
+    if (bucket == FGrams)
+      graft.functions.TextStats.repetitionCol(col("text")).getField("n_grams")
+    else if (bucket == FDup)
+      graft.functions.TextStats.repetitionCol(col("text")).getField("n_dup")
+    else servedFeature(StumpModel(bucket, 0L, 0L))
+
+  /** The cascade's keep predicate — an AND of ≤ `rounds` row-local
+    * single-feature thresholds: still a pure map (no explode, no
+    * shuffle), still streaming-safe. The payoff of the cascade shape:
+    * serving a 3-stage conjunction costs the same plan as serving one
+    * stump.
+    */
+  def cascadeKeepCol(stages: Seq[CascadeStage]): Column =
+    stages.map { st =>
+      val f = servedFeatureAt(st.bucket)
+      if (st.ge) f >= st.threshold else f < st.threshold
+    }.reduce(_ && _)
+
+  /** Serving path for the cascade — row-local, like [[filterFrame]]. */
+  def filterFrameCascade(docs: DataFrame, stages: Seq[CascadeStage]): DataFrame =
+    docs.filter(cascadeKeepCol(stages))
 }

@@ -742,6 +742,105 @@ object TextRankQueries {
         .orderBy($"doc_id")
     },
 
+    // Boosted distill cascade — quality_distill_stump iterated: 3 rounds
+    // of the dual-direction histogram split search, each trained on the
+    // SURVIVORS of the previous rounds (Viola–Jones-style attentional
+    // cascade, the AND-semiring residual fit), distilling the joint
+    // Gopher ∧ low-repetition rule that no single one-direction stump can
+    // express. Search space includes keep-all (ge at the subset minimum),
+    // so training error is monotonically non-increasing; all arithmetic
+    // is exact integers and ties break (e, b, t, dir) — both engines
+    // replay the training bit-for-bit. Serving stays a pure row-local
+    // map: an AND of ≤3 single-feature thresholds.
+    Q("quality_distill_boost", {
+      val B = QualityDistill.B
+      val wh = s"(${graft.functions.CrossHash.sqlWordHash("w")}) % $B"
+      val rounds = (1 to 3).map { t =>
+        s"""hist$t AS (SELECT f.b, f.x, sum(l.y) AS pos_at, count(*) AS n_at
+           |  FROM feat f JOIN lab l USING (doc_id) JOIN s${t - 1} USING (doc_id)
+           |  GROUP BY f.b, f.x),
+           |cum$t AS (SELECT b, x AS t,
+           |  sum(pos_at) OVER (PARTITION BY b ORDER BY x DESC) AS pos_ge,
+           |  sum(n_at) OVER (PARTITION BY b ORDER BY x DESC) AS n_ge FROM hist$t),
+           |tot$t AS (SELECT sum(l.y) AS p, count(*) AS n
+           |  FROM lab l JOIN s${t - 1} USING (doc_id)),
+           |best$t AS (SELECT b, t, dir, e FROM (
+           |    SELECT c.b, c.t, 1 AS dir,
+           |      (c.n_ge - c.pos_ge) + (tt.p - c.pos_ge) AS e
+           |    FROM cum$t c CROSS JOIN tot$t tt
+           |    UNION ALL
+           |    SELECT c.b, c.t, 0 AS dir,
+           |      c.pos_ge + (tt.n - c.n_ge) - (tt.p - c.pos_ge) AS e
+           |    FROM cum$t c CROSS JOIN tot$t tt)
+           |  ORDER BY e, b, t, dir DESC LIMIT 1),
+           |k$t AS (SELECT f.doc_id FROM feat f CROSS JOIN best$t bs
+           |  WHERE f.b = bs.b AND
+           |    ((bs.dir = 1 AND f.x >= bs.t) OR (bs.dir = 0 AND f.x < bs.t))),
+           |s$t AS (SELECT doc_id FROM s${t - 1} INTERSECT
+           |  SELECT doc_id FROM k$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |  FROM documents),
+         |cnts AS (SELECT doc_id, $wh AS b, count(*) AS x
+         |  FROM tok WHERE w <> '' GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, CAST(g.range AS BIGINT) AS b
+         |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range($B) g),
+         |feat0 AS (SELECT g.doc_id, g.b, coalesce(c.x, 0) AS x
+         |  FROM grid g LEFT JOIN cnts c USING (doc_id, b)),
+         |tri AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+         |    FOR i IN range(1, len(ws)-1)]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 3),
+         |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |repz AS (SELECT d.doc_id, coalesce(r.ng, 0) AS ng, coalesce(r.nd, 0) AS nd
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN rep r USING (doc_id)),
+         |feat AS (SELECT doc_id, b, x FROM feat0
+         |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b,
+         |    CAST(sum(x) AS BIGINT) AS x FROM feat0 GROUP BY doc_id
+         |  UNION ALL SELECT doc_id, CAST(${B + 1} AS BIGINT) AS b, ng AS x FROM repz
+         |  UNION ALL SELECT doc_id, CAST(${B + 2} AS BIGINT) AS b, nd AS x FROM repz),
+         |gw AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+         |  FROM documents) WHERE w <> ''),
+         |gs AS (SELECT doc_id, count(*) AS n_words,
+         |  CAST(SUM(length(w)) AS DOUBLE) / count(*) AS mean_wlen,
+         |  CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS alpha_ratio
+         |  FROM gw GROUP BY doc_id),
+         |lab AS (SELECT g.doc_id, CASE WHEN g.n_words >= 50 AND g.n_words <= 100000
+         |  AND g.mean_wlen >= 3 AND g.mean_wlen <= 10 AND g.alpha_ratio >= 0.8
+         |  AND (z.ng = 0 OR 50 * z.nd <= z.ng) THEN 1 ELSE 0 END AS y
+         |  FROM gs g JOIN repz z USING (doc_id)),
+         |s0 AS (SELECT doc_id FROM lab),
+         |$rounds
+         |SELECT l.doc_id,
+         |  bs1.b AS s1_b, bs1.t AS s1_t, CAST(bs1.dir AS INT) AS s1_ge,
+         |  bs2.b AS s2_b, bs2.t AS s2_t, CAST(bs2.dir AS INT) AS s2_ge,
+         |  bs3.b AS s3_b, bs3.t AS s3_t, CAST(bs3.dir AS INT) AS s3_ge,
+         |  (l.doc_id IN (SELECT doc_id FROM s3)) AS kept,
+         |  (l.y = 1) AS actual,
+         |  ((l.doc_id IN (SELECT doc_id FROM s3)) = (l.y = 1)) AS agree
+         |FROM lab l CROSS JOIN best1 bs1 CROSS JOIN best2 bs2 CROSS JOIN best3 bs3
+         |ORDER BY l.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val stages = QualityDistill.trainCascade(docs, rounds = 3)
+      val lab = QualityDistill.jointLabel(docs)
+      val kept = QualityDistill.cascadeKeepCol(stages)
+      val stageCols = stages.zipWithIndex.flatMap { case (st, i) => Seq(
+        lit(st.bucket).as(s"s${i + 1}_b"), lit(st.threshold).as(s"s${i + 1}_t"),
+        lit(if (st.ge) 1 else 0).as(s"s${i + 1}_ge"))
+      }
+      docs.join(lab, "doc_id")
+        .select((col("doc_id") +: stageCols) ++ Seq(
+          kept.as("kept"), ($"y" === 1).as("actual"),
+          (kept === ($"y" === 1)).as("agree")): _*)
+        .orderBy($"doc_id")
+    },
+
     // Within-document repetition (the Gopher duplicate-n-gram signal):
     // the fraction of word-trigram INSTANCES whose trigram occurs more
     // than once in the same document — high ratios flag boilerplate and

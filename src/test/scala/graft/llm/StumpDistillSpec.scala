@@ -74,4 +74,37 @@ class StumpDistillSpec extends AnyFunSuite with SparkTestBase {
       assert(streamKept == batchKept)
     } finally q.stop()
   }
+
+  test("boosted cascade strictly beats the single stump on the joint label") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val lab = QualityDistill.jointLabel(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1) == 1L)).toMap
+    // single stump (trained on the Gopher-only label, as the registered
+    // stump query does) scored against the JOINT label
+    val m = QualityDistill.train(docs)
+    val stumpKept = QualityDistill.filterFrame(docs, m)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val stumpErr = lab.count { case (id, y) => stumpKept.contains(id) != y }
+    val stages = QualityDistill.trainCascade(docs, rounds = 3)
+    val boostKept = QualityDistill.filterFrameCascade(docs, stages)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val boostErr = lab.count { case (id, y) => boostKept.contains(id) != y }
+    info(s"joint-label err: stump=$stumpErr cascade=$boostErr " +
+      s"(stages: ${stages.map(s => (s.bucket, s.threshold, s.ge)).mkString(", ")})")
+    assert(boostErr < stumpErr,
+      s"cascade ($boostErr) does not improve on the stump ($stumpErr)")
+    // per-stage training error is monotonically non-increasing (keep-all
+    // is always in the search space)
+    val errs = stages.map(_.err)
+    assert(errs == errs.sorted.reverse, s"stage errors not monotone: $errs")
+  }
+
+  test("cascade serving path is row-local: no exchange") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stages = QualityDistill.trainCascade(docs, rounds = 3)
+    val served = QualityDistill.filterFrameCascade(docs, stages)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cascade serving shuffles:\n$plan")
+  }
 }
