@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** End-to-end STREAMING curation: the [[CurationPipeline]] stages wired
+  * into a micro-batch chain. The deployment shape is train-once /
+  * serve-forever: [[freeze]] fits every model on a BUILD corpus (the
+  * distilled quality cascade, the DSIR (w, lr) vocabulary and its (Z, n)
+  * normalization), then [[start]] runs each arriving micro-batch through
+  *
+  *   quality gate → DSIR accept → exact-hash dedup → MinHash-LSH near-dup
+  *
+  * where the two dedup stages thread ACCUMULATED state across epochs: a
+  * seen-hash table (first claimant per sha256) and a band-bucket claim
+  * table using the exact [[graft.streaming.StreamingOps.bandHashes]] slots
+  * the keyed-state `streamNearDupCandidates` operator banks — one
+  * arithmetic, two runtimes, pinned against each other in
+  * StreamingCurationSpec.
+  *
+  * The chain is built so that EPOCH SPLITS ARE INVISIBLE: every gate is a
+  * pure per-doc map against frozen state, the exact stage keeps the
+  * (ts, doc_id)-first claimant, and the near-dup claim merge is an
+  * associative min — so for an event-time-ordered replay, the union of
+  * per-epoch kept sets equals the one-shot batch run's kept set exactly
+  * (the parity StreamingCurationSpec pins). State is bounded by distinct
+  * ADMITTED content (≤ 1 row per seen hash, ≤ `bands` rows per admitted
+  * doc), never by stream length; at scale both tables live columnar and
+  * the merge is one narrow-key shuffle per epoch.
+  */
+object StreamingCuration {
+
+  /** Everything frozen at build time. `dsirVoc` is a persisted (w, lr)
+    * frame (vocabulary-sized); `dsirZ`/`dsirN` pin the BUILD corpus's
+    * acceptance normalization so streamed batches are drawn against the
+    * same boundary (a per-batch Z would make acceptance depend on batch
+    * composition).
+    */
+  final case class Model(
+      stages: Seq[QualityDistill.CascadeStage],
+      dsirVoc: DataFrame,
+      dsirZ: java.math.BigDecimal,
+      dsirN: Long,
+      dsirNum: Long,
+      dsirDen: Long,
+      numPerm: Int,
+      bands: Int)
+
+  def freeze(build: DataFrame, target: DataFrame, num: Long = 1L,
+      den: Long = 10L, numPerm: Int = 16, bands: Int = 4): Model = {
+    val stages = QualityDistill.trainCascade(build)
+    val voc = TextRankQueries.dsirVocFrame(TextRankQueries.wordTok(build),
+      TextRankQueries.wordTok(target)).persist()
+    voc.count()
+    val scored =
+      TextRankQueries.dsirScoreAgainst(TextRankQueries.wordTok(build), voc)
+    val (z, n) = TextRankQueries.dsirZN(scored)
+    Model(stages, voc, z, n, num, den, numPerm, bands)
+  }
+
+  /** Dedup state threaded across epochs — both frames persisted and
+    * lineage-cut by [[epoch]] before the previous generation is released.
+    */
+  final case class State(claims: DataFrame, seen: DataFrame)
+
+  def emptyState(spark: SparkSession): State = {
+    val claims = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("sig", LongType), StructField("ts", TimestampType),
+        StructField("doc_id", LongType))))
+    val seen = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("sha", StringType),
+        StructField("ts", TimestampType), StructField("doc_id", LongType))))
+    State(claims, seen)
+  }
+
+  /** One epoch of the chain, PURE batch: `(doc_id, ts, text)` in, kept
+    * docs + advanced state out. Also the one-shot reference — running the
+    * whole corpus as a single epoch from [[emptyState]] IS the batch
+    * pipeline the streamed run must reproduce. Requires event-time-ordered
+    * epochs (the watermark's contract): a claim arriving out of ts order
+    * would displace an existing first-claimant here but not in the
+    * arrival-ordered keyed-state operator.
+    */
+  def epoch(batch: DataFrame, st: State, m: Model): (DataFrame, State) = {
+    // 1 — distilled quality cascade: row-local, frozen
+    val gated = batch.filter(QualityDistill.cascadeKeepCol(m.stages))
+    // 2 — DSIR importance accept against the frozen (voc, Z, n)
+    val scored = TextRankQueries.dsirScoreAgainst(
+      TextRankQueries.wordTok(gated), m.dsirVoc)
+    val accepted = gated.join(
+      TextRankQueries.dsirAcceptServing(scored, m.dsirZ, m.dsirN,
+        m.dsirNum, m.dsirDen).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 3 — exact dedup: (ts, doc_id)-first per sha within the batch, then
+    // against the accumulated seen table
+    val hashed = accepted.withColumn("__sha", sha2(col("text"), 256))
+    val w = Window.partitionBy(col("__sha")).orderBy(col("ts"), col("doc_id"))
+    val exactKept = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(st.seen.select(col("sha").as("__sha")), Seq("__sha"), "left_anti")
+    val seenNew = st.seen.unionAll(
+      exactKept.select(col("__sha").as("sha"), col("ts"), col("doc_id")))
+    // 4 — near-dup: the doc's band buckets (the keyed-state operator's
+    // exact slots), min-merged into the claim table; a doc whose ANY
+    // bucket has an earlier claimant drops. Claims accumulate from every
+    // doc reaching this stage — dropped docs still claim their other
+    // buckets, mirroring flatMapGroupsWithState's state update.
+    val numPerm = m.numPerm; val bands = m.bands
+    val slots = udf((text: String) =>
+      graft.streaming.StreamingOps.bandHashes(text, numPerm, bands))
+    val hits = exactKept
+      .select(col("doc_id"), col("ts"), explode(slots(col("text"))).as("e"))
+      .select(col("e._1").as("band"), col("e._2").as("sig"),
+        col("ts"), col("doc_id"))
+    val claimsNew = st.claims.unionAll(hits)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(struct(col("ts"), col("doc_id"))).as("f"))
+      .select(col("band"), col("sig"),
+        col("f").getField("ts").as("ts"), col("f").getField("doc_id").as("doc_id"))
+    val dropped = hits
+      .join(claimsNew.select(col("band"), col("sig"),
+        col("ts").as("__cts"), col("doc_id").as("__cdoc")), Seq("band", "sig"))
+      .filter(struct(col("__cts"), col("__cdoc")) <
+        struct(col("ts"), col("doc_id")))
+      .select(col("doc_id")).distinct()
+    val kept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
+      .drop("__sha").persist()
+    // materialize the new generation BEFORE releasing the old one — the
+    // kept frame and both state frames must never re-execute prior
+    // epochs' lineage
+    val stNew = State(claimsNew.persist(), seenNew.persist())
+    kept.count(); stNew.claims.count(); stNew.seen.count()
+    st.claims.unpersist(); st.seen.unpersist()
+    (kept, stNew)
+  }
+
+  /** The streaming wrapper: run [[epoch]] per micro-batch via
+    * `foreachBatch`, threading the state, handing each epoch's kept docs
+    * to `onKept` (a writer in production; a collector in the spec).
+    */
+  def start(stream: DataFrame, m: Model,
+      onKept: DataFrame => Unit): StreamingQuery = {
+    var st = emptyState(stream.sparkSession)
+    stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (kept, st2) = epoch(df, st, m)
+        onKept(kept)
+        st = st2
+      }
+      .start()
+  }
+}

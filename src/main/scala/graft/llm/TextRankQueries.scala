@@ -124,19 +124,35 @@ object TextRankQueries {
     * vocabulary; each m·ln-ratio term snaps to the 1e-6 grid and sums as
     * BIGINT (order-independent under partial aggregation).
     */
-  private[llm] def dsirScoredFrame(rawTok: DataFrame, tgtTok: DataFrame): DataFrame = {
+  private[llm] def dsirScoredFrame(rawTok: DataFrame, tgtTok: DataFrame): DataFrame =
+    dsirScoreAgainst(rawTok, dsirVocFrame(rawTok, tgtTok))
+
+  /** The DSIR per-word log-ratio vocabulary (w, lr) — the trainable half
+    * of [[dsirScoredFrame]], split out so a deployment can FREEZE it on a
+    * build corpus and serve arbitrary (incl. streaming) batches against
+    * it ([[StreamingCuration]]).
+    */
+  private[llm] def dsirVocFrame(rawTok: DataFrame, tgtTok: DataFrame): DataFrame = {
     val cr = rawTok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
     val ct = tgtTok.groupBy(col("w")).agg(count(lit(1)).as("ct"))
     val nn = cr.agg(sum(col("cr")).cast(LongType).as("nr"),
       count(lit(1)).cast(LongType).as("v"))
     val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt"))
-    val voc = cr.join(ct, Seq("w"), "left")
+    cr.join(ct, Seq("w"), "left")
       .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
       .select(col("w"),
         (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1) /
             (col("nt") + col("v"))) -
           log((col("cr").cast(DoubleType) + 1) /
             (col("nr") + col("v")))).as("lr"))
+  }
+
+  /** Score a token frame against a (w, lr) vocabulary — the serving half
+    * of [[dsirScoredFrame]]. Words outside the vocabulary drop out of the
+    * join (they contribute to neither count), mirroring the training
+    * formulation where the vocabulary IS the raw corpus's.
+    */
+  private[llm] def dsirScoreAgainst(rawTok: DataFrame, voc: DataFrame): DataFrame = {
     val m = rawTok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
     m.join(voc, "w")
       .select(col("doc_id"), col("m"),
@@ -174,6 +190,35 @@ object TextRankQueries {
       .filter(((col("doc_id") % P) * 2654435761L % P).cast(dec) * col("z") * den <
         col("wgrid").cast(dec) * col("n") * num * P)
       .select(col("doc_id"), col("wgrid"))
+  }
+
+  /** The frozen-(Z, n) totals of a scored frame — the two scalars a
+    * deployment pins at build time so streamed batches accept against the
+    * BUILD corpus's normalization instead of re-deriving it per batch
+    * ([[StreamingCuration]]).
+    */
+  private[llm] def dsirZN(scored: DataFrame): (java.math.BigDecimal, Long) = {
+    val dec = DecimalType(38, 0)
+    val r = scored
+      .select(round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
+      .agg(sum(col("wgrid").cast(dec)).as("z"), count(lit(1)).as("n")).head
+    (r.getDecimal(0), r.getLong(1))
+  }
+
+  /** [[dsirAcceptFrame]]'s accept comparison against FROZEN (Z, n) — the
+    * identical 128-bit-exact boundary arithmetic with the broadcast 1-row
+    * frame replaced by literals, so it is a pure map over any batch or
+    * streaming scored frame. Returns the kept (doc_id, wgrid).
+    */
+  private[llm] def dsirAcceptServing(scored: DataFrame, z: java.math.BigDecimal,
+      n: Long, num: Long = 1L, den: Long = 10L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val P = 1000000007L
+    scored.select(col("doc_id"),
+        round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
+      .filter(((col("doc_id") % P) * 2654435761L % P).cast(dec) *
+          lit(z).cast(dec) * den <
+        col("wgrid").cast(dec) * lit(n) * num * P)
   }
 
   /** Broadcast cutover for the corpus-statistics serving dispatch

@@ -208,6 +208,30 @@ object StreamingOps {
     sig
   }
 
+  /** The (band, bucket-hash) slots of one document — ONE definition shared
+    * by the [[streamNearDupCandidates]] keyed-state operator and
+    * [[graft.llm.StreamingCuration]]'s micro-batch claim table, so the two
+    * surfaces cannot drift. Shingle-less docs (< 1 shingle of text) emit
+    * no slots and can never near-dup — emitting their all-sentinel
+    * signature would collapse EVERY tiny doc into one bucket (batch
+    * dedup_minhash likewise drops them: no shingles → no sig row → no
+    * pairs).
+    */
+  def bandHashes(text: String, numPerm: Int, bands: Int): Seq[(Int, Long)] =
+    if (text.length < 5) Seq.empty
+    else {
+      val rowsPerBand = numPerm / bands
+      val sig = minhashSig(text, numPerm)
+      (0 until bands).map { b =>
+        var h = 1125899906842597L
+        var r = b * rowsPerBand
+        while (r < (b + 1) * rowsPerBand) {
+          h = h * 6364136223846793005L + sig(r); r += 1
+        }
+        (b, h)
+      }
+    }
+
   /** Streaming near-dup candidate detection — the online counterpart of the
     * batch MinHash-LSH pair stage (`dedup_minhash`): each incoming
     * document's signature is split into `bands` LSH bands; the FIRST
@@ -229,25 +253,12 @@ object StreamingOps {
       retentionMs: Long = 60L * 60 * 1000): Dataset[DupCandidate] = {
     require(numPerm % bands == 0, s"numPerm=$numPerm not divisible by bands=$bands")
     import docs.sparkSession.implicits._
-    val rowsPerBand = numPerm / bands
     // band the signature BEFORE the watermark: typed flatMap re-creates the
     // ts attribute, so the watermark must be declared on the banded frame
     // that actually feeds the stateful operator
     docs.flatMap { d =>
-        // shingle-less docs (< 1 shingle of text) have no signature and can
-        // never near-dup — emitting their all-sentinel signature would
-        // collapse EVERY tiny doc into one bucket (batch dedup_minhash
-        // likewise drops them: no shingles → no sig row → no pairs)
-        if (d.text.length < 5) Seq.empty
-        else {
-          val sig = minhashSig(d.text, numPerm)
-          (0 until bands).map { b =>
-            var h = 1125899906842597L
-            var r = b * rowsPerBand
-            while (r < (b + 1) * rowsPerBand) { h = h * 6364136223846793005L + sig(r); r += 1 }
-            BandHit(b, h, d.doc_id, d.ts)
-          }
-        }
+        bandHashes(d.text, numPerm, bands)
+          .map { case (b, h) => BandHit(b, h, d.doc_id, d.ts) }
       }
       .withWatermark("ts", watermark)
       .groupByKey(h => (h.band, h.sig))

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** End-to-end streaming curation (VERDICT r9 #4): the epoch kernel must
+  * make micro-batch splits invisible — the union of per-epoch kept sets
+  * over an event-time-ordered replay equals the one-shot batch run — and
+  * its near-dup claim table must agree with the keyed-state
+  * `streamNearDupCandidates` operator, whose band arithmetic it shares.
+  */
+class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs: DataFrame =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"), col("source"))
+
+  private lazy val model: StreamingCuration.Model =
+    StreamingCuration.freeze(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("source") === "src0").select(col("doc_id"), col("text")))
+
+  private def input: DataFrame = docs.select(col("doc_id"), col("ts"), col("text"))
+
+  private lazy val oneShotKept: Set[Long] = {
+    val (kept, st) = StreamingCuration.epoch(input,
+      StreamingCuration.emptyState(spark), model)
+    val ids = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    kept.unpersist(); st.claims.unpersist(); st.seen.unpersist()
+    ids
+  }
+
+  test("epoch-split replay reproduces the one-shot kept set; state stays bounded") {
+    val n = docs.count()
+    val cuts = Seq(n / 3, 2 * n / 3, n + 1)
+    var st = StreamingCuration.emptyState(spark)
+    var streamed = Set.empty[Long]
+    var lo = -1L
+    for (hi <- cuts) {
+      val batch = input.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val (kept, st2) = StreamingCuration.epoch(batch, st, model)
+      streamed ++= kept.select(col("doc_id")).collect().map(_.getLong(0))
+      kept.unpersist()
+      st = st2
+      lo = hi
+    }
+    val claimRows = st.claims.count()
+    val seenRows = st.seen.count()
+    info(s"kept ${streamed.size} of $n; state: $claimRows claims, $seenRows seen")
+    assert(streamed == oneShotKept,
+      s"only-streamed=${(streamed -- oneShotKept).take(5)} " +
+        s"only-batch=${(oneShotKept -- streamed).take(5)}")
+    // bounded by distinct admitted content, not stream length
+    assert(seenRows <= n)
+    assert(claimRows <= 4 * seenRows)
+    st.claims.unpersist(); st.seen.unpersist()
+  }
+
+  test("foreachBatch wrapper streams the identical kept set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, String)]
+    val stream = in.toDF().toDF("doc_id", "epoch_s", "text")
+      .select(col("doc_id"), timestamp_seconds(col("epoch_s")).as("ts"), col("text"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = StreamingCuration.start(stream, model, kept => {
+      kept.select(col("doc_id")).collect().foreach(r => got.add(r.getLong(0)))
+      kept.unpersist()
+    })
+    try {
+      val rows = input.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L, r.getString(2)))
+      val n = rows.length
+      for (part <- Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+          rows.slice(2 * n / 3, n))) {
+        in.addData(part.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = got.toArray.map(_.asInstanceOf[java.lang.Long].longValue).toSet
+      assert(streamed == oneShotKept,
+        s"only-streamed=${(streamed -- oneShotKept).take(5)} " +
+          s"only-batch=${(oneShotKept -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
+  test("micro-batch claim table agrees with the keyed-state operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // batch replica of the claim/drop rule over raw docs (no gates):
+    // claimant per bucket = (ts, doc_id) min; a doc with any earlier-
+    // claimed bucket drops
+    val rows = input.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val hits = rows.flatMap { case (id, ts, text) =>
+      StreamingOps.bandHashes(text, 16, 4).map { case (b, h) => (b, h, ts, id) }
+    }
+    val claimant = hits.groupBy(h => (h._1, h._2)).view
+      .mapValues(_.minBy(h => (h._3.getTime, h._4))._4).toMap
+    val replicaDropped = hits
+      .filter(h => claimant((h._1, h._2)) != h._4).map(_._4).toSet
+    val in = MemoryStream[StreamingOps.Doc]
+    val cands = StreamingOps.streamNearDupCandidates(in.toDS())
+    val q = cands.writeStream.format("memory").queryName("curation_cands")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map { case (id, ts, text) =>
+        StreamingOps.Doc(id, ts, text) }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamedDropped = spark.table("curation_cands")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      info(s"${streamedDropped.size} near-dup docs flagged by both runtimes")
+      assert(streamedDropped == replicaDropped,
+        s"only-stream=${(streamedDropped -- replicaDropped).take(5)} " +
+          s"only-replica=${(replicaDropped -- streamedDropped).take(5)}")
+    } finally q.stop()
+  }
+}
