@@ -111,7 +111,12 @@ object Bench {
     val overJson = over.map { case (q, m, b) =>
       s"\"" + q + s"\":{\"measured_mb\":$m,\"budget_mb\":$b}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"shuffle_over_budget":$overJson,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    // session-wide persisted-frame footprint after the full run — the
+    // memo families' peak residency (FrameRegistry): scale artifacts
+    // record it alongside time and shuffle so a leaking family shows up
+    // as a number, not an OOM two decades later
+    val persistedMb = math.round(FrameRegistry.totalPersistedMb(spark) * 10) / 10.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fails,"shuffle_over_budget":$overJson,"persisted_mb":$persistedMb,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(json)
     // also persist the full line: the driver's committed BENCH_rN.json is a
     // 2000-char log tail that truncates mid-JSON on a 186-query registry

@@ -242,7 +242,7 @@ object LlmQueries {
         if (docCount(s, d) <= InterBroadcastDocsCutover)
           interCountsBroadcast(docs, parts)
         else interCountsCarryN(docs, parts)
-      frame.persist()
+      graft.FrameRegistry.tracked(s, "inter_counts", frame, d)
     })
 
   /** Drop the parent candidate frame's cache once BOTH filtered pair
@@ -256,8 +256,7 @@ object LlmQueries {
     * materializes would recompute the whole self-join.
     */
   private[llm] def releaseInterCounts(s: SparkSession, d: String): Unit = {
-    val frame = interMemo.get((s, d))
-    if (frame != null) { frame.unpersist(); () }
+    graft.FrameRegistry.releaseFamily(s, "inter_counts"); ()
   }
 
   /** Session-scoped materialized intermediate over [[jaccardPairs]].
@@ -293,7 +292,7 @@ object LlmQueries {
           interCounts(s, d).filter(jac >= t)
             .select($"a_id", $"b_id", $"inter", jac.as("jac"))
         } else jaccardPairsPrefix(documents(s, d), t)
-      frame.persist()
+      graft.FrameRegistry.tracked(s, "jaccard_pairs", frame, d)
     })
 
   /** Containment-pair twin of [[goodPairs]] — same build-once-share
@@ -315,7 +314,7 @@ object LlmQueries {
           interCounts(s, d).filter(cont >= t)
             .select($"a_id", $"b_id", $"inter", cont.as("cont"))
         } else containmentPairsPrefix(documents(s, d), t)
-      frame.persist()
+      graft.FrameRegistry.tracked(s, "contain_pairs", frame, d)
     })
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin family): order
@@ -557,7 +556,7 @@ object LlmQueries {
         val proj = qdot($"v", array(sv.map(lit(_)): _*))
         acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
       }
-      e0.withColumn("bkt", bucket).persist()
+      graft.FrameRegistry.tracked(s, "lsh_frame", e0.withColumn("bkt", bucket), d)
     })
 
   /** DuckDB fold mirroring lshFrame's bucket column. */
@@ -682,11 +681,11 @@ object LlmQueries {
       val rows = numHashes / bands
       val tok = shingleTok(documents(s, d)).withColumn("x", H.wordHash($"w"))
       val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-      val sig = tok.groupBy($"doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select($"doc_id",
-          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        .persist()
+      val sig = graft.FrameRegistry.tracked(s, "incremental_sigs",
+        tok.groupBy($"doc_id")
+          .agg(sigCols.head, sigCols.tail: _*)
+          .select($"doc_id",
+            array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")), d)
       val banded = sig.select($"doc_id",
           posexplode(array((0 until bands).map(b =>
             H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
@@ -704,7 +703,7 @@ object LlmQueries {
             lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
         .filter($"est_jac" >= 0.5)
         .select($"batch_id", $"corpus_id", $"est_jac")
-        .persist()
+        .transform(graft.FrameRegistry.tracked(s, "incremental_pairs", _, d))
     })
 
   /** The band-join pipeline over an arbitrary document frame (doc_id,
@@ -756,7 +755,8 @@ object LlmQueries {
         Multimodal.imageAHash(bmp).getOrElse(
           sys.error("BMP pixel round-trip failed"))
       })
-      sparse.select($"doc_id", hashUdf($"ps", $"vs").as("h")).persist()
+      graft.FrameRegistry.tracked(s, "image_hash",
+        sparse.select($"doc_id", hashUdf($"ps", $"vs").as("h")), d)
     })
 
   /** 32-perm MinHash signature frame (doc_id, sig ARRAY<BIGINT>) over an
@@ -776,10 +776,11 @@ object LlmQueries {
     val numHashes = MinhashPerms
     val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
     val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-    tok.groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select($"doc_id", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .persist()
+    graft.FrameRegistry.transient(docsDf.sparkSession, "minhash_sig",
+      tok.groupBy($"doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select($"doc_id",
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")))
   }
 
   private[llm] def minhashPairsFrom(sig: DataFrame): DataFrame = {
@@ -809,7 +810,7 @@ object LlmQueries {
             lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
         .filter($"est_jac" >= 0.5)
         .select($"a_id", $"b_id", $"est_jac")
-        .persist()
+        .transform(graft.FrameRegistry.transient(sig.sparkSession, "minhash_pairs", _))
   }
 
   /** Recursive-CTE oracle for clusters over the MINHASH candidate graph —

@@ -65,7 +65,8 @@ object TextRankQueries {
   private val tokMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def tok(s: SparkSession, d: String): DataFrame =
-    tokMemo.computeIfAbsent((s, d), _ => wordTok(documents(s, d)).persist())
+    tokMemo.computeIfAbsent((s, d), _ =>
+      graft.FrameRegistry.tracked(s, "word_tok", wordTok(documents(s, d)), d))
 
   private val SqlWordTok =
     """SELECT doc_id, w FROM (
@@ -113,7 +114,8 @@ object TextRankQueries {
       val tk = tok(s, d)
       val tgtIds = documents(s, d)
         .filter(col("source") === "src0").select(col("doc_id"))
-      dsirScoredFrame(tk, tk.join(tgtIds, "doc_id")).persist()
+      graft.FrameRegistry.tracked(s, "dsir_doc",
+        dsirScoredFrame(tk, tk.join(tgtIds, "doc_id")), d)
     })
 
   /** Per-doc DSIR importance frame (doc_id, n_words, logratio) from a raw
@@ -176,12 +178,13 @@ object TextRankQueries {
     // persisted: referenced by BOTH the (Z, n) aggregate and the accept
     // scan — unpersisted, the full scoring lineage would execute twice
     // (the registered queries pass the dsirDoc memo and don't care, but
-    // CurationPipeline.selectDsir scores the live pipeline frame). The
-    // frame is 16 B/doc; session-scoped like the other shared
-    // intermediates.
-    val w = scored.select(col("doc_id"),
-      round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid"))
-      .persist()
+    // CurationPipeline.selectDsir scores the live pipeline frame). A
+    // per-call frame with no memo key, so it registers in the BOUNDED
+    // transient family: past FrameRegistry.TransientCap live frames the
+    // oldest is released (r9 verdict #2 — the unbounded per-call persist).
+    val w = graft.FrameRegistry.transient(scored.sparkSession, "dsir_accept",
+      scored.select(col("doc_id"),
+        round(exp(col("logratio")) * 1000000L, 0).cast(LongType).as("wgrid")))
     // Z in DECIMAL(38,0), doc_id reduced mod P before the multiply — see
     // the dsir_resample comment for both overflow cliffs
     val z = w.agg(sum(col("wgrid").cast(dec)).as("z"),
@@ -1013,8 +1016,8 @@ object TextRankQueries {
       // Σm, a vocab-sized map-combined exchange over m instead of a
       // second full bigram explode of the corpus) and the per-doc terms
       // join — persisted so the one explode runs once
-      val m = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-        .persist()
+      val m = graft.FrameRegistry.transient(s, "bigram_hist",
+        bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m")))
       val c2 = m.groupBy(col("bg")).agg(sum(col("m")).cast(LongType).as("c2"))
       val voc = c2
         .join(c1, substring_index(col("bg"), " ", 1) === col("w"))
