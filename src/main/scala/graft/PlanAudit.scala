@@ -68,6 +68,51 @@ object PlanAudit {
     "sql_q16" -> Set("NESTED_LOOP"),
     "sql_q20" -> Set("NESTED_LOOP"))
 
+  /** One query's plan shape, canonicalized: the dimensions a scale
+    * regression moves (a broadcast→SMJ demotion changes `joins`, a lost
+    * pushdown empties `pushes`, a new shuffle bumps `exchanges`, a codegen
+    * break shrinks `wsc`). [[render]] is the committed PLANS.json value —
+    * one stable string per query per scale.
+    */
+  final case class Fingerprint(joins: Seq[String], exchanges: Int,
+      codegen: Int, pushes: Seq[String], warns: Seq[String]) {
+    def render: String =
+      s"exch=$exchanges wsc=$codegen joins=${joins.mkString("+")} " +
+        s"push=${pushes.mkString("|")} warns=${warns.mkString(",")}"
+  }
+
+  def fingerprint(df: org.apache.spark.sql.DataFrame): Fingerprint = {
+    val plan = df.queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    val names = nodes.map(_.nodeName)
+    val joins = names.filter(_.endsWith("Join")).groupBy(identity)
+      .map { case (k, v) => if (v.size > 1) s"${v.size}x$k" else k }
+      .toSeq.sorted
+    val exchanges = names.count(_.contains("Exchange"))
+    val codegen = names.count(_.startsWith("WholeStageCodegen"))
+    // every parquet scan's pushed-filter summary — empty brackets on a
+    // filtered query mean pushdown was lost
+    val pushes = nodes.collect {
+      case s: FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }.distinct
+    // a window whose child is SinglePartition funnels the whole input
+    // through ONE task — the driver-killer shape pack_sequences was
+    // rewritten to avoid; flag any recurrence
+    val singlePartWindow = nodes.exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.child.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      case _ => false
+    }
+    val warns = Seq(
+      if (names.exists(_.contains("CartesianProduct"))) Some("CARTESIAN") else None,
+      if (names.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None,
+      if (singlePartWindow) Some("SINGLE_PART_WINDOW") else None
+    ).flatten
+    Fingerprint(joins, exchanges, codegen, pushes, warns)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -80,46 +125,20 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     var flagged = 0
+    val fps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (q <- SparkEntry.all) {
       try {
-        val df = q.fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan
-        val nodes = collectNodes(plan)
-        val names = nodes.map(_.nodeName)
-        val joins = names.filter(_.endsWith("Join")).groupBy(identity)
-          .map { case (k, v) => if (v.size > 1) s"${v.size}×$k" else k }
-          .toSeq.sorted
-        val exchanges = names.count(_.contains("Exchange"))
-        val codegen = names.count(_.startsWith("WholeStageCodegen"))
-        // every parquet scan's pushed-filter summary — empty brackets on a
-        // filtered query mean pushdown was lost
-        val pushes = nodes.collect {
-          case s: FileSourceScanExec =>
-            s.metadata.getOrElse("PushedFilters", "[]")
-        }.distinct
-        // a window whose child is SinglePartition funnels the whole input
-        // through ONE task — the driver-killer shape pack_sequences was
-        // rewritten to avoid; flag any recurrence
-        val singlePartWindow = nodes.exists {
-          case w: org.apache.spark.sql.execution.window.WindowExec =>
-            w.child.outputPartitioning ==
-              org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-          case _ => false
-        }
-        val warns = Seq(
-          if (names.exists(_.contains("CartesianProduct"))) Some("CARTESIAN") else None,
-          if (names.exists(_.contains("BroadcastNestedLoopJoin"))) Some("NESTED_LOOP") else None,
-          if (singlePartWindow) Some("SINGLE_PART_WINDOW") else None
-        ).flatten
+        val fp = fingerprint(q.fn(spark, sfDir))
+        fps(q.name) = fp.render
         val excused = allowed.getOrElse(q.name, Set.empty)
-        val bad = warns.filterNot(excused)
+        val bad = fp.warns.filterNot(excused)
         val tag =
           if (bad.nonEmpty) { flagged += 1; bad.mkString("!", ",", "!") }
-          else if (warns.nonEmpty) "ok(bounded)"
+          else if (fp.warns.nonEmpty) "ok(bounded)"
           else if (iterative(q.name)) "ok(iterative)"
           else "ok"
-        println(f"[audit] ${q.name}%-24s $tag%-14s exch=$exchanges wsc=$codegen " +
-          f"joins=${joins.mkString("+")}%-40s push=${pushes.mkString(" ")}")
+        println(f"[audit] ${q.name}%-24s $tag%-14s exch=${fp.exchanges} wsc=${fp.codegen} " +
+          f"joins=${fp.joins.mkString("+")}%-40s push=${fp.pushes.mkString(" ")}")
       } catch {
         case e: Throwable =>
           flagged += 1
@@ -127,6 +146,20 @@ object PlanAudit {
       }
     }
     println(s"[audit] flagged=$flagged of ${SparkEntry.all.size}")
+    // plan-fingerprint artifact: this session's section of PLANS.json —
+    // regen on a deliberate plan change, diff otherwise (the Bench-scale
+    // analog of PlanFingerprintSpec's sf0.01 gate)
+    val scale = new java.io.File(sfDir).getName
+    if (sys.env.get("SPARK_GRAFT_REGEN_PLANS").contains("1")) {
+      Plans.saveSection(scale, fps.toMap)
+      println(s"[audit] rebaselined $scale section of ${Plans.DefaultPath}")
+    } else {
+      val diffs = Plans.diff(scale, fps.toMap)
+      diffs.foreach { case (q, got, want) =>
+        println(s"[audit] PLAN DRIFT $q\n  now:  $got\n  was:  $want")
+      }
+      println(s"[audit] plan_drift=${diffs.size}")
+    }
     spark.stop()
   }
 

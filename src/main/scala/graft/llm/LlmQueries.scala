@@ -522,8 +522,9 @@ object LlmQueries {
   private val minhashMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashMemo.computeIfAbsent((s, d),
-      _ => minhashPairsFrom(minhashSig(s, d)))
+    minhashMemo.computeIfAbsent((s, d), _ =>
+      graft.FrameRegistry.tracked(s, "minhash_pairs",
+        minhashPairsRaw(minhashSig(s, d)), d))
 
   /** Memoized 32-perm signature frame over the driver tables — shared by
     * the band join ([[minhashPairs]]) and the band-calibration sweep
@@ -534,7 +535,8 @@ object LlmQueries {
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[llm] def minhashSig(s: SparkSession, d: String): DataFrame =
-    sigMemo.computeIfAbsent((s, d), _ => minhashSigOf(documents(s, d)))
+    sigMemo.computeIfAbsent((s, d), _ =>
+      graft.FrameRegistry.tracked(s, "minhash_sig", minhashSigRaw(documents(s, d)), d))
 
   /** Shared 6-plane LSH frame (vec_id, label, v, bkt, n2), materialized
     * behind an exchange and memoized per (session, dir) — the "build the
@@ -772,18 +774,30 @@ object LlmQueries {
     */
   private[llm] val MinhashPerms = 32
 
-  private[llm] def minhashSigOf(docsDf: DataFrame): DataFrame = {
+  private[llm] def minhashSigOf(docsDf: DataFrame): DataFrame =
+    graft.FrameRegistry.transient(docsDf.sparkSession, "minhash_sig_call",
+      minhashSigRaw(docsDf))
+
+  /** The unpersisted signature build — callers pick a lifecycle: the
+    * (session, dir) memo registers it TRACKED (stable across the
+    * session), the per-call pipeline surface registers it in the bounded
+    * transient family.
+    */
+  private def minhashSigRaw(docsDf: DataFrame): DataFrame = {
     val numHashes = MinhashPerms
     val tok = shingleTok(docsDf).withColumn("x", H.wordHash($"w"))
     val sigCols = (0 until numHashes).map(i => min(H.affine(i, $"x")).as(s"h$i"))
-    graft.FrameRegistry.transient(docsDf.sparkSession, "minhash_sig",
-      tok.groupBy($"doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select($"doc_id",
-          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")))
+    tok.groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select($"doc_id",
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  private[llm] def minhashPairsFrom(sig: DataFrame): DataFrame = {
+  private[llm] def minhashPairsFrom(sig: DataFrame): DataFrame =
+    graft.FrameRegistry.transient(sig.sparkSession, "minhash_pairs_call",
+      minhashPairsRaw(sig))
+
+  private def minhashPairsRaw(sig: DataFrame): DataFrame = {
       val numHashes = MinhashPerms
       val bands = 8
       val rows = numHashes / bands
@@ -810,7 +824,6 @@ object LlmQueries {
             lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
         .filter($"est_jac" >= 0.5)
         .select($"a_id", $"b_id", $"est_jac")
-        .transform(graft.FrameRegistry.transient(sig.sparkSession, "minhash_pairs", _))
   }
 
   /** Recursive-CTE oracle for clusters over the MINHASH candidate graph —
