@@ -172,8 +172,8 @@ object LlmQueries {
     * tasks than the configured cluster width), capped at 4096 so task
     * count can't outrun the scheduler on a pathological profile.
     */
-  private[llm] val PairsPerTask = 2e6
-  private[llm] def pairBuildPartitions(s: SparkSession, sumDf2: Double): Int = {
+  private[graft] val PairsPerTask = 2e6
+  private[graft] def pairBuildPartitions(s: SparkSession, sumDf2: Double): Int = {
     val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val target = math.ceil((sumDf2 / 2.0) / PairsPerTask)
     math.min(4096.0, math.max(base.toDouble, target)).toInt

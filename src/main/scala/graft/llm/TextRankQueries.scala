@@ -248,20 +248,28 @@ object TextRankQueries {
       cutover: Long = VocabBroadcastCutover)
       : Option[(graft.functions.VocabMeters.Stats, Long, Long)] = {
     val c = wordTok(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val df = docs.select(explode(array_distinct(
-        graft.functions.TextStats.wordTokensCol(col("text"), 3))).as("w"))
+    // the doc count rides the df aggregate as a per-doc sentinel word
+    // (" " — the minLen-3 tokenizer can never emit it): one corpus
+    // scan instead of a third docs.count() job (r9 verdict #3)
+    val df = docs.select(explode(concat(
+        array(lit(" ")),
+        array_distinct(graft.functions.TextStats.wordTokensCol(col("text"), 3)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val joined = c.join(df, "w").persist()
-    val vocabN = joined.count()
+    val joined = df.join(c, Seq("w"), "left").persist()
+    val vocabN = joined.count() - 1 // minus the sentinel row
     val out = if (vocabN > cutover) None
     else {
       val m = new java.util.HashMap[String, Array[Long]]()
       var tot = 0L
+      var nDocs = 0L
       joined.collect().foreach { r =>
-        m.put(r.getString(0), Array(r.getLong(1), r.getLong(2)))
-        tot += r.getLong(1)
+        if (r.getString(0) == " ") nDocs = r.getLong(1)
+        else {
+          m.put(r.getString(0), Array(r.getLong(2), r.getLong(1)))
+          tot += r.getLong(2)
+        }
       }
-      Some((docs.sparkSession.sparkContext.broadcast(m), tot, docs.count()))
+      Some((docs.sparkSession.sparkContext.broadcast(m), tot, nDocs))
     }
     joined.unpersist()
     out

@@ -563,13 +563,32 @@ object AnalyticsQueries {
         |FROM items a JOIN items b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
-      lineitem(s, d)
+      // Width dispatch (the inter_counts pairBuildPartitions pattern):
+      // pair volume is Σ C(basket,2) ≈ O·b̄(b̄−1)/2 — at a FIXED session
+      // width, per-task aggregate state grows linearly with the corpus
+      // (PairStateProbe measured sf10→sf30 per-task spill 3.0× on 3×
+      // data at 98 fixed tasks). Estimate the volume from two cheap
+      // table stats (one map-combined pass), scale BOTH heavy stages
+      // with it: the per-order basket build and the (p1,p2) support
+      // count — the second repartition sits before the pair aggregation
+      // deliberately; measured combine ratio is ~1 (near-unique pairs),
+      // so pre-exchange partial agg bought nothing while pinning the
+      // reduce state to 1/32nd of the corpus.
+      val li = lineitem(s, d)
+      val st = li.agg(count(lit(1)).cast("double").as("l"),
+        approx_count_distinct($"l_orderkey").cast("double").as("o")).head
+      val (l, o) = (st.getDouble(0), st.getDouble(1))
+      val bbar = if (o > 0) l / o else 0.0
+      val estPairs = o * bbar * math.max(0.0, bbar - 1) / 2.0
+      val parts = graft.llm.LlmQueries.pairBuildPartitions(s, estPairs * 2.0)
+      li.repartition(parts, $"l_orderkey")
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("ps"))
         .filter(size($"ps") >= 2)
         .select($"ps", posexplode($"ps"))
         .select($"col".as("p1"),
           explode(slice($"ps", $"pos" + 2, size($"ps") - $"pos" - 1)).as("p2"))
+        .repartition(parts, $"p1", $"p2")
         .groupBy($"p1", $"p2")
         .agg(count(lit(1)).as("support"))
         .orderBy($"support".desc, $"p1", $"p2")
