@@ -94,7 +94,9 @@ object PlanAudit {
     // filtered query mean pushdown was lost
     val pushes = nodes.collect {
       case s: FileSourceScanExec =>
-        s.metadata.getOrElse("PushedFilters", "[]")
+        // strip expression ids (ScalarSubquery#60421) — they vary with
+        // session allocation history, not with the plan's shape
+        s.metadata.getOrElse("PushedFilters", "[]").replaceAll("#\\d+", "#n")
     }.distinct
     // a window whose child is SinglePartition funnels the whole input
     // through ONE task — the driver-killer shape pack_sequences was
