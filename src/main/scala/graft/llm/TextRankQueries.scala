@@ -249,10 +249,10 @@ object TextRankQueries {
       : Option[(graft.functions.VocabMeters.Stats, Long, Long)] = {
     val c = wordTok(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
     // the doc count rides the df aggregate as a per-doc sentinel word
-    // (" " — the minLen-3 tokenizer can never emit it): one corpus
+    // (U+0000 — the minLen-3 tokenizer can never emit it): one corpus
     // scan instead of a third docs.count() job (r9 verdict #3)
     val df = docs.select(explode(concat(
-        array(lit(" ")),
+        array(lit("\u0000")),
         array_distinct(graft.functions.TextStats.wordTokensCol(col("text"), 3)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val joined = df.join(c, Seq("w"), "left").persist()
@@ -263,7 +263,7 @@ object TextRankQueries {
       var tot = 0L
       var nDocs = 0L
       joined.collect().foreach { r =>
-        if (r.getString(0) == " ") nDocs = r.getLong(1)
+        if (r.getString(0) == "\u0000") nDocs = r.getLong(1)
         else {
           m.put(r.getString(0), Array(r.getLong(2), r.getLong(1)))
           tot += r.getLong(2)
@@ -812,7 +812,7 @@ object TextRankQueries {
       val B = QualityDistill.B
       val wh = s"(${graft.functions.CrossHash.sqlWordHash("w")}) % $B"
       val rounds = (1 to 3).map { t =>
-        s"""hist$t AS (SELECT f.b, f.x, sum(l.y) AS pos_at, count(*) AS n_at
+        s"""hist$t AS MATERIALIZED (SELECT f.b, f.x, sum(l.y) AS pos_at, count(*) AS n_at
            |  FROM feat f JOIN lab l USING (doc_id) JOIN s${t - 1} USING (doc_id)
            |  GROUP BY f.b, f.x),
            |cum$t AS (SELECT b, x AS t,
@@ -829,31 +829,31 @@ object TextRankQueries {
            |      c.pos_ge + (tt.n - c.n_ge) - (tt.p - c.pos_ge) AS e
            |    FROM cum$t c CROSS JOIN tot$t tt)
            |  ORDER BY e, b, t, dir DESC LIMIT 1),
-           |k$t AS (SELECT f.doc_id FROM feat f CROSS JOIN best$t bs
+           |k$t AS MATERIALIZED (SELECT f.doc_id FROM feat f CROSS JOIN best$t bs
            |  WHERE f.b = bs.b AND
            |    ((bs.dir = 1 AND f.x >= bs.t) OR (bs.dir = 0 AND f.x < bs.t))),
-           |s$t AS (SELECT doc_id FROM s${t - 1} INTERSECT
+           |s$t AS MATERIALIZED (SELECT doc_id FROM s${t - 1} INTERSECT
            |  SELECT doc_id FROM k$t)""".stripMargin
       }.mkString(",\n")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
          |  FROM documents),
-         |cnts AS (SELECT doc_id, $wh AS b, count(*) AS x
+         |cnts AS MATERIALIZED (SELECT doc_id, $wh AS b, count(*) AS x
          |  FROM tok WHERE w <> '' GROUP BY doc_id, b),
          |grid AS (SELECT d.doc_id, CAST(g.range AS BIGINT) AS b
          |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range($B) g),
-         |feat0 AS (SELECT g.doc_id, g.b, coalesce(c.x, 0) AS x
+         |feat0 AS MATERIALIZED (SELECT g.doc_id, g.b, coalesce(c.x, 0) AS x
          |  FROM grid g LEFT JOIN cnts c USING (doc_id, b)),
          |tri AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
          |    FOR i IN range(1, len(ws)-1)]) AS g
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
          |  WHERE len(ws) >= 3),
-         |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng,
+         |rep AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng,
          |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd
          |  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
          |  GROUP BY doc_id),
-         |repz AS (SELECT d.doc_id, coalesce(r.ng, 0) AS ng, coalesce(r.nd, 0) AS nd
+         |repz AS MATERIALIZED (SELECT d.doc_id, coalesce(r.ng, 0) AS ng, coalesce(r.nd, 0) AS nd
          |  FROM (SELECT doc_id FROM documents) d LEFT JOIN rep r USING (doc_id)),
-         |feat AS (SELECT doc_id, b, x FROM feat0
+         |feat AS MATERIALIZED (SELECT doc_id, b, x FROM feat0
          |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b,
          |    CAST(sum(x) AS BIGINT) AS x FROM feat0 GROUP BY doc_id
          |  UNION ALL SELECT doc_id, CAST(${B + 1} AS BIGINT) AS b, ng AS x FROM repz
@@ -861,12 +861,12 @@ object TextRankQueries {
          |gw AS (SELECT doc_id, w FROM (
          |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
          |  FROM documents) WHERE w <> ''),
-         |gs AS (SELECT doc_id, count(*) AS n_words,
+         |gs AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
          |  CAST(SUM(length(w)) AS DOUBLE) / count(*) AS mean_wlen,
          |  CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) AS alpha_ratio
          |  FROM gw GROUP BY doc_id),
-         |lab AS (SELECT g.doc_id, CASE WHEN g.n_words >= 50 AND g.n_words <= 100000
+         |lab AS MATERIALIZED (SELECT g.doc_id, CASE WHEN g.n_words >= 50 AND g.n_words <= 100000
          |  AND g.mean_wlen >= 3 AND g.mean_wlen <= 10 AND g.alpha_ratio >= 0.8
          |  AND (z.ng = 0 OR 50 * z.nd <= z.ng) THEN 1 ELSE 0 END AS y
          |  FROM gs g JOIN repz z USING (doc_id)),
