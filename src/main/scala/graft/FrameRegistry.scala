@@ -38,10 +38,24 @@ object FrameRegistry {
     */
   def tracked(s: SparkSession, family: String, df: DataFrame,
       tag: String = ""): DataFrame = {
+    sweepStopped()
     val out = df.persist()
     val prev = frames.put(Slot(s, family, tag), out)
     if (prev != null && (prev ne out)) prev.unpersist()
     out
+  }
+
+  /** Drop entries whose session has stopped — their RDDs are already gone
+    * with the SparkContext, but the map would otherwise pin the session
+    * and every frame plan forever (a registry leak across session
+    * restarts, e.g. spec suites). Called from every registration; cheap
+    * (map-sized scan of `isStopped` flags, no Spark work).
+    */
+  private def sweepStopped(): Unit = {
+    import scala.jdk.CollectionConverters._
+    frames.keySet.asScala
+      .filter(_.session.sparkContext.isStopped)
+      .foreach(frames.remove)
   }
 
   /** Persist + register a per-call frame under a bounded family. */
@@ -51,8 +65,15 @@ object FrameRegistry {
     out
   }
 
+  private val TransientTag = "^t(\\d+)$".r
+
   private def evictOver(s: SparkSession, family: String, cap: Int): Unit = {
-    val live = slots(s).filter(_.family == family).sortBy(_.tag.drop(1).toLong)
+    // only transient-tagged slots participate in age eviction: a family
+    // that also receives tracked() registrations (arbitrary/dir tags)
+    // must neither crash the parse nor have its memo entries evicted
+    val live = slots(s).filter(_.family == family).flatMap { k =>
+      k.tag match { case TransientTag(n) => Some((n.toLong, k)); case _ => None }
+    }.sortBy(_._1).map(_._2)
     live.dropRight(cap).foreach { k =>
       val df = frames.remove(k)
       if (df != null) df.unpersist()
@@ -62,6 +83,17 @@ object FrameRegistry {
   private def slots(s: SparkSession): Seq[Slot] = {
     import scala.jdk.CollectionConverters._
     frames.keySet.asScala.toSeq.filter(_.session eq s)
+  }
+
+  /** Unpersist + drop ONE (family, tag) slot; returns whether it was
+    * live. The surgical release for multi-tag families (one slot per
+    * dir): releasing the whole family would silently unpersist sibling
+    * dirs' caches in multi-dir sessions.
+    */
+  def releaseSlot(s: SparkSession, family: String, tag: String): Boolean = {
+    val df = frames.remove(Slot(s, family, tag))
+    if (df != null) df.unpersist()
+    df != null
   }
 
   /** Unpersist + drop every frame of `family`; returns how many. */

@@ -256,7 +256,10 @@ object LlmQueries {
     * materializes would recompute the whole self-join.
     */
   private[llm] def releaseInterCounts(s: SparkSession, d: String): Unit = {
-    graft.FrameRegistry.releaseFamily(s, "inter_counts"); ()
+    // slot-scoped: the family holds one frame per dir, and a multi-dir
+    // session (PairStateProbe's scale loop) must not lose sibling dirs'
+    // caches when one dir's pair children materialize
+    graft.FrameRegistry.releaseSlot(s, "inter_counts", d); ()
   }
 
   /** Session-scoped materialized intermediate over [[jaccardPairs]].

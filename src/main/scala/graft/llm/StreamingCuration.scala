@@ -61,10 +61,28 @@ object StreamingCuration {
     Model(stages, voc, z, n, num, den, numPerm, bands)
   }
 
-  /** Dedup state threaded across epochs — both frames persisted and
-    * lineage-cut by [[epoch]] before the previous generation is released.
+  /** Dedup state threaded across epochs — both frames persisted (and,
+    * every [[LineageCutEvery]] epochs, genuinely lineage-truncated; see
+    * [[epoch]]) before the previous generation is released. `epochNo`
+    * counts epochs so the truncation cadence needs no external clock.
     */
-  final case class State(claims: DataFrame, seen: DataFrame)
+  final case class State(claims: DataFrame, seen: DataFrame,
+      epochNo: Long = 0L)
+
+  /** Every this-many epochs the state frames go through an EAGER
+    * `localCheckpoint` instead of `persist`: persist+count materializes
+    * but does NOT truncate lineage, so without this the logical plan
+    * grows one union+agg layer per epoch and any cache eviction or
+    * executor loss would re-execute the whole multi-epoch chain from
+    * epoch 0. localCheckpoint writes the computed partitions and REPLACES
+    * the plan with them, so lineage depth stays ≤ this constant. The
+    * trade (documented Spark semantics): localCheckpoint storage is
+    * non-replicated, so losing an executor mid-stream fails the query
+    * instead of recomputing — a cluster deployment that needs
+    * loss-recovery points `spark.checkpoint.dir` at reliable storage and
+    * swaps in `checkpoint(eager = true)` here.
+    */
+  val LineageCutEvery: Int = 8
 
   def emptyState(spark: SparkSession): State = {
     val claims = spark.createDataFrame(
@@ -133,8 +151,19 @@ object StreamingCuration {
       .drop("__sha").persist()
     // materialize the new generation BEFORE releasing the old one — the
     // kept frame and both state frames must never re-execute prior
-    // epochs' lineage
-    val stNew = State(claimsNew.persist(), seenNew.persist())
+    // epochs' lineage. Most epochs persist (materialize only); every
+    // LineageCutEvery-th goes through eager localCheckpoint, which
+    // actually TRUNCATES the plan — see [[LineageCutEvery]]. Unpersist on
+    // a checkpointed previous generation is a no-op (its RDD is freed by
+    // the ContextCleaner once unreferenced), which is fine: the contract
+    // is "old generation no longer pinned", not "freed synchronously".
+    val epochNo = st.epochNo + 1
+    val cut = epochNo % LineageCutEvery == 0
+    val stNew =
+      if (cut)
+        State(claimsNew.localCheckpoint(true), seenNew.localCheckpoint(true),
+          epochNo)
+      else State(claimsNew.persist(), seenNew.persist(), epochNo)
     kept.count(); stNew.claims.count(); stNew.seen.count()
     st.claims.unpersist(); st.seen.unpersist()
     (kept, stNew)
@@ -143,6 +172,11 @@ object StreamingCuration {
   /** The streaming wrapper: run [[epoch]] per micro-batch via
     * `foreachBatch`, threading the state, handing each epoch's kept docs
     * to `onKept` (a writer in production; a collector in the spec).
+    * `onKept` must CONSUME the frame before returning (write it, collect
+    * it): the wrapper unpersists it on return, so a retained reference
+    * would recompute — the only way a long-running stream stays at one
+    * live kept-frame instead of accumulating one persisted frame per
+    * micro-batch.
     */
   def start(stream: DataFrame, m: Model,
       onKept: DataFrame => Unit): StreamingQuery = {
@@ -150,7 +184,7 @@ object StreamingCuration {
     stream.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         val (kept, st2) = epoch(df, st, m)
-        onKept(kept)
+        try onKept(kept) finally kept.unpersist()
         st = st2
       }
       .start()

@@ -389,15 +389,28 @@ object VectorIndex {
       probe: Int = DefaultAssignProbe): DataFrame = {
     val spark = df.sparkSession
     val coarse = coarseRows(centDf, k)
-    val bc = spark.sparkContext.broadcast(coarse)
-    val pu = probeUdf(bc, probe)
+    val bcAll = spark.sparkContext.broadcast(coarse)
     // exact coarse-group membership for every centroid: rank-1 probe
     // (argmax over ALL K1 groups — no pruning at this level)
-    val gcu = probeUdf(bc, 1)
-    val members = centDf
-      .withColumn("g", gcu(col("cv"), col("cn2")).getItem(0))
-      .groupBy(col("g"))
-      .agg(collect_list(struct(col("cid"), col("cv"), col("cn2"))).as("members"))
+    val gcu = probeUdf(bcAll, 1)
+    val members = graft.FrameRegistry.transient(spark, "cell_members",
+      centDf
+        .withColumn("g", gcu(col("cv"), col("cn2")).getItem(0))
+        .groupBy(col("g"))
+        .agg(collect_list(struct(col("cid"), col("cv"), col("cn2"))).as("members")))
+    // rows probe MEMBER-BEARING groups only: duplicate coarse centroids
+    // can leave a group empty under the rank-1 smaller-gid tie-break, and
+    // a row whose probed groups were all empty would vanish through the
+    // inner join below — a silently dropped document. Restricting the
+    // row-probe broadcast to live gids (a bounded ≤K1 collect off the
+    // members frame, which the transient registration just cached) makes
+    // every probe land on a non-empty group, so the join is total: every
+    // vec_id gets a cell. Exactness is preserved — every centroid lives
+    // in SOME live group, so `probe >= live-group count` still scans all
+    // K (the CellAssignCutoverSpec pin).
+    val liveGids = members.select(col("g")).collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(coarse.filter(c => liveGids(c._1)))
+    val pu = probeUdf(bc, probe)
     val hasN2 = df.columns.contains("n2")
     val base = if (hasN2) df else df.withColumn("n2", qnorm2(col("v")))
     val best = base.select(col("vec_id"), col("v"), col("n2"))

@@ -58,6 +58,31 @@ class FrameRegistrySpec extends AnyFunSuite with SparkTestBase {
     FrameRegistry.releaseFamily(spark, "dsir_accept")
   }
 
+  test("releaseSlot frees one dir's frame and leaves siblings cached") {
+    val a = FrameRegistry.tracked(spark, "spec_slot", frame(10), "dirA")
+    val b = FrameRegistry.tracked(spark, "spec_slot", frame(20), "dirB")
+    assert(FrameRegistry.releaseSlot(spark, "spec_slot", "dirA"))
+    assert(!a.storageLevel.useMemory, "released slot still cached")
+    assert(b.storageLevel.useMemory, "sibling dir's cache was dropped")
+    assert(!FrameRegistry.releaseSlot(spark, "spec_slot", "dirA"),
+      "double release reported a live slot")
+    FrameRegistry.releaseFamily(spark, "spec_slot")
+  }
+
+  test("mixed tracked+transient family: eviction skips tracked slots") {
+    // a family that receives BOTH lifecycles must neither crash the
+    // eviction tag parse nor lose its memo entries to age eviction
+    val memo = FrameRegistry.tracked(spark, "spec_mixed", frame(7), "dirA")
+    (0 until FrameRegistry.TransientCap + 2).foreach { i =>
+      FrameRegistry.transient(spark, "spec_mixed", frame(50 + i))
+    }
+    assert(memo.storageLevel.useMemory, "tracked memo slot was evicted")
+    val live = FrameRegistry.report(spark).count(_._1 == "spec_mixed")
+    assert(live == FrameRegistry.TransientCap + 1,
+      s"family holds $live frames (want cap + the tracked slot)")
+    FrameRegistry.releaseFamily(spark, "spec_mixed")
+  }
+
   test("report carries a usable size estimate and the total is queryable") {
     FrameRegistry.tracked(spark, "spec_size", frame(100000), "big")
       .count() // materialize the cache
