@@ -202,6 +202,47 @@ object TextStats {
   def wordTokensCol(text: Column, minLen: Int): Column =
     Bridge.column(WordTokens(Bridge.expression(text), minLen))
 
+  /** One-pass hashed-bucket unigram counts: `buckets + 1` longs — counts
+    * of [[wordTokens]] tokens by `wordHash(w) % buckets` in slots
+    * 0..buckets−1, total token count in the last slot. The serving kernel
+    * of the linear quality classifier ([[graft.llm.QualityLinear]]): the
+    * tokenize + hash + count pipeline that the training feature frame
+    * runs as explode→groupBy collapses to ONE allocation-free scan per
+    * document (tokens are hashed incrementally as the scan folds their
+    * code points — no token string ever materializes), so scoring a
+    * corpus against broadcast weights is a pure codegen map. Hash
+    * arithmetic is [[CrossHash.wordHash]]'s verbatim (tokens are a–z
+    * runs, so the per-char fold sees exactly the token's code points).
+    */
+  def bucketCounts(s: String, minLen: Int, buckets: Int): Array[Long] = {
+    val out = new Array[Long](buckets + 1)
+    var h = 0L
+    var tokLen = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (lc >= 'a' && lc <= 'z') {
+        h = (h * 131L + lc) % 1000000007L
+        tokLen += 1
+      } else {
+        if (tokLen >= minLen) { out((h % buckets).toInt) += 1L; out(buckets) += 1L }
+        h = 0L
+        tokLen = 0
+      }
+      i += Character.charCount(cp)
+    }
+    if (tokLen >= minLen) { out((h % buckets).toInt) += 1L; out(buckets) += 1L }
+    out
+  }
+
+  /** Column wrapper: array<bigint> of `buckets` hashed token counts plus
+    * the total in the last slot.
+    */
+  def bucketCountsCol(text: Column, minLen: Int, buckets: Int): Column =
+    Bridge.column(BucketCounts(Bridge.expression(text), minLen, buckets))
+
   /** Adjacent-token bigrams over [[wordTokens]] in one scan — the
     * `transform(sequence(...), i -> concat(element_at ws i, ' ',
     * element_at ws i+1))` chain costs two interpreted array probes plus a
@@ -431,5 +472,37 @@ case class LettersPrefix(child: Expression, n: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): LettersPrefix =
+    copy(child = newChild)
+}
+
+case class BucketCounts(child: Expression, minLen: Int, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets > 0, "bucket_counts needs at least one bucket")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bucket_counts requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+
+  override def prettyName: String = "bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextStats.bucketCounts(input.asInstanceOf[UTF8String].toString, minLen, buckets))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextStats.bucketCounts($c.toString(), $minLen, $buckets));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BucketCounts =
     copy(child = newChild)
 }

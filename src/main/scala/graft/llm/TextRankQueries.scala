@@ -897,6 +897,120 @@ object TextRankQueries {
         .orderBy($"doc_id")
     },
 
+    // TRAINED linear quality classifier — the fastText-direction model
+    // real pipelines run beside the tree-shaped distill family: hashed
+    // bag-of-words features (B buckets + total + trigram repetition +
+    // bias), integer-grid standardization, and a pocket batch perceptron
+    // ([[QualityLinear]]) distilling the same Gopher ∧ low-repetition
+    // joint label as the cascade. EVERY training step is exact integer
+    // arithmetic with truncating division (Scala Long./ ≡ DuckDB //), so
+    // the oracle replays all 5 update rounds, the pocket argmin (ties to
+    // the earliest round) and the final scoring bit-for-bit. The Spark
+    // side SERVES row-locally — one bucket_counts codegen pass + the
+    // repetition kernel against literal weights, no explode, no shuffle —
+    // while the oracle scores through the feature frame: the hash match
+    // proves the one-scan serving kernel equals the training features.
+    Q("quality_classifier", {
+      val B = QualityDistill.B
+      val R = QualityLinear.Rounds
+      val wh = s"(${graft.functions.CrossHash.sqlWordHash("w")}) % $B"
+      val evalRounds = (1 to R + 1).map { t =>
+        val upd =
+          if (t <= R)
+            s""",
+               |gr$t AS (SELECT f.b,
+               |    CAST(sum((2 * m.y - 1) * f.xs) AS BIGINT) AS g
+               |  FROM feats f JOIN mis$t m USING (doc_id) GROUP BY f.b),
+               |w$t AS MATERIALIZED (SELECT w.b,
+               |    w.wgt + (CASE WHEN e.e = 0 THEN CAST(0 AS BIGINT)
+               |      ELSE coalesce(g.g, CAST(0 AS BIGINT)) // e.e END) AS wgt
+               |  FROM w${t - 1} w LEFT JOIN gr$t g USING (b) CROSS JOIN er$t e)""".stripMargin
+          else ""
+        s"""sc$t AS MATERIALIZED (SELECT f.doc_id,
+           |    CAST(sum(f.xs * w.wgt) AS BIGINT) AS score
+           |  FROM feats f JOIN w${t - 1} w USING (b) GROUP BY f.doc_id),
+           |mis$t AS MATERIALIZED (SELECT s.doc_id, l.y FROM sc$t s
+           |  JOIN lab l USING (doc_id) WHERE (s.score > 0) <> (l.y = 1)),
+           |er$t AS (SELECT count(*) AS e FROM mis$t)$upd""".stripMargin
+      }.mkString(",\n")
+      val cand = (1 to R + 1)
+        .map(t => s"SELECT $t AS t, e FROM er$t").mkString(" UNION ALL ")
+      val allw = (1 to R + 1)
+        .map(t => s"SELECT $t AS t, b, wgt FROM w${t - 1}").mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |  FROM documents),
+         |cnts AS MATERIALIZED (SELECT doc_id, $wh AS b, count(*) AS x
+         |  FROM tok WHERE w <> '' GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, CAST(g.range AS BIGINT) AS b
+         |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range($B) g),
+         |feat0 AS MATERIALIZED (SELECT g.doc_id, g.b, coalesce(c.x, 0) AS x
+         |  FROM grid g LEFT JOIN cnts c USING (doc_id, b)),
+         |tri AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+         |    FOR i IN range(1, len(ws)-1)]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 3),
+         |rep AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |repz AS MATERIALIZED (SELECT d.doc_id, coalesce(r.ng, 0) AS ng, coalesce(r.nd, 0) AS nd
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN rep r USING (doc_id)),
+         |feat AS MATERIALIZED (SELECT doc_id, b, x FROM feat0
+         |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b,
+         |    CAST(sum(x) AS BIGINT) AS x FROM feat0 GROUP BY doc_id
+         |  UNION ALL SELECT doc_id, CAST(${B + 1} AS BIGINT) AS b, ng AS x FROM repz
+         |  UNION ALL SELECT doc_id, CAST(${B + 2} AS BIGINT) AS b, nd AS x FROM repz
+         |  UNION ALL SELECT doc_id, CAST(${B + 3} AS BIGINT) AS b,
+         |    CAST(1 AS BIGINT) AS x FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |st AS MATERIALIZED (SELECT f.b,
+         |    CAST(sum(f.x) AS BIGINT) // nn.n AS mu,
+         |    greatest(CAST(1 AS BIGINT), max(f.x) - min(f.x)) AS rng
+         |  FROM feat f CROSS JOIN nn GROUP BY f.b, nn.n),
+         |feats AS MATERIALIZED (SELECT f.doc_id, f.b,
+         |    CASE WHEN f.b = ${B + 3} THEN CAST(${QualityLinear.Scale} AS BIGINT)
+         |      ELSE ((f.x - s.mu) * ${QualityLinear.Scale}) // s.rng END AS xs
+         |  FROM feat f JOIN st s USING (b)),
+         |gw AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+         |  FROM documents) WHERE w <> ''),
+         |gs AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
+         |  CAST(SUM(length(w)) AS DOUBLE) / count(*) AS mean_wlen,
+         |  CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS alpha_ratio
+         |  FROM gw GROUP BY doc_id),
+         |lab AS MATERIALIZED (SELECT g.doc_id, CASE WHEN g.n_words >= 50 AND g.n_words <= 100000
+         |  AND g.mean_wlen >= 3 AND g.mean_wlen <= 10 AND g.alpha_ratio >= 0.8
+         |  AND (z.ng = 0 OR 50 * z.nd <= z.ng) THEN 1 ELSE 0 END AS y
+         |  FROM gs g JOIN repz z USING (doc_id)),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wgt
+         |  FROM range(${QualityLinear.D})),
+         |$evalRounds,
+         |cand AS ($cand),
+         |pocket AS (SELECT t, e FROM cand ORDER BY e, t LIMIT 1),
+         |allw AS ($allw),
+         |pw AS (SELECT a.b, a.wgt FROM allw a JOIN pocket p ON a.t = p.t),
+         |serve AS (SELECT f.doc_id, CAST(sum(f.xs * pw.wgt) AS BIGINT) AS score
+         |  FROM feats f JOIN pw USING (b) GROUP BY f.doc_id)
+         |SELECT v.doc_id, v.score, (v.score > 0) AS predicted,
+         |  (l.y = 1) AS actual, ((v.score > 0) = (l.y = 1)) AS agree,
+         |  CAST(p.t AS INT) AS pocket_round, p.e AS pocket_err
+         |FROM serve v JOIN lab l USING (doc_id) CROSS JOIN pocket p
+         |ORDER BY v.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val m = linModel(s, d)
+      val lab = QualityDistill.jointLabel(docs)
+      docs.join(lab, "doc_id")
+        .withColumn("score", QualityLinear.scoreCol(m))
+        .select($"doc_id", $"score", ($"score" > 0L).as("predicted"),
+          ($"y" === 1L).as("actual"),
+          (($"score" > 0L) === ($"y" === 1L)).as("agree"),
+          lit(m.pocketRound).as("pocket_round"),
+          lit(m.pocketErr).as("pocket_err"))
+        .orderBy($"doc_id")
+    },
+
     // Within-document repetition (the Gopher duplicate-n-gram signal):
     // the fraction of word-trigram INSTANCES whose trigram occurs more
     // than once in the same document — high ratios flag boilerplate and
@@ -1159,7 +1273,19 @@ object TextRankQueries {
     "word_tok" -> ((s, d) => { tok(s, d).count(); () }),
     "vocab_stats" -> ((s, d) => { vocabStats(s, d); () }),
     "fuzzy_stats" -> ((s, d) => { fuzzyStats(s, d); () }),
-    "dsir_doc" -> ((s, d) => { dsirDoc(s, d).count(); () }))
+    "dsir_doc" -> ((s, d) => { dsirDoc(s, d).count(); () }),
+    "qlin_model" -> ((s, d) => { linModel(s, d); () }))
+
+  /** Session-memoized pocket-perceptron model per (session, dir) — the
+    * train-once-serve-many contract: Verify/Bench re-runs of
+    * quality_classifier score against the cached D=20 weight vector
+    * instead of re-running the 5-round training.
+    */
+  private val linMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), QualityLinear.LinearModel]()
+  private[llm] def linModel(s: SparkSession, d: String): QualityLinear.LinearModel =
+    linMemo.computeIfAbsent((s, d), _ =>
+      QualityLinear.train(documents(s, d).select(col("doc_id"), col("text"))))
 
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -107,4 +107,79 @@ class StumpDistillSpec extends AnyFunSuite with SparkTestBase {
     val plan = served.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"cascade serving shuffles:\n$plan")
   }
+
+  test("bucket_counts one-scan kernel equals the training feature frame") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val B = QualityDistill.B
+    val fromKernel = docs
+      .select(col("doc_id"),
+        graft.functions.TextStats.bucketCountsCol(col("text"), 1, B).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val fromFeat = QualityDistill.featFrame(docs)
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        val m = rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+        id -> (0 to B).map(m).toVector
+      }
+    assert(fromKernel == fromFeat,
+      "one-scan bucket counts drifted from the explode/groupBy features")
+  }
+
+  test("pocket perceptron learns: beats both trivial baselines, pocket is the argmin") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val m = QualityLinear.train(docs)
+    val lab = QualityDistill.jointLabel(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1) == 1L)).toMap
+    val n = lab.size.toLong
+    val nPos = lab.count(_._2).toLong
+    info(s"errs=${m.errs} pocket=(${m.pocketErr}, round ${m.pocketRound}) " +
+      s"baselines: all-neg=$nPos all-pos=${n - nPos}")
+    // round 1 scores everything 0 under w_0 = 0 → predicts all-negative
+    assert(m.errs.head == nPos, "w0 must be the all-negative predictor")
+    assert(m.pocketErr == m.errs.min, "pocket is not the trajectory argmin")
+    assert(m.pocketRound == m.errs.indexOf(m.errs.min) + 1, "pocket tie-break")
+    assert(m.pocketErr < math.min(nPos, n - nPos),
+      s"model (${m.pocketErr}) does not beat the trivial baselines")
+    // the cascade expresses axis thresholds exactly, so it should stay
+    // ahead — report both so the artifact records the gap
+    val stages = QualityDistill.trainCascade(docs, rounds = 3)
+    val boostKept = QualityDistill.filterFrameCascade(docs, stages)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val boostErr = lab.count { case (id, y) => boostKept.contains(id) != y }
+    info(s"joint-label err: linear=${m.pocketErr} cascade=$boostErr of $n")
+    // determinism: retraining replays the identical trajectory and weights
+    val m2 = QualityLinear.train(docs)
+    assert(m2.errs == m.errs && m2.w.toSeq == m.w.toSeq,
+      "training is not deterministic across runs")
+  }
+
+  test("linear serving is row-local (no exchange) and equals the feature-frame score") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val m = QualityLinear.train(docs)
+    val served = QualityLinear.filterFrame(docs, m)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"linear serving shuffles:\n$plan")
+    // row-local score == the training-representation score: rebuild the
+    // standardized features the way train() does and dot them with w
+    val feat = QualityLinear.featLin(docs).collect()
+    val scores = feat.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.map { r =>
+        val b = r.getLong(1).toInt
+        val xs =
+          if (b == QualityLinear.FBias.toInt) QualityLinear.Scale
+          else (r.getLong(2) - m.mu(b)) * QualityLinear.Scale / m.rng(b)
+        m.w(b) * xs
+      }.sum
+    }
+    val servedKept = served.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val featKept = scores.filter(_._2 > 0L).keySet
+    assert(servedKept == featKept,
+      s"row-local score drifted: only-served=${(servedKept -- featKept).take(5)} " +
+        s"only-feat=${(featKept -- servedKept).take(5)}")
+  }
 }
