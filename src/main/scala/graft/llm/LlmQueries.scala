@@ -764,6 +764,65 @@ object LlmQueries {
         sparse.select($"doc_id", hashUdf($"ps", $"vs").as("h")), d)
     })
 
+  /** Per-(doc, frame) perceptual hash frame (doc_id, f, ah, dh) behind
+    * `dedup_video`, memoized per (session, dir): each document renders as
+    * a 4-frame 16×16 grayscale "video" — frame f re-hashes every shingle
+    * through the seeded affine family before bucketing, so the frames are
+    * independent projections of the same content (near-dup docs agree on
+    * most frames, unrelated docs on none) — then goes through the REAL
+    * multi-frame codec pipeline: GIF encode → ImageIO frame decode →
+    * per-frame aHash + dHash ([[Multimodal.videoFrameHashes]]). The
+    * oracle replays both hash arithmetics from the planted histograms, so
+    * the whole encode/decode round-trip is hash-proven like dedup_image's.
+    *
+    * Scale shape: one (doc, frame, bucket)-granular map-combined
+    * aggregate (≤ 4×256 rows/doc), a map-side O(4·256) codec round-trip
+    * per doc, and a 32 B/frame output — no shuffle touches pixels.
+    */
+  private val videoHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[llm] val VideoFrames = 4
+  private def videoHashFrame(s: SparkSession, d: String): DataFrame =
+    videoHashMemo.computeIfAbsent((s, d), _ => {
+      val hist = shingleTok(documents(s, d))
+        .select($"doc_id", H.wordHash($"w").as("x"))
+        .select($"doc_id", explode(array((0 until VideoFrames).map(f =>
+          struct(lit(f).as("f"),
+            (H.affine(f, $"x") % 256).cast(IntegerType).as("p"))): _*)).as("e"))
+        .groupBy($"doc_id", $"e.f".as("f"), $"e.p".as("p"))
+        .agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"f", $"p",
+          least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
+      // every shingle lands in every frame, so a doc with ≥1 shingle has
+      // all 4 frames — the collect below always builds a full sequence
+      val wide = hist.groupBy($"doc_id", $"f")
+        .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
+        .select($"doc_id", $"f",
+          transform($"pv", e => e.getField("p")).as("ps"),
+          transform($"pv", e => e.getField("v")).as("vs"))
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"f", $"ps", $"vs"))).as("fr"))
+        .select($"doc_id",
+          transform($"fr", e => e.getField("ps")).as("pss"),
+          transform($"fr", e => e.getField("vs")).as("vss"))
+      val hashUdf = udf((pss: Seq[Seq[Int]], vss: Seq[Seq[Int]]) => {
+        val frames = pss.indices.map { f =>
+          val gray = new Array[Int](256)
+          val ps = pss(f); val vs = vss(f)
+          var i = 0
+          while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
+          gray
+        }
+        val gif = Multimodal.encodeGifGray(16, 16, frames)
+        val hs = Multimodal.videoFrameHashes(gif)
+        require(hs.length == frames.length, "GIF frame round-trip failed")
+        hs.zipWithIndex.map { case ((ah, dh), f) => (f, ah, dh) }
+      })
+      graft.FrameRegistry.tracked(s, "video_hash",
+        wide.select($"doc_id", explode(hashUdf($"pss", $"vss")).as("e"))
+          .select($"doc_id", $"e._1".as("f"), $"e._2".as("ah"), $"e._3".as("dh")), d)
+    })
+
   /** 32-perm MinHash signature frame (doc_id, sig ARRAY<BIGINT>) over an
     * arbitrary document frame. Persisted: it is referenced three times by
     * the pair build alone (banding + both sides of the pair rejoin), plus
@@ -2701,6 +2760,89 @@ object LlmQueries {
         .orderBy($"a_id", $"b_id")
     },
 
+    // Video near-dup — the multi-frame extension of dedup_image over a
+    // REAL codec round-trip: each doc renders as a 4-frame GIF (frames =
+    // affine-seeded projections of the shingle set), the Spark side runs
+    // GIF encode → ImageIO multi-frame decode → per-frame aHash + dHash
+    // ([[videoHashFrame]]), and videos pair when at least HALF of the
+    // smaller-id side's distinct frame fingerprints appear in the other
+    // (the dedup_containment shape on exact (ah, dh) equality — both
+    // hashes must agree, average for local noise, gradient for brightness
+    // shifts). The oracle replays both hash arithmetics from the planted
+    // histograms, never decoding — the frame-exact GIF round-trip is the
+    // decoder's correctness proof. Map-side hashing; the join shuffles 4
+    // narrow fingerprint rows/doc.
+    Q("dedup_video", {
+      val bit = "CASE WHEN c.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << c.i) END"
+      val dbitSel = "CASE WHEN b.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << b.i) END"
+      val frVals = (0 until VideoFrames)
+        .map(f => s"(${f}, ${H.affineA(f)}, ${H.affineB(f)})").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x
+         |  FROM (${sqlShingleTok("documents")})),
+         |fr AS (SELECT * FROM (VALUES $frVals) t(f, fa, fb)),
+         |hist AS (SELECT doc_id, f, p, least(255, 16 * count(*)) AS v FROM (
+         |    SELECT w.doc_id, fr.f, ((w.x * fr.fa + fr.fb) % ${H.P1}) % 256 AS p
+         |    FROM w CROSS JOIN fr)
+         |  GROUP BY doc_id, f, p),
+         |vd AS (SELECT DISTINCT doc_id FROM w),
+         |acell AS (SELECT i, 32 * (i // 8) + 2 * (i % 8) AS p
+         |  FROM (SELECT unnest(range(64)) AS i)),
+         |asamp AS (SELECT d.doc_id, fr.f, c.i, COALESCE(h.v, 0) AS v
+         |  FROM vd d CROSS JOIN fr CROSS JOIN acell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.f = fr.f AND h.p = c.p),
+         |amean AS (SELECT doc_id, f, sum(v) // 64 AS m
+         |  FROM asamp GROUP BY doc_id, f),
+         |ahash AS (SELECT c.doc_id, c.f,
+         |    COALESCE(bit_or(CASE WHEN c.v > mn.m THEN $bit END),
+         |      CAST(0 AS BIGINT)) AS ah
+         |  FROM asamp c JOIN amean mn ON c.doc_id = mn.doc_id AND c.f = mn.f
+         |  GROUP BY c.doc_id, c.f),
+         |dcell AS (SELECT j, 32 * (j // 9) + ((j % 9) * 16) // 9 AS p
+         |  FROM (SELECT unnest(range(72)) AS j)),
+         |dsamp AS (SELECT d.doc_id, fr.f, c.j, COALESCE(h.v, 0) AS v
+         |  FROM vd d CROSS JOIN fr CROSS JOIN dcell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.f = fr.f AND h.p = c.p),
+         |dbit AS (SELECT i, (i // 8) * 9 + (i % 8) AS jl,
+         |    (i // 8) * 9 + (i % 8) + 1 AS jr
+         |  FROM (SELECT unnest(range(64)) AS i)),
+         |dhash AS (SELECT l.doc_id, l.f,
+         |    COALESCE(bit_or(CASE WHEN r.v > l.v THEN $dbitSel END),
+         |      CAST(0 AS BIGINT)) AS dh
+         |  FROM dbit b
+         |  JOIN dsamp l ON l.j = b.jl
+         |  JOIN dsamp r ON r.j = b.jr AND r.doc_id = l.doc_id AND r.f = l.f
+         |  GROUP BY l.doc_id, l.f),
+         |fp AS (SELECT DISTINCT a.doc_id, a.ah, d.dh
+         |  FROM ahash a JOIN dhash d ON a.doc_id = d.doc_id AND a.f = d.f),
+         |cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+         |sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM fp a JOIN fp b ON a.ah = b.ah AND a.dh = b.dh
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT s.a_id, s.b_id, s.shared, ca.nf AS na, cb.nf AS nb
+         |FROM sh s JOIN cnt ca ON s.a_id = ca.doc_id
+         |  JOIN cnt cb ON s.b_id = cb.doc_id
+         |WHERE 2 * s.shared >= ca.nf
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val fp = videoHashFrame(s, d).select($"doc_id", $"ah", $"dh").distinct()
+      val cnt = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+      val shared = fp.as("a")
+        .join(fp.as("b"),
+          col("a.ah") === col("b.ah") && col("a.dh") === col("b.dh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(cnt.select($"doc_id".as("a_id"), $"nf".as("na")), Seq("a_id"))
+        .join(cnt.select($"doc_id".as("b_id"), $"nf".as("nb")), Seq("b_id"))
+        .filter($"shared" * 2L >= $"na")
+        .select($"a_id", $"b_id", $"shared", $"na", $"nb")
+        .orderBy($"a_id", $"b_id")
+    },
+
     // Corpus mixture rebalancing — the data-mixing primitive: downsample
     // every language stratum to the smallest stratum's token budget with a
     // DETERMINISTIC per-doc hash gate (affine mod 10^6 vs floor(rate·10^6)
@@ -3052,7 +3194,8 @@ object LlmQueries {
     }),
     "ivf_cell_layout" -> ((s, d) => { ivfCellLayout(s, d); () }),
     "bpe_table" -> ((s, d) => { bpeTrained(s, d)._2.count(); () }),
-    "image_hash" -> ((s, d) => { imageHashFrame(s, d).count(); () }))
+    "image_hash" -> ((s, d) => { imageHashFrame(s, d).count(); () }),
+    "video_hash" -> ((s, d) => { videoHashFrame(s, d).count(); () }))
 
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -372,6 +372,97 @@ object Multimodal {
   def imageAHash(data: Array[Byte]): Option[Long] =
     decodeGrayPixels(data).map { case (w, h, g) => aHash64(w, h, g) }
 
+  // ────────────────────── real multi-frame (video) decode ──────────────
+  // The video half of the pixel pipeline: GIF is the one multi-frame
+  // container the JDK can both WRITE and READ deterministically (indexed
+  // color, lossless LZW), so frame-level near-dup runs on real codec
+  // round-trips with no JNI. encodeGifGray → decodeGifFrames is
+  // pixel-exact (MultimodalSpec pins it), which is what lets the
+  // dedup_video oracle replay the per-frame hash arithmetic from the
+  // planted matrices — the same decoder-proof contract as dedup_image.
+
+  /** Encode top-down grayscale frames (all `w×h`, values 0..255) as a
+    * multi-frame GIF via the JDK's ImageIO GIF writer with an explicit
+    * 256-gray indexed palette — lossless, so [[decodeGifFrames]] returns
+    * the planted matrices exactly.
+    */
+  def encodeGifGray(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty &&
+      frames.forall(_.length == w * h), "dims must match every frame")
+    val lut = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, lut, lut, lut)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      frames.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, g(y * w + x) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** FULL multi-frame pixel decode via ImageIO: every frame of the
+    * payload as a top-down grayscale matrix (integer channel mean, like
+    * [[decodeGrayPixels]]). Single-frame formats return one frame; Nil
+    * when no JDK reader claims the payload. Frames are read as stored
+    * rasters (our GIF frames are full-size, so no composition state).
+    */
+  def decodeGifFrames(data: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Nil
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          (0 until n).map { f =>
+            val img = r.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            val gray = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                gray(y * w + x) =
+                  (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, gray)
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => Nil } finally iis.close()
+  }
+
+  /** Decode → per-frame (aHash64, dHash64) fingerprints in one pass: the
+    * per-payload kernel behind `dedup_video`. Both hashes per frame — the
+    * average hash is robust to local noise, the gradient hash to global
+    * brightness shifts; frames match only when BOTH agree.
+    */
+  def videoFrameHashes(data: Array[Byte]): Seq[(Long, Long)] =
+    decodeGifFrames(data).map { case (w, h, g) => (aHash64(w, h, g), dHash64(w, h, g)) }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */
@@ -409,8 +500,10 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampler for "video" payloads: returns `n` evenly spaced
-    * byte-slices standing in for decoded frames.
+  /** STUB frame sampler for payloads with no JDK-decodable frames (e.g.
+    * MP4 — no JDK codec): returns `n` evenly spaced byte-slices standing
+    * in for decoded frames. Multi-frame GIF payloads go through the REAL
+    * [[decodeGifFrames]] path instead.
     */
   def frameSampleStub(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (data.isEmpty || n <= 0) Seq.empty

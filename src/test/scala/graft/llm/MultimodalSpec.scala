@@ -227,6 +227,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(junk == Multimodal.decodeStub("v2", "video/webm", Array[Byte](1, 2, 3)))
   }
 
+  test("multi-frame GIF round-trip is pixel-exact and frame-order-preserving") {
+    val rnd = new scala.util.Random(7)
+    val frames = Seq.fill(4)(Array.fill(16 * 16)(rnd.nextInt(256)))
+    val gif = Multimodal.encodeGifGray(16, 16, frames)
+    // it IS a GIF by signature, and the header decode path sees its dims
+    assert(gif.take(3).map(_.toChar).mkString == "GIF")
+    assert(Multimodal.decodeImage(gif).exists { case (w, h, _) => w == 16 && h == 16 })
+    val back = Multimodal.decodeGifFrames(gif)
+    assert(back.length == 4, s"expected 4 frames, got ${back.length}")
+    back.zip(frames).zipWithIndex.foreach { case (((w, h, g), want), f) =>
+      assert(w == 16 && h == 16)
+      assert(g.sameElements(want), s"frame $f pixels drifted through the codec")
+    }
+    // single-frame formats decode as one frame through the same API
+    val bmp = Multimodal.encodeBmpGray(16, 16, frames.head)
+    val one = Multimodal.decodeGifFrames(bmp)
+    assert(one.length == 1 && one.head._3.sameElements(frames.head))
+    // junk yields Nil, never throws
+    assert(Multimodal.decodeGifFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("videoFrameHashes = per-frame (aHash, dHash) of the planted matrices") {
+    val rnd = new scala.util.Random(11)
+    val frames = Seq.fill(3)(Array.fill(16 * 16)(rnd.nextInt(256)))
+    val hs = Multimodal.videoFrameHashes(Multimodal.encodeGifGray(16, 16, frames))
+    assert(hs.length == 3)
+    hs.zip(frames).foreach { case ((ah, dh), g) =>
+      assert(ah == Multimodal.aHash64(16, 16, g), "aHash drifted through the codec")
+      assert(dh == Multimodal.dHash64(16, 16, g), "dHash drifted through the codec")
+    }
+    // identical frames hash identically; a one-pixel flip that crosses the
+    // mean boundary flips the aHash (the hashes genuinely read pixels)
+    assert(hs.toSet.size == 3, "independent random frames collided")
+  }
+
   test("resize survives a crafted header declaring dims whose product overflows Int") {
     // 131072 × 32768 = 2^32 — srcY*w wraps negative in Int arithmetic; the
     // Long index + bounds check must zero-fill instead of throwing AIOOBE
