@@ -47,6 +47,33 @@ object ShardpackQueries {
   private def readBack(s: SparkSession, d: String): DataFrame =
     s.read.format("shardpack").load(roundtripDir(s, d))
 
+  /** A deliberately fragmented bucket (tiny shard cap → dozens of
+    * underfilled shards), compacted once per (JVM, sfDir) — the input
+    * `shardpack_compact` answers from.
+    */
+  private def compactDir(s: SparkSession, d: String): String = synchronized {
+    val dir = s"/tmp/graft-shardpack/${d.replaceAll("[^A-Za-z0-9.]", "_")}/documents_compact"
+    if (!written.contains(dir)) {
+      documents(s, d)
+        .select(
+          concat(lit("doc_"), lpad($"doc_id".cast(StringType), 8, "0")).as("key"),
+          to_json(struct($"lang", $"source")).cast(BinaryType).as("metadata"),
+          array(struct(
+            lit("text.txt").as("file_name"),
+            lit("text/plain").as("content_type"),
+            lit("").as("encoding"),
+            $"text".cast(BinaryType).as("data"))).as("entries"))
+        .write.format("shardpack")
+        .option("compression", "lz4")
+        .option("shardCapBytes", 64 * 1024)
+        .mode("overwrite")
+        .save(dir)
+      graft.sources.shardpack.ShardpackOps.compact(s, dir, compression = "lz4")
+      written += dir
+    }
+    dir
+  }
+
   /** Two-entry bucket (JSON sidecar + text body) once per (JVM, sfDir) —
     * the multimodal record shape the partial-read path exists for.
     */
@@ -335,6 +362,43 @@ object ShardpackQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       readBack(s, d).agg(count(lit(1)).as("n_records"),
         min($"key").as("min_key"), max($"key").as("max_key"))
+    },
+
+    // The `stats` maintenance verb under the oracle gate: the SAME truth
+    // as shardpack_profile, but answered from the SIDECAR INDEX alone
+    // (per-shard record counts + key envelopes; zero data bytes read —
+    // O(shards) instead of O(records), which at 100 TB is a catalog ping
+    // vs a full scan). `vacuum` runs first as a content no-op, putting
+    // the hygiene verb itself under the gate: if it ever deleted a live
+    // shard, the counts would diverge right here.
+    Q("shardpack_stats",
+      """SELECT count(*) AS n_records,
+        |  concat('doc_', lpad(CAST(min(doc_id) AS VARCHAR), 8, '0')) AS min_key,
+        |  concat('doc_', lpad(CAST(max(doc_id) AS VARCHAR), 8, '0')) AS max_key
+        |FROM documents""".stripMargin) { (s, d) =>
+      val dir = roundtripDir(s, d)
+      graft.sources.shardpack.ShardpackOps.vacuum(dir)
+      graft.sources.shardpack.ShardpackOps.stats(s, dir)
+        .select($"n_records", $"min_key", $"max_key")
+    },
+
+    // The `compact` maintenance verb under the oracle gate: a dedicated
+    // bucket written with a tiny shard cap (dozens of underfilled
+    // shards), compacted through the atomic swap-in rewrite, then
+    // answered with a per-lang rollup — content identity THROUGH the
+    // maintenance rewrite, grouped against the source parquet. A compact
+    // that lost, duplicated, or corrupted one record hash-diverges here.
+    Q("shardpack_compact",
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      s.read.format("shardpack").load(compactDir(s, d))
+        .select(
+          get_json_object($"metadata".cast(StringType), "$.lang").as("lang"),
+          octet_length(element_at($"entries", 1).getField("data")).as("nb"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"nb".cast(LongType)).as("total_bytes"))
+        .orderBy($"lang")
     },
 
     // Z-ORDER clustered layout: events keyed by morton(user_id, hour), so

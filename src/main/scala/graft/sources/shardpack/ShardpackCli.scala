@@ -36,6 +36,7 @@ object ShardpackCli {
       |                    [--metadata key=value]...
       |  shardpack compact --dir DIR [--min-fill F]
       |  shardpack vacuum  --dir DIR [--older-than-ms N]
+      |  shardpack stats   --dir DIR
       |  shardpack delete  --dir DIR --keys k1,k2,...
       |  shardpack zorder  --dir DIR --output DIR --x SQLEXPR --y SQLEXPR
       |                    [--compression none|gzip|lz4|zstd|snappy]""".stripMargin
@@ -116,6 +117,14 @@ object ShardpackCli {
       ShardpackOps.vacuum(req(f, "--dir"),
         olderThanMs = f.get("--older-than-ms").map(_.toLong)
           .getOrElse(24L * 3600 * 1000))
+    case "stats" :: rest =>
+      val (f, _) = parseFlags(rest, Set("--dir"))
+      ShardpackOps.stats(spark, req(f, "--dir")).collect().foreach { r =>
+        // scalastyle:off println
+        println(s"shards=${r.getLong(0)} records=${r.getLong(1)} " +
+          s"bytes=${r.getLong(2)} min_key=${r.getString(3)} max_key=${r.getString(4)}")
+        // scalastyle:on println
+      }
     case "delete" :: rest =>
       val (f, _) = parseFlags(rest, Set("--dir", "--keys"))
       ShardpackOps.deleteKeys(spark, req(f, "--dir"),

@@ -239,6 +239,39 @@ object ShardpackOps {
     stale.length + staleDirs.length + expired.size
   }
 
+  /** Sidecar-first bucket profile — the `stats` maintenance verb: one row
+    * (n_shards, n_records, total_bytes, min_key, max_key) computed from
+    * the INDEX alone, O(shards) with zero data bytes read — at 100 TB the
+    * difference between a catalog ping and a full scan. The sidecar is
+    * validated against a fresh listing (every listed shard present at its
+    * listed length) and rebuilt via the distributed footer reader when
+    * stale, so post-compact/delete listings never serve stale counts.
+    * Driver memory is one Entry per shard (the same bound the CLI's other
+    * verbs already carry).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(HadoopConfs.session())
+    val listed = ShardpackDataSource.listShards(fs, p)
+      .map(st => (st.getPath.getName, st.getLen))
+    def loadValid(): Option[Seq[ShardpackIndex.Entry]] =
+      ShardpackIndex.load(fs, p).flatMap { m =>
+        val es = listed.map { case (n, l) => m.get(n).filter(_.len == l) }
+        if (es.forall(_.isDefined)) Some(es.map(_.get).toSeq) else None
+      }
+    val entries = loadValid().getOrElse {
+      ShardpackIndex.build(spark, dir)
+      loadValid().getOrElse(Seq.empty)
+    }
+    val ranges = entries.flatMap(_.range)
+    import spark.implicits._
+    Seq((entries.size.toLong, entries.map(_.nRecords).sum,
+      entries.map(_.len).sum,
+      if (ranges.isEmpty) null else ranges.map(_._1).min,
+      if (ranges.isEmpty) null else ranges.map(_._2).max))
+      .toDF("n_shards", "n_records", "total_bytes", "min_key", "max_key")
+  }
+
   def compact(spark: SparkSession, dir: String, minFill: Double = 0.5,
       shardCap: Long = ShardpackFormat.DefaultShardCap,
       compression: String = ShardpackFormat.Codec.None,
