@@ -355,10 +355,24 @@ object VectorIndex {
   /** Top-`probe` coarse-group ids for a (v, n2) row, by descending cosine
     * with ties to the smaller gid — the same (cos, −cid) order the
     * assignment argmax uses, so probe-rank-1 IS the row's nearest coarse
-    * group. Runs as a closure over the broadcast coarse array (no plan
-    * literals — the whole point of the path).
+    * group. Production path: the [[graft.functions.CoarseProbe]] codegen
+    * expression over an `addReferenceObj` broadcast handle (no plan
+    * literals — the whole point of the path; no per-row ScalaUDF
+    * encoder/boxing either).
     */
-  private def probeUdf(
+  private def probeCol(
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.CoarseProbeKernel.Groups],
+      probe: Int, v: Column, n2: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CoarseProbe(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        org.apache.spark.sql.graftbridge.Bridge.expression(n2), bc, probe))
+
+  /** The interpreted-UDF formulation [[probeCol]] replaced — retained
+    * ONLY as the A/B reference CellAssignCutoverSpec pins the expression
+    * against (same Double op order, same tuple-sorted total ordering).
+    */
+  private[llm] def probeUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]],
       probe: Int) =
     udf((v: Seq[Long], n2: Long) => {
@@ -389,13 +403,14 @@ object VectorIndex {
       probe: Int = DefaultAssignProbe): DataFrame = {
     val spark = df.sparkSession
     val coarse = coarseRows(centDf, k)
-    val bcAll = spark.sparkContext.broadcast(coarse)
+    val bcAll = spark.sparkContext.broadcast(
+      graft.functions.CoarseProbeKernel.pack(coarse))
     // exact coarse-group membership for every centroid: rank-1 probe
     // (argmax over ALL K1 groups — no pruning at this level)
-    val gcu = probeUdf(bcAll, 1)
     val members = graft.FrameRegistry.transient(spark, "cell_members",
       centDf
-        .withColumn("g", gcu(col("cv"), col("cn2")).getItem(0))
+        .withColumn("g",
+          element_at(probeCol(bcAll, 1, col("cv"), col("cn2")), 1))
         .groupBy(col("g"))
         .agg(collect_list(struct(col("cid"), col("cv"), col("cn2"))).as("members")))
     // rows probe MEMBER-BEARING groups only: duplicate coarse centroids
@@ -409,12 +424,12 @@ object VectorIndex {
     // in SOME live group, so `probe >= live-group count` still scans all
     // K (the CellAssignCutoverSpec pin).
     val liveGids = members.select(col("g")).collect().map(_.getLong(0)).toSet
-    val bc = spark.sparkContext.broadcast(coarse.filter(c => liveGids(c._1)))
-    val pu = probeUdf(bc, probe)
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.CoarseProbeKernel.pack(coarse.filter(c => liveGids(c._1))))
     val hasN2 = df.columns.contains("n2")
     val base = if (hasN2) df else df.withColumn("n2", qnorm2(col("v")))
     val best = base.select(col("vec_id"), col("v"), col("n2"))
-      .withColumn("g", explode(pu(col("v"), col("n2"))))
+      .withColumn("g", explode(probeCol(bc, probe, col("v"), col("n2"))))
       .join(members, Seq("g"))
       .select(col("vec_id"),
         array_max(transform(col("members"), c => struct(

@@ -58,6 +58,36 @@ class QVecCodegenSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("coarse_probe compiles inside a whole-stage codegen stage") {
+    withNoCodegenFallback {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import spark.implicits._
+      val groups = CoarseProbeKernel.pack(Array(
+        (0L, Array(1L, 0L), 1L),
+        (1L, Array(0L, 1L), 1L),
+        (2L, Array(1L, 1L), 2L)))
+      val bc = spark.sparkContext.broadcast(groups)
+      val df = Seq(
+        (1L, Array(10L, 0L), 100L),
+        (2L, Array(0L, 7L), 49L),
+        (3L, Array(5L, 5L), 50L)
+      ).toDF("vec_id", "v", "n2").repartition(2)
+      val q = df.select($"vec_id",
+        Bridge.column(CoarseProbe(
+          Bridge.expression($"v"), Bridge.expression($"n2"), bc, 2)).as("g"))
+      val got = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("*(1) Project"), finalPlan)
+      assert(finalPlan.contains("coarse_probe"), finalPlan)
+      // row 1 is the x-axis: group 0 (cos 1), then the diagonal group 2
+      assert(got(1L) == Vector(0L, 2L))
+      assert(got(2L) == Vector(1L, 2L))
+      // the diagonal row: group 2 is parallel (cos 1); groups 0 and 1 tie
+      // at equal cosine and the tie breaks to the smaller gid
+      assert(got(3L) == Vector(2L, 0L))
+    }
+  }
+
   test("null handling compiles and matches interpreted semantics") {
     withNoCodegenFallback {
       // length mismatch and null ELEMENTS both yield null, from generated

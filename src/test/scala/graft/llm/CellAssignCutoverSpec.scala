@@ -53,6 +53,29 @@ class CellAssignCutoverSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0, s"$diff of ${literal.size} assignments diverge")
   }
 
+  test("coarse_probe codegen expression is row-identical to the retired UDF") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val eq = plantedEq(30, 10)
+    val cents = VectorIndex.centroids(eq, 25)
+    val coarse = cents.map { case (cid, cv) =>
+      (cid, cv, cv.map(x => x * x).sum)
+    }.sortBy(_._1).toArray
+    val bcTuples = spark.sparkContext.broadcast(coarse)
+    val bcPacked = spark.sparkContext.broadcast(
+      graft.functions.CoarseProbeKernel.pack(coarse))
+    for (probe <- Seq(1, 3, coarse.length)) {
+      val viaUdf = eq.select(col("vec_id"),
+          VectorIndex.probeUdf(bcTuples, probe)(col("v"), col("n2")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val viaExpr = eq.select(col("vec_id"),
+          Bridge.column(graft.functions.CoarseProbe(
+            Bridge.expression(col("v")), Bridge.expression(col("n2")),
+            bcPacked, probe)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(viaExpr == viaUdf, s"probe=$probe: expression diverges from UDF")
+    }
+  }
+
   test("distributed Lloyd round matches driver floor-mean arithmetic") {
     val eq = plantedEq(50, 20)
     val k = 32
