@@ -30,6 +30,33 @@ import org.apache.spark.sql.types._
   * ADMITTED content (≤ 1 row per seen hash, ≤ `bands` rows per admitted
   * doc), never by stream length; at scale both tables live columnar and
   * the merge is one narrow-key shuffle per epoch.
+  *
+  * ── REORDERED replay (events arriving out of event-time order) ──
+  * The contract weakens deterministically (StreamingCurationSpec pins
+  * each clause):
+  *
+  *  1. EXACT stage — same sha CLASSES, possibly different
+  *     representatives: the seen table keeps the first-ARRIVED claimant
+  *     per sha (within an epoch, the (ts, doc_id)-min), so the set of
+  *     distinct hashes kept equals the batch run's exactly; which doc
+  *     represents a duplicate class may differ from batch's global
+  *     (ts, doc_id)-min. Published docs are never un-published, so this
+  *     is the strongest exact-dedup guarantee any order-free stream can
+  *     give.
+  *  2. NEAR-DUP stage — drops stay JUSTIFIED, some drops arrive late:
+  *     the claim merge is an associative (ts, doc_id)-min, so the claim
+  *     table CONVERGES to the same fixed point regardless of arrival
+  *     order; but a doc is dropped only against the claims visible in
+  *     its own epoch. Every streamed drop therefore has a genuinely
+  *     earlier same-bucket claimant (precision is preserved); a doc can
+  *     survive whose earlier claimant arrived later (recall is
+  *     deferred).
+  *  3. [[resolveFinal]] closes clause 2: re-resolving the kept union
+  *     against the CONVERGED claim table retroactively applies the
+  *     deferred drops, after which the near-dup decision equals a
+  *     one-shot batch run over the streamed exact-stage winners — i.e.
+  *     the only residual order dependence left is clause 1's
+  *     representative choice.
   */
 object StreamingCuration {
 
@@ -167,6 +194,32 @@ object StreamingCuration {
     kept.count(); stNew.claims.count(); stNew.seen.count()
     st.claims.unpersist(); st.seen.unpersist()
     (kept, stNew)
+  }
+
+  /** Retroactive claim re-resolution for REORDERED replays: drop from
+    * `kept` (the union of per-epoch kept docs, carrying doc_id/ts/text)
+    * every doc that lost any band bucket to an earlier claimant in the
+    * CONVERGED claim table — the deferred drops an out-of-order arrival
+    * schedule could not make in-epoch (object doc, clause 3). Idempotent,
+    * and a no-op for event-time-ordered replays (their in-epoch drops
+    * already saw every earlier claimant). One narrow band-keyed join;
+    * runs at publication time (end of stream / window close).
+    */
+  def resolveFinal(kept: DataFrame, st: State, m: Model): DataFrame = {
+    val numPerm = m.numPerm; val bands = m.bands
+    val slots = udf((text: String) =>
+      graft.streaming.StreamingOps.bandHashes(text, numPerm, bands))
+    val hits = kept
+      .select(col("doc_id"), col("ts"), explode(slots(col("text"))).as("e"))
+      .select(col("e._1").as("band"), col("e._2").as("sig"),
+        col("ts"), col("doc_id"))
+    val dropped = hits
+      .join(st.claims.select(col("band"), col("sig"),
+        col("ts").as("__cts"), col("doc_id").as("__cdoc")), Seq("band", "sig"))
+      .filter(struct(col("__cts"), col("__cdoc")) <
+        struct(col("ts"), col("doc_id")))
+      .select(col("doc_id")).distinct()
+    kept.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** The streaming wrapper: run [[epoch]] per micro-batch via

@@ -89,6 +89,70 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("REORDERED replay: sha-class parity, justified drops, converged re-resolution") {
+    import graft.streaming.StreamingOps
+    // route docs to epochs by doc_id % 3 — event-time order is violated
+    // both within and across epochs (epoch 0 contains later-ts docs than
+    // epoch 1's earliest)
+    var st = StreamingCuration.emptyState(spark)
+    var keptUnion: DataFrame = null
+    var keptIds = Set.empty[Long]
+    for (r <- 0 until 3) {
+      val batch = input.filter(col("doc_id") % 3 === r)
+      val (kept, st2) = StreamingCuration.epoch(batch, st, model)
+      keptIds ++= kept.select(col("doc_id")).collect().map(_.getLong(0))
+      keptUnion = if (keptUnion == null) kept else keptUnion.unionAll(kept)
+      st = st2
+    }
+    // the batch reference: one-shot epoch state
+    val (bKept, bSt) = StreamingCuration.epoch(input,
+      StreamingCuration.emptyState(spark), model)
+
+    // clause 1 — exact stage keeps the same sha CLASSES (reps may differ)
+    val streamedShas = st.seen.select(col("sha")).collect().map(_.getString(0)).toSet
+    val batchShas = bSt.seen.select(col("sha")).collect().map(_.getString(0)).toSet
+    assert(streamedShas == batchShas,
+      s"sha classes diverged: only-streamed=${(streamedShas -- batchShas).take(3)}")
+
+    // clause 2 — every streamed drop is justified: an exact-stage winner
+    // that was dropped has an earlier (ts, doc_id) same-bucket winner
+    val winners = st.seen.select(col("doc_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val texts = input.collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getString(2))).toMap
+    val buckets = winners.keys.map { id =>
+      id -> StreamingOps.bandHashes(texts(id)._2, model.numPerm, model.bands).toSet
+    }.toMap
+    val minClaim = buckets.toSeq
+      .flatMap { case (id, bs) => bs.map(b => b -> ((winners(id).getTime, id))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val dropped = winners.keySet -- keptIds
+    dropped.foreach { id =>
+      val key = (winners(id).getTime, id)
+      assert(buckets(id).exists(b => Ordering[(Long, Long)].lt(minClaim(b), key)),
+        s"doc $id was dropped without an earlier same-bucket claimant")
+    }
+
+    // clause 3 — resolveFinal == one-shot batch near-dup decision over
+    // the streamed exact-stage winners (the replica below)
+    val resolved = StreamingCuration.resolveFinal(keptUnion, st, model)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val replicaKept = winners.keySet.filter { id =>
+      val key = (winners(id).getTime, id)
+      buckets(id).forall(b => Ordering[(Long, Long)].gteq(minClaim(b), key))
+    }
+    info(s"streamed kept ${keptIds.size}, resolved ${resolved.size}, " +
+      s"batch kept ${bKept.count()}")
+    assert(resolved == replicaKept,
+      s"only-resolved=${(resolved -- replicaKept).take(5)} " +
+        s"only-replica=${(replicaKept -- resolved).take(5)}")
+    // and resolveFinal only ever removes (never resurrects)
+    assert(resolved.subsetOf(keptIds))
+    keptUnion.unpersist(); bKept.unpersist()
+    st.claims.unpersist(); st.seen.unpersist()
+    bSt.claims.unpersist(); bSt.seen.unpersist()
+  }
+
   test("micro-batch claim table agrees with the keyed-state operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
