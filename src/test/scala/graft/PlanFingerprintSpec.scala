@@ -38,6 +38,25 @@ class PlanFingerprintSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sf1 section is armed and covers every registered query") {
+    // AQE join-strategy flips (broadcast→SMJ demotions) happen at scale
+    // boundaries sf0.01 can't see (VERDICT r10 #5). The sf1 fingerprints
+    // are OWNED by PlanAudit's main over testdata-sf1 (recomputing them
+    // here would re-run every memo build at sf1 on each `sbt test`);
+    // this case pins the cheap invariant that catches the silent failure
+    // mode — a query added or renamed without its sf1 plan recorded, or
+    // a stale entry surviving a rename. Drift within an armed section is
+    // PlanAudit's job: `runMain graft.PlanAudit testdata-sf1` prints it,
+    // SPARK_GRAFT_REGEN_PLANS=1 rebaselines after a deliberate change.
+    val sf1 = Plans.load().getOrElse("testdata-sf1", Map.empty)
+    assert(sf1.nonEmpty, "testdata-sf1 section of PLANS.json not armed")
+    val registered = SparkEntry.all.map(_.name).toSet
+    val missing = registered -- sf1.keySet
+    val stale = sf1.keySet -- registered
+    assert(missing.isEmpty, s"queries with no sf1 fingerprint: ${missing.toSeq.sorted}")
+    assert(stale.isEmpty, s"sf1 fingerprints for unregistered queries: ${stale.toSeq.sorted}")
+  }
+
   test("diff flags planted regressions: demotion, new query, stale entry") {
     val committed = Plans.load().getOrElse("sf0.01", Map.empty)
     assume(committed.nonEmpty, "sf0.01 section not armed")

@@ -153,6 +153,42 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     bSt.claims.unpersist(); bSt.seen.unpersist()
   }
 
+  test("state lineage depth is genuinely bounded by the periodic local checkpoint") {
+    // persist+count materializes but does NOT truncate: without the
+    // LineageCutEvery localCheckpoint, the claims plan grows ~linearly in
+    // epoch count and any cache eviction re-executes the whole chain.
+    // Enter two epochs BEFORE the cut boundary (epochNo is just a
+    // counter, so starting high exercises the boundary without paying 8
+    // full epochs): the plan must grow across persist epochs, collapse
+    // to a bare materialized scan at the cut, and grow from that small
+    // base afterwards.
+    def nodes(df: DataFrame): Int =
+      df.queryExecution.logical.collect { case p => p }.size
+    val cut = StreamingCuration.LineageCutEvery
+    var st = StreamingCuration.emptyState(spark)
+      .copy(epochNo = cut.toLong - 2)
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    for (r <- 0 until 4) { // epochNos cut-1, cut, cut+1, cut+2
+      val batch = input.filter(col("doc_id") % 4 === r)
+      val (kept, st2) = StreamingCuration.epoch(batch, st, model)
+      kept.unpersist()
+      st = st2
+      sizes += nodes(st.claims)
+    }
+    info(s"claims plan node counts at epochs ${cut - 1}..${cut + 2}: " +
+      sizes.mkString(", "))
+    assert(sizes(1) < sizes(0),
+      s"cut epoch $cut did not truncate lineage: ${sizes.mkString(", ")}")
+    assert(sizes(1) <= 4,
+      s"cut epoch's plan is not a bare scan: ${sizes(1)} nodes")
+    // growth resumes from the truncated base (one epoch's ops over a bare
+    // scan — comparable to the first epoch's chain, not stacked on it)
+    assert(sizes(2) > sizes(1) && sizes(3) > sizes(2))
+    assert(sizes(2) <= sizes(0) + 4,
+      "post-cut chain carries more than one epoch of lineage")
+    st.claims.unpersist(); st.seen.unpersist()
+  }
+
   test("micro-batch claim table agrees with the keyed-state operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
