@@ -736,22 +736,31 @@ object LlmQueries {
     */
   private val imageHashMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The sparse planted-pixel frame (doc_id, ps, vs) both image queries
+    * decode from: per doc, the non-zero cells of its 16×16 grayscale
+    * rendering. One (doc, bucket)-granular map-combined aggregate.
+    */
+  private def imageSparse(s: SparkSession, d: String): DataFrame = {
+    // shingle buckets, not unigram buckets: the driver corpus has ~31
+    // distinct words, so a unigram histogram saturates into one shared
+    // image (measured: 82% of ALL pairs within Hamming 3). 3-gram
+    // shingles are the same sparsity fix dedup_minhash rides.
+    val hist = shingleTok(documents(s, d))
+      .select($"doc_id", (H.wordHash($"w") % 256).cast(IntegerType).as("p"))
+      .groupBy($"doc_id", $"p").agg(count(lit(1)).as("c"))
+      .select($"doc_id", $"p",
+        least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
+    hist.groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
+      .select($"doc_id",
+        transform($"pv", e => e.getField("p")).as("ps"),
+        transform($"pv", e => e.getField("v")).as("vs"))
+  }
+
   private def imageHashFrame(s: SparkSession, d: String): DataFrame =
     imageHashMemo.computeIfAbsent((s, d), _ => {
-      // shingle buckets, not unigram buckets: the driver corpus has ~31
-      // distinct words, so a unigram histogram saturates into one shared
-      // image (measured: 82% of ALL pairs within Hamming 3). 3-gram
-      // shingles are the same sparsity fix dedup_minhash rides.
-      val hist = shingleTok(documents(s, d))
-        .select($"doc_id", (H.wordHash($"w") % 256).cast(IntegerType).as("p"))
-        .groupBy($"doc_id", $"p").agg(count(lit(1)).as("c"))
-        .select($"doc_id", $"p",
-          least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
-      val sparse = hist.groupBy($"doc_id")
-        .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
-        .select($"doc_id",
-          transform($"pv", e => e.getField("p")).as("ps"),
-          transform($"pv", e => e.getField("v")).as("vs"))
+      val sparse = imageSparse(s, d)
       val hashUdf = udf((ps: Seq[Int], vs: Seq[Int]) => {
         val gray = new Array[Int](256)
         var i = 0
@@ -2841,6 +2850,53 @@ object LlmQueries {
         .filter($"shared" * 2L >= $"na")
         .select($"a_id", $"b_id", $"shared", $"na", $"nb")
         .orderBy($"a_id", $"b_id")
+    },
+
+    // REAL pixel-derived image features — the feature-extraction
+    // counterpart of dedup_image, replacing the "embedding model" gap
+    // with a decoded-pixel statistic under the oracle gate: each doc's
+    // 16×16 grayscale rendering goes through the full BMP encode → ImageIO
+    // pixel decode, and the features are the 8-bucket intensity histogram
+    // (counts of gray >> 5) plus the floor mean — all exact integers, so
+    // the oracle replays them from the planted cells without decoding
+    // (the byte-histogram extractStub stays only for payloads no JDK
+    // codec claims). Map-side decode, vocabulary-free, 72 B/doc output.
+    Q("multimodal_image_features", {
+      val fCols = (0 until 8).map(i =>
+        s"CAST(sum(CASE WHEN (COALESCE(h.v, 0) >> 5) = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
+         |  FROM (${sqlShingleTok("documents")})),
+         |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
+         |  FROM w GROUP BY doc_id, p),
+         |cell AS (SELECT CAST(unnest(range(256)) AS INT) AS p)
+         |SELECT d.doc_id,
+         |  $fCols,
+         |  CAST(sum(COALESCE(h.v, 0)) // 256 AS BIGINT) AS mean_gray
+         |FROM (SELECT DISTINCT doc_id FROM hist) d
+         |CROSS JOIN cell c
+         |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.p = c.p
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((ps: Seq[Int], vs: Seq[Int]) => {
+        val gray = new Array[Int](256)
+        var i = 0
+        while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
+        val bmp = Multimodal.encodeBmpGray(16, 16, gray)
+        val (_, _, px) = Multimodal.decodeGrayPixels(bmp).getOrElse(
+          sys.error("BMP pixel round-trip failed"))
+        val hist8 = new Array[Long](8)
+        var sum = 0L
+        var j = 0
+        while (j < px.length) { hist8(px(j) >> 5) += 1L; sum += px(j); j += 1 }
+        (hist8.toSeq, sum / 256L)
+      })
+      imageSparse(s, d)
+        .select($"doc_id", featUdf($"ps", $"vs").as("e"))
+        .select(($"doc_id" +: (0 until 8).map(i =>
+          element_at($"e._1", i + 1).as(s"f$i"))) :+ $"e._2".as("mean_gray"): _*)
+        .orderBy($"doc_id")
     },
 
     // Corpus mixture rebalancing — the data-mixing primitive: downsample
