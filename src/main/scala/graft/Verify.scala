@@ -27,6 +27,10 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // the one-line message hides root causes entirely (an sf10
+          // context-stop printed only "you hit a bug in Spark"); the
+          // driver greps its own pattern, so the trace is free diagnosis
+          e.printStackTrace(System.err)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2710,14 +2710,23 @@ object LlmQueries {
     // pixel decode: every doc renders as a deterministic 16×16 grayscale
     // BMP, the Spark side runs encode → ImageIO pixel decode → 8×8 aHash
     // ([[imageHashFrame]]), hashes band into 4×16-bit slices and the
-    // band join + Hamming ≤ 3 filter yields candidate pairs — pigeonhole-
-    // exact recall (≤3 differing bits can touch at most 3 of 4 bands).
-    // The oracle never decodes: it replays the hash arithmetic from the
-    // histogram the pixels were planted from, so any decoder deviation
-    // hash-diverges. Bit 63 is built via the min-long literal (DuckDB
-    // raises on 1<<63) and band slices mask after an arithmetic shift —
-    // sign-identical in both engines. Map-side hashing, band-keyed
-    // shuffle bounded by 4 rows/doc: the minhash band-join scale shape.
+    // band join + Hamming ≤ 3 filter finds near-dup neighbors —
+    // pigeonhole-exact recall (≤3 differing bits can touch at most 3 of
+    // 4 bands). OUTPUT IS CLUSTER-REPRESENTATIVE, not pair enumeration:
+    // per doc, the minimum doc_id among all docs whose hash is within
+    // Hamming 3 (the production dedup decision). Pair output died at
+    // sf10 — the synthetic corpus's hash neighborhoods are dense (3.1M
+    // doc pairs at sf1 from 50k docs, ~quadratic beyond), so enumerating
+    // pairs materializes an O(cluster²) result no matter how the join is
+    // arranged. The rep formulation collapses identical hashes FIRST
+    // (one band row per DISTINCT hash, min-doc anchor), and the
+    // quadratic candidate stream ends in min() aggregates — map-side
+    // combinable, nothing pair-shaped survives a shuffle, output is one
+    // row per doc at every scale. The oracle never decodes: it replays
+    // the hash arithmetic from the histogram the pixels were planted
+    // from, so any decoder deviation hash-diverges. Bit 63 is built via
+    // the min-long literal (DuckDB raises on 1<<63); band slices mask
+    // after an arithmetic shift — sign-identical in both engines.
     Q("dedup_image", {
       val bit = "CASE WHEN s.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
         "ELSE (CAST(1 AS BIGINT) << s.i) END"
@@ -2737,50 +2746,57 @@ object LlmQueries {
          |      CAST(0 AS BIGINT)) AS h
          |  FROM samp s JOIN mean mn ON s.doc_id = mn.doc_id
          |  GROUP BY s.doc_id),
-         |bands AS (SELECT doc_id, h, b, (h >> (16 * b)) & 65535 AS bv
-         |  FROM hash, (SELECT unnest(range(4)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT c.a_id, c.b_id,
-         |  CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS dist
-         |FROM cand c JOIN hash ha ON c.a_id = ha.doc_id
-         |  JOIN hash hb ON c.b_id = hb.doc_id
-         |WHERE bit_count(xor(ha.h, hb.h)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin
+         |hg AS (SELECT h, min(doc_id) AS mdoc FROM hash GROUP BY h),
+         |bands AS (SELECT h, mdoc, b, (h >> (16 * b)) & 65535 AS bv
+         |  FROM hg, (SELECT unnest(range(4)) AS b)),
+         |nbr AS (SELECT a.h AS h, min(b.mdoc) AS rep
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |  WHERE bit_count(xor(a.h, b.h)) <= 3
+         |  GROUP BY a.h)
+         |SELECT hs.doc_id, n.rep AS rep_id, (n.rep < hs.doc_id) AS is_dup
+         |FROM hash hs JOIN nbr n ON hs.h = n.h
+         |ORDER BY hs.doc_id""".stripMargin
     }) { (s, d) =>
       val hashed = imageHashFrame(s, d)
-      val bands = hashed.select($"doc_id", $"h",
+      // exact-image collapse: one band row per DISTINCT hash with its
+      // min-doc anchor — the identical-image cliques (the quadratic
+      // core) never reach the join
+      val hg = hashed.groupBy($"h").agg(min($"doc_id").as("mdoc"))
+      val bands = hg.select($"h", $"mdoc",
         explode(array((0 until 4).map(b => struct(lit(b).as("b"),
           shiftright($"h", b * 16).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("e"))
-        .select($"doc_id", $"e.b".as("b"), $"e.bv".as("bv"))
-      val cand = bands.as("a")
+        .select($"h", $"mdoc", $"e.b".as("b"), $"e.bv".as("bv"))
+      // a hash meets itself in every band (dist 0), so every hash gets a
+      // rep ≤ its own anchor — the inner joins below can never drop a doc
+      val nbrMin = bands.as("a")
         .join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(hashed.select($"doc_id".as("a_id"), $"h".as("ha")), Seq("a_id"))
-        .join(hashed.select($"doc_id".as("b_id"), $"h".as("hb")), Seq("b_id"))
-        .withColumn("dist", bit_count($"ha".bitwiseXOR($"hb")).cast(IntegerType))
-        .filter($"dist" <= 3)
-        .select($"a_id", $"b_id", $"dist")
-        .orderBy($"a_id", $"b_id")
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv"))
+        .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 3)
+        .groupBy(col("a.h").as("h"))
+        .agg(min(col("b.mdoc")).as("rep"))
+      hashed.join(nbrMin, Seq("h"))
+        .select($"doc_id", $"rep".as("rep_id"), ($"rep" < $"doc_id").as("is_dup"))
+        .orderBy($"doc_id")
     },
 
     // Video near-dup — the multi-frame extension of dedup_image over a
     // REAL codec round-trip: each doc renders as a 4-frame GIF (frames =
     // affine-seeded projections of the shingle set), the Spark side runs
     // GIF encode → ImageIO multi-frame decode → per-frame aHash + dHash
-    // ([[videoHashFrame]]), and videos pair when at least HALF of the
-    // smaller-id side's distinct frame fingerprints appear in the other
+    // ([[videoHashFrame]]), and a video is near-dup of another when at
+    // least HALF of its distinct frame fingerprints appear in the other
     // (the dedup_containment shape on exact (ah, dh) equality — both
     // hashes must agree, average for local noise, gradient for brightness
-    // shifts). The oracle replays both hash arithmetics from the planted
-    // histograms, never decoding — the frame-exact GIF round-trip is the
-    // decoder's correctness proof. Map-side hashing; the join shuffles 4
-    // narrow fingerprint rows/doc.
+    // shifts). OUTPUT IS CLUSTER-REPRESENTATIVE (dedup_image's shape):
+    // per doc, the min doc_id over half-containing videos. Identical
+    // frame-SETS collapse first (canonical sorted-distinct fingerprint
+    // list, min-doc anchor), so exact video dups — the quadratic core at
+    // scale — never reach the containment join; a set half-contains
+    // itself, so no doc can drop through the inner joins. The oracle
+    // replays both hash arithmetics from the planted histograms, never
+    // decoding — the frame-exact GIF round-trip is the decoder's
+    // correctness proof. Map-side hashing; shuffles carry fingerprint
+    // rows per DISTINCT set and doc-count-sized results only.
     Q("dedup_video", {
       val bit = "CASE WHEN c.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
         "ELSE (CAST(1 AS BIGINT) << c.i) END"
@@ -2823,33 +2839,51 @@ object LlmQueries {
          |  JOIN dsamp l ON l.j = b.jl
          |  JOIN dsamp r ON r.j = b.jr AND r.doc_id = l.doc_id AND r.f = l.f
          |  GROUP BY l.doc_id, l.f),
-         |fp AS (SELECT DISTINCT a.doc_id, a.ah, d.dh
+         |fpf AS (SELECT a.doc_id,
+         |    CAST(a.ah AS VARCHAR) || ':' || CAST(d.dh AS VARCHAR) AS k
          |  FROM ahash a JOIN dhash d ON a.doc_id = d.doc_id AND a.f = d.f),
-         |cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
-         |sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM fp a JOIN fp b ON a.ah = b.ah AND a.dh = b.dh
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT s.a_id, s.b_id, s.shared, ca.nf AS na, cb.nf AS nb
-         |FROM sh s JOIN cnt ca ON s.a_id = ca.doc_id
-         |  JOIN cnt cb ON s.b_id = cb.doc_id
-         |WHERE 2 * s.shared >= ca.nf
-         |ORDER BY a_id, b_id""".stripMargin
+         |fps AS (SELECT doc_id, list_sort(list_distinct(list(k))) AS fp
+         |  FROM fpf GROUP BY doc_id),
+         |sets AS (SELECT fp, min(doc_id) AS mdoc, len(fp) AS n
+         |  FROM fps GROUP BY fp),
+         |expl AS (SELECT mdoc, n, unnest(fp) AS k FROM sets),
+         |sh AS (SELECT a.mdoc AS am, a.n AS an, b.mdoc AS bm,
+         |    count(*) AS shared
+         |  FROM expl a JOIN expl b ON a.k = b.k
+         |  GROUP BY a.mdoc, a.n, b.mdoc),
+         |rep AS (SELECT am, min(bm) AS rep FROM sh
+         |  WHERE 2 * shared >= an GROUP BY am),
+         |docset AS (SELECT f.doc_id, s.mdoc FROM fps f JOIN sets s ON f.fp = s.fp)
+         |SELECT d.doc_id, r.rep AS rep_id, (r.rep < d.doc_id) AS is_dup
+         |FROM docset d JOIN rep r ON d.mdoc = r.am
+         |ORDER BY d.doc_id""".stripMargin
     }) { (s, d) =>
-      val fp = videoHashFrame(s, d).select($"doc_id", $"ah", $"dh").distinct()
-      val cnt = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
-      val shared = fp.as("a")
-        .join(fp.as("b"),
-          col("a.ah") === col("b.ah") && col("a.dh") === col("b.dh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // canonical sorted-distinct fingerprint set per doc (fingerprints
+      // ride as "ah:dh" strings — exact decimal rendering is identical
+      // in both engines, and any consistent canonical order yields the
+      // same doc partition), then identical sets collapse to one anchor
+      // (min doc) before the containment join
+      val fps = videoHashFrame(s, d)
+        .select($"doc_id", concat($"ah".cast(StringType), lit(":"),
+          $"dh".cast(StringType)).as("k"))
+        .groupBy($"doc_id")
+        .agg(array_sort(array_distinct(collect_list($"k"))).as("fp"))
+      val sets = fps.groupBy($"fp").agg(min($"doc_id").as("mdoc"))
+        .withColumn("n", size($"fp").cast(LongType))
+      val expl = sets.select($"mdoc", $"n", explode($"fp").as("k"))
+      // a set shares all n of its own fingerprints with itself, so every
+      // set qualifies against itself — the rep join is total
+      val sh = expl.as("a")
+        .join(expl.as("b"), col("a.k") === col("b.k"))
+        .groupBy(col("a.mdoc").as("am"), col("a.n").as("an"),
+          col("b.mdoc").as("bm"))
         .agg(count(lit(1)).as("shared"))
-      shared
-        .join(cnt.select($"doc_id".as("a_id"), $"nf".as("na")), Seq("a_id"))
-        .join(cnt.select($"doc_id".as("b_id"), $"nf".as("nb")), Seq("b_id"))
-        .filter($"shared" * 2L >= $"na")
-        .select($"a_id", $"b_id", $"shared", $"na", $"nb")
-        .orderBy($"a_id", $"b_id")
+      val rep = sh.filter($"shared" * 2L >= $"an")
+        .groupBy($"am").agg(min($"bm").as("rep"))
+      fps.join(sets.select($"fp", $"mdoc"), Seq("fp"))
+        .join(rep, $"mdoc" === $"am")
+        .select($"doc_id", $"rep".as("rep_id"), ($"rep" < $"doc_id").as("is_dup"))
+        .orderBy($"doc_id")
     },
 
     // REAL pixel-derived image features — the feature-extraction

@@ -303,7 +303,13 @@ object Multimodal {
     */
   def decodeGrayPixels(data: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      // explicit memory-cache stream: ImageIO.read(InputStream) wraps in
+      // a FileCache stream by default — a temp file created and deleted
+      // PER PAYLOAD, which dominated the sf10 image build (500k docs ×
+      // 32 threads hammering /tmp); same fix as the decodeImage header path
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(data)))
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -393,7 +399,10 @@ object Multimodal {
     val cm = new java.awt.image.IndexColorModel(8, 256, lut, lut, lut)
     val bos = new java.io.ByteArrayOutputStream()
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-cache output stream: createImageOutputStream defaults to a
+    // FileCache stream — one temp file per encoded payload (see
+    // decodeGrayPixels); the payloads are hundreds of bytes
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       wr.setOutput(ios)
       wr.prepareWriteSequence(null)
