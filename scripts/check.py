@@ -12,7 +12,7 @@ output column with mismatched scale FAILS here exactly as it would there.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math, decimal, datetime
+import sys, os, json, glob, math, decimal, datetime
 import duckdb
 import pyarrow as pa
 
@@ -59,6 +59,11 @@ def col_values(tbl, name):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # cap DuckDB parallelism when sharing the host with a timed run
+    # (default = all cores): GRAFT_CHECK_THREADS=8 python3 scripts/check.py ...
+    t_env = os.environ.get("GRAFT_CHECK_THREADS")
+    if t_env:
+        con.execute(f"SET threads TO {int(t_env)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
