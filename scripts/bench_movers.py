@@ -24,7 +24,8 @@ print(f"only-old: {sorted(set(oq) - set(nq))}")
 print(f"only-new: {sorted(set(nq) - set(oq))}")
 print(f"movers >{ratio}x (floor {floor}s): {len(movers)}")
 for k, a, b in sorted(movers, key=lambda m: -max(m[1], m[2])):
-    print(f"  {k:32s} {a:8.2f} -> {b:8.2f}  ({b/a:5.2f}x)")
+    r = f"{b/a:5.2f}x" if a > 0 else "  infx"
+    print(f"  {k:32s} {a:8.2f} -> {b:8.2f}  ({r})")
 print(f"failed old={old.get('failed')} new={new.get('failed')}")
 print(f"over_budget new={new.get('shuffle_over_budget')}")
 print(f"persisted_mb old={old.get('persisted_mb')} new={new.get('persisted_mb')}")

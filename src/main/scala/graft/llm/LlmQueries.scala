@@ -137,7 +137,7 @@ object LlmQueries {
     * threshold-specific by construction).
     */
   private val interMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   /** Dispatch bound for [[interCounts]]' two physically different (but
     * row-identical — SharedInterSpec pins it) builds: up to this many docs
     * the per-doc count dim (16 B/doc → 64 MB here) is FORCED broadcast and
@@ -155,7 +155,7 @@ object LlmQueries {
   /** Corpus doc count, memoized per (session, dir) — parquet metadata
     * count, one cheap job, shared by every dispatch that needs it.
     */
-  private val docCountMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val docCountMemo = new graft.SessionMemo[
     (SparkSession, String), java.lang.Long]()
   private[llm] def docCount(s: SparkSession, d: String): Long =
     docCountMemo.computeIfAbsent((s, d), _ => documents(s, d).count()).longValue()
@@ -285,7 +285,7 @@ object LlmQueries {
     * dispatch to [[jaccardPairsPrefix]] exactly as before.
     */
   private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Double), DataFrame]()
   private[llm] def goodPairs(s: SparkSession, d: String, t: Double): DataFrame =
     pairMemo.computeIfAbsent((s, d, t), _ => {
       val frame =
@@ -308,7 +308,7 @@ object LlmQueries {
     * Naive dispatch shares [[interCounts]] with the Jaccard family.
     */
   private val containPairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Double), DataFrame]()
   private[llm] def goodContainPairs(s: SparkSession, d: String, t: Double): DataFrame =
     containPairMemo.computeIfAbsent((s, d, t), _ => {
       val frame =
@@ -488,7 +488,7 @@ object LlmQueries {
     * df-dispatched query.
     */
   private val statsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ShingleStats]()
+    new graft.SessionMemo[(SparkSession, String), ShingleStats]()
   private[llm] def docShingleStats(s: SparkSession, d: String): ShingleStats =
     statsMemo.computeIfAbsent((s, d), _ => shingleStats(documents(s, d)))
 
@@ -523,7 +523,7 @@ object LlmQueries {
     * cached (tiny) pair graph.
     */
   private val minhashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashMemo.computeIfAbsent((s, d), _ =>
       graft.FrameRegistry.tracked(s, "minhash_pairs",
@@ -536,7 +536,7 @@ object LlmQueries {
     * (that is what makes the sweep a calibration, not three experiments).
     */
   private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] def minhashSig(s: SparkSession, d: String): DataFrame =
     sigMemo.computeIfAbsent((s, d), _ =>
       graft.FrameRegistry.tracked(s, "minhash_sig", minhashSigRaw(documents(s, d)), d))
@@ -550,7 +550,7 @@ object LlmQueries {
     */
   private val LshPlanes = 6
   private val lshMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private def lshFrame(s: SparkSession, d: String): DataFrame =
     lshMemo.computeIfAbsent((s, d), _ => {
       val e0 = embeddings(s, d)
@@ -678,7 +678,7 @@ object LlmQueries {
     * signature frame is allocated once, not per invocation.
     */
   private val incrMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private def incrementalPairs(s: SparkSession, d: String): DataFrame =
     incrMemo.computeIfAbsent((s, d), _ => {
       val numHashes = 32
@@ -735,7 +735,7 @@ object LlmQueries {
     * band join references it on both sides plus the final pair rejoin.
     */
   private val imageHashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
 
   /** The sparse planted-pixel frame (doc_id, ps, vs) both image queries
     * decode from: per doc, the non-zero cells of its 16×16 grayscale
@@ -789,7 +789,7 @@ object LlmQueries {
     * per doc, and a 32 B/frame output — no shuffle touches pixels.
     */
   private val videoHashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] val VideoFrames = 4
   private def videoHashFrame(s: SparkSession, d: String): DataFrame =
     videoHashMemo.computeIfAbsent((s, d), _ => {
@@ -943,7 +943,7 @@ object LlmQueries {
     * corpus exactly once (to build the word histogram), so re-running the
     * loop per consumer would redo N vocab-sized jobs for nothing.
     */
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val bpeMemo = new graft.SessionMemo[
     (SparkSession, String), (Seq[(Int, String, String, String, Long)], DataFrame)]()
   private def bpeTrained(s: SparkSession, d: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
@@ -1042,7 +1042,7 @@ object LlmQueries {
     * repartition-by-cell shuffle (the index-build cost) once; every probed
     * search after that reads only the probed cells' FILES.
     */
-  private val cellLayoutMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val cellLayoutMemo = new graft.SessionMemo[
     (SparkSession, String), (String, Seq[(Long, Array[Long])])]()
   private def ivfCellLayout(s: SparkSession, d: String)
       : (String, Seq[(Long, Array[Long])]) =
@@ -1108,7 +1108,7 @@ object LlmQueries {
     */
   private[llm] val BpeVocabBroadcastCutover = 1000000L
 
-  private val bpeVocabCountMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val bpeVocabCountMemo = new graft.SessionMemo[
     (SparkSession, String), java.lang.Long]()
   private def bpeVocabCount(s: SparkSession, d: String): Long =
     bpeVocabCountMemo.computeIfAbsent((s, d),
@@ -1118,7 +1118,7 @@ object LlmQueries {
     * per (session, dir) — only ever built on the ≤-cutover dispatch, so
     * the collect is bounded by [[BpeVocabBroadcastCutover]].
     */
-  private val bpeVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val bpeVocabMemo = new graft.SessionMemo[
     (SparkSession, String),
     org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]]]()
   private def bpeVocabBcast(s: SparkSession, d: String)
@@ -1138,7 +1138,7 @@ object LlmQueries {
     * warm query cost. Deterministic (fixed seed rows, fixed rounds), so
     * caching cannot change any oracle-checked result.
     */
-  private val trainedCbMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val trainedCbMemo = new graft.SessionMemo[
     (SparkSession, String), VectorIndex.Codebook]()
   private def trainedCodebook(s: SparkSession, d: String): VectorIndex.Codebook =
     trainedCbMemo.computeIfAbsent((s, d),
@@ -1149,7 +1149,7 @@ object LlmQueries {
     * many contract: assign to cold-start cells, per-cell element-wise
     * floor-mean via a bounded (cells×dim) aggregate collect.
     */
-  private val kmeansCentsMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val kmeansCentsMemo = new graft.SessionMemo[
     (SparkSession, String), Seq[(Long, Array[Long])]]()
   private def kmeansRefined(s: SparkSession, d: String, eq: DataFrame,
       initRows: Seq[(Long, Array[Long])], dim: Int): Seq[(Long, Array[Long])] =
@@ -1176,7 +1176,7 @@ object LlmQueries {
     * — same train-once-serve-many contract as [[kmeansRefined]], one slot
     * per swept K (3 × cells×dim driver state, bounded).
     */
-  private val kSweepMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val kSweepMemo = new graft.SessionMemo[
     (SparkSession, String, Int), Seq[(Long, Array[Long])]]()
   private def kSweepCents(s: SparkSession, d: String, eq: DataFrame,
       k: Int): Seq[(Long, Array[Long])] =
@@ -1206,7 +1206,7 @@ object LlmQueries {
     * index-build memos so the derived-K chain counts the registry frame
     * once per session, not once per consumer.
     */
-  private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val embCountMemo = new graft.SessionMemo[
     (SparkSession, String), java.lang.Long]()
   private def embCount(eq: DataFrame,
       memoKey: Option[(SparkSession, String)]): Long = memoKey match {

@@ -120,6 +120,20 @@ object QualityLinear {
     val lab = graft.FrameRegistry.transient(spark, "qlin_lab",
       QualityDistill.jointLabel(docs))
     val raw = graft.FrameRegistry.transient(spark, "qlin_feat", featLin(docs))
+    try trainOn(spark, lab, raw, nDocs, rounds)
+    finally {
+      // the ((B+4)·nDocs)-row feature frame and the label frame are pure
+      // training intermediates — the model memoizes per (session, dir),
+      // so nothing ever re-reads these caches; release the slots instead
+      // of pinning them until transient-cap eviction (trainCascade's
+      // finally discipline)
+      graft.FrameRegistry.releaseFamily(spark, "qlin_feat")
+      graft.FrameRegistry.releaseFamily(spark, "qlin_lab")
+    }
+  }
+
+  private def trainOn(spark: org.apache.spark.sql.SparkSession,
+      lab: DataFrame, raw: DataFrame, nDocs: Long, rounds: Int): LinearModel = {
     val (mu, rng) = standardize(raw, nDocs)
     // a projection over the cached raw frame — no second persist needed
     val feats = raw.select(col("doc_id"), col("b"), xsCol(mu, rng).as("xs"))

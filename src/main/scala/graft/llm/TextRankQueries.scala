@@ -63,7 +63,7 @@ object TextRankQueries {
     * queries reuse the persisted (doc_id, w) frame.
     */
   private val tokMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private def tok(s: SparkSession, d: String): DataFrame =
     tokMemo.computeIfAbsent((s, d), _ =>
       graft.FrameRegistry.tracked(s, "word_tok", wordTok(documents(s, d)), d))
@@ -108,7 +108,7 @@ object TextRankQueries {
     * in the memo family). Charged to Bench as `build:dsir_doc`.
     */
   private val dsirMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private def dsirDoc(s: SparkSession, d: String): DataFrame =
     dsirMemo.computeIfAbsent((s, d), _ => {
       val tk = tok(s, d)
@@ -275,7 +275,7 @@ object TextRankQueries {
     out
   }
 
-  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val vocabMemo = new graft.SessionMemo[
     (SparkSession, String),
     Option[(graft.functions.VocabMeters.Stats, Long, Long)]]()
   private def vocabStats(s: SparkSession, d: String)
@@ -504,7 +504,7 @@ object TextRankQueries {
     * is a property of the immutable input dataset (same contract as
     * [[LlmQueries.docShingleStats]]).
     */
-  private val fuzzyStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val fuzzyStatsMemo = new graft.SessionMemo[
     (SparkSession, String), FuzzyBlockStats]()
   private def fuzzyStats(s: SparkSession, d: String): FuzzyBlockStats =
     fuzzyStatsMemo.computeIfAbsent((s, d), _ => fuzzyBlockStats(documents(s, d)))
@@ -1281,7 +1281,7 @@ object TextRankQueries {
     * quality_classifier score against the cached D=20 weight vector
     * instead of re-running the 5-round training.
     */
-  private val linMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val linMemo = new graft.SessionMemo[
     (SparkSession, String), QualityLinear.LinearModel]()
   private[llm] def linModel(s: SparkSession, d: String): QualityLinear.LinearModel =
     linMemo.computeIfAbsent((s, d), _ =>
