@@ -15,6 +15,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scan-split sizing for local[32] over single-file tables: the split
+      // is min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
+      // so the 4 MiB default open cost leaves a <128 MiB single-file scan
+      // in 1-2 partitions and every map-only kernel (the image/video codec
+      // round-trips especially) nearly serial. 128 KiB reflects local-FS
+      // open cost and spreads any >4 MiB file across the cores; on a real
+      // cluster the input arrives as many files and this knob is moot.
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")
       .config(GraftSession.RecursionRowLimitKey, GraftSession.RecursionRowLimit)
       .getOrCreate()

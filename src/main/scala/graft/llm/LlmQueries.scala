@@ -729,48 +729,45 @@ object LlmQueries {
     * anything but the planted pixel matrix hash-diverges — the round-trip
     * IS the correctness proof of the decoder.
     *
-    * Scale shape: one (doc_id, bucket)-granular map-combined aggregate
-    * (≤ 256 rows/doc), then a map-side O(256) encode+decode+hash per doc
-    * — no shuffle touches pixels; the frame is 16 B/doc. Persisted: the
-    * band join references it on both sides plus the final pair rejoin.
+    * Scale shape: ONE codegen scan of documents — the row-local
+    * [[graft.functions.ImageRender.grayHist]] kernel renders the 16×16
+    * histogram (the explode → groupBy → collect_list formulation it
+    * replaces shuffled 500.8 MB / 30.6 s at sf10 for this pure per-row
+    * value; the DuckDB oracle still runs that formulation, so the gate's
+    * hash equality proves the rewrite) — then a map-side O(256)
+    * encode+decode+hash per doc. No shuffle anywhere; the frame is
+    * 16 B/doc. Persisted: the band join references it on both sides plus
+    * the final pair rejoin.
     */
   private val imageHashMemo =
     new graft.SessionMemo[(SparkSession, String), DataFrame]()
 
-  /** The sparse planted-pixel frame (doc_id, ps, vs) both image queries
-    * decode from: per doc, the non-zero cells of its 16×16 grayscale
-    * rendering. One (doc, bucket)-granular map-combined aggregate.
+  /** The planted-pixel frame (doc_id, gray ARRAY<INT>[256]) the image
+    * queries decode from: each doc's 16×16 grayscale rendering, computed
+    * row-locally in one codegen scan. Shingle buckets, not unigram
+    * buckets: the driver corpus has ~31 distinct words, so a unigram
+    * histogram saturates into one shared image (measured: 82% of ALL
+    * pairs within Hamming 3); 3-gram shingles are the same sparsity fix
+    * dedup_minhash rides. Docs with <3 tokens have no shingles and are
+    * dropped, exactly as the oracle's explode drops them.
     */
-  private def imageSparse(s: SparkSession, d: String): DataFrame = {
-    // shingle buckets, not unigram buckets: the driver corpus has ~31
-    // distinct words, so a unigram histogram saturates into one shared
-    // image (measured: 82% of ALL pairs within Hamming 3). 3-gram
-    // shingles are the same sparsity fix dedup_minhash rides.
-    val hist = shingleTok(documents(s, d))
-      .select($"doc_id", (H.wordHash($"w") % 256).cast(IntegerType).as("p"))
-      .groupBy($"doc_id", $"p").agg(count(lit(1)).as("c"))
-      .select($"doc_id", $"p",
-        least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
-    hist.groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
+  private def imageGrayFrame(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select($"doc_id",
-        transform($"pv", e => e.getField("p")).as("ps"),
-        transform($"pv", e => e.getField("v")).as("vs"))
-  }
+        graft.functions.ImageRender.grayHistCol($"text").as("gray"))
+      .filter(size($"gray") > 0)
 
-  private def imageHashFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def imageHashFrame(s: SparkSession, d: String): DataFrame =
     imageHashMemo.computeIfAbsent((s, d), _ => {
-      val sparse = imageSparse(s, d)
-      val hashUdf = udf((ps: Seq[Int], vs: Seq[Int]) => {
-        val gray = new Array[Int](256)
-        var i = 0
-        while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
+      // Array[Int] input: ArrayData converts via one primitive toIntArray
+      // copy — a Seq[Int] parameter boxes all 256 cells per row
+      val hashUdf = udf((gray: Array[Int]) => {
         val bmp = Multimodal.encodeBmpGray(16, 16, gray)
         Multimodal.imageAHash(bmp).getOrElse(
           sys.error("BMP pixel round-trip failed"))
       })
       graft.FrameRegistry.tracked(s, "image_hash",
-        sparse.select($"doc_id", hashUdf($"ps", $"vs").as("h")), d)
+        imageGrayFrame(s, d).select($"doc_id", hashUdf($"gray").as("h")), d)
     })
 
   /** Per-(doc, frame) perceptual hash frame (doc_id, f, ah, dh) behind
@@ -784,43 +781,43 @@ object LlmQueries {
     * oracle replays both hash arithmetics from the planted histograms, so
     * the whole encode/decode round-trip is hash-proven like dedup_image's.
     *
-    * Scale shape: one (doc, frame, bucket)-granular map-combined
-    * aggregate (≤ 4×256 rows/doc), a map-side O(4·256) codec round-trip
-    * per doc, and a 32 B/frame output — no shuffle touches pixels.
+    * Scale shape: ONE codegen scan of documents — the row-local
+    * [[graft.functions.ImageRender.videoGrayHist]] kernel renders all
+    * four 16×16 frame histograms (the shingle explode → two collect_list
+    * regroupings it replaces shuffled 2,756.8 MB / 143.4 s at sf10 for
+    * this pure per-row value; the DuckDB oracle still runs that
+    * formulation) — then a map-side O(4·256) codec round-trip per doc
+    * and a narrow 4-element explode. No shuffle touches pixels;
+    * 32 B/frame output.
     */
   private val videoHashMemo =
     new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] val VideoFrames = 4
+
+  /** Anchors probed per (band, value) bucket in `dedup_image` — buckets
+    * up to this size get EXACT pairwise treatment; above it, members
+    * compare against the K smallest (mdoc, h) anchors only. K = 128
+    * measured at sf1 ([[graft.ImageBandProbe]]): candidate volume
+    * 85.7M → 9.7M (and Σ k·min(k,K) is corpus-LINEAR where Σk² was
+    * quadratic), rep changed for 2.6% of hashes — all in the degenerate
+    * all-zero-band dark core, where any anchor is an equally-valid
+    * near-dup representative.
+    */
+  private[llm] val ImageAnchorK = 128
   private def videoHashFrame(s: SparkSession, d: String): DataFrame =
     videoHashMemo.computeIfAbsent((s, d), _ => {
-      val hist = shingleTok(documents(s, d))
-        .select($"doc_id", H.wordHash($"w").as("x"))
-        .select($"doc_id", explode(array((0 until VideoFrames).map(f =>
-          struct(lit(f).as("f"),
-            (H.affine(f, $"x") % 256).cast(IntegerType).as("p"))): _*)).as("e"))
-        .groupBy($"doc_id", $"e.f".as("f"), $"e.p".as("p"))
-        .agg(count(lit(1)).as("c"))
-        .select($"doc_id", $"f", $"p",
-          least(lit(255L), $"c" * 16L).cast(IntegerType).as("v"))
-      // every shingle lands in every frame, so a doc with ≥1 shingle has
-      // all 4 frames — the collect below always builds a full sequence
-      val wide = hist.groupBy($"doc_id", $"f")
-        .agg(array_sort(collect_list(struct($"p", $"v"))).as("pv"))
-        .select($"doc_id", $"f",
-          transform($"pv", e => e.getField("p")).as("ps"),
-          transform($"pv", e => e.getField("v")).as("vs"))
-        .groupBy($"doc_id")
-        .agg(array_sort(collect_list(struct($"f", $"ps", $"vs"))).as("fr"))
+      val grays = documents(s, d)
         .select($"doc_id",
-          transform($"fr", e => e.getField("ps")).as("pss"),
-          transform($"fr", e => e.getField("vs")).as("vss"))
-      val hashUdf = udf((pss: Seq[Seq[Int]], vss: Seq[Seq[Int]]) => {
-        val frames = pss.indices.map { f =>
-          val gray = new Array[Int](256)
-          val ps = pss(f); val vs = vss(f)
+          graft.functions.ImageRender.videoGrayHistCol($"text", VideoFrames)
+            .as("gray"))
+        .filter(size($"gray") > 0)
+      // Array[Int] input — see imageHashFrame's boxing note
+      val hashUdf = udf((gray: Array[Int]) => {
+        val frames = (0 until VideoFrames).map { f =>
+          val g = new Array[Int](256)
           var i = 0
-          while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
-          gray
+          while (i < 256) { g(i) = gray(f * 256 + i); i += 1 }
+          g
         }
         val gif = Multimodal.encodeGifGray(16, 16, frames)
         val hs = Multimodal.videoFrameHashes(gif)
@@ -828,7 +825,7 @@ object LlmQueries {
         hs.zipWithIndex.map { case ((ah, dh), f) => (f, ah, dh) }
       })
       graft.FrameRegistry.tracked(s, "video_hash",
-        wide.select($"doc_id", explode(hashUdf($"pss", $"vss")).as("e"))
+        grays.select($"doc_id", explode(hashUdf($"gray")).as("e"))
           .select($"doc_id", $"e._1".as("f"), $"e._2".as("ah"), $"e._3".as("dh")), d)
     })
 
@@ -2722,11 +2719,33 @@ object LlmQueries {
     // (one band row per DISTINCT hash, min-doc anchor), and the
     // quadratic candidate stream ends in min() aggregates — map-side
     // combinable, nothing pair-shaped survives a shuffle, output is one
-    // row per doc at every scale. The oracle never decodes: it replays
-    // the hash arithmetic from the histogram the pixels were planted
-    // from, so any decoder deviation hash-diverges. Bit 63 is built via
-    // the min-long literal (DuckDB raises on 1<<63); band slices mask
-    // after an arithmetic shift — sign-identical in both engines.
+    // row per doc at every scale.
+    //
+    // BOUNDED BUCKET PROBING (the hot-bucket guard, measured by
+    // [[graft.ImageBandProbe]]): each band row compares only against its
+    // bucket's [[ImageAnchorK]] smallest (mdoc, h) anchors. The flat
+    // self-join's candidate CPU is Σ_buckets k² and the corpus's
+    // degenerate buckets are ALL-ZERO band values (dark renderings:
+    // bv=0 holds 4.1k of 46.7k distinct hashes at sf1 in every band),
+    // which grow linearly with the corpus and defeat every recursive
+    // banding refinement (an all-zero key splits nothing: 4×12-bit
+    // sub-banding measured only 2.8× off 85.7M candidates, a third
+    // 9-bit level 3.6×). Anchor probing measured 9× (9.7M at K=128)
+    // with candidate volume Σ k·min(k, K) — linear in the corpus — and
+    // changed the rep of only 2.6% of hashes, all inside the dark core
+    // where any member is an equally-valid near-dup anchor. Buckets
+    // ≤ K are EXACT (every member is an anchor); each hash still meets
+    // itself via the unioned self-row, so no doc can drop. Anchors come
+    // from the bounded map-side-combinable [[graft.functions.MinKPairs]]
+    // aggregator (a row_number window would sort the whole hot bucket
+    // in one task); the oracle replays the selection as a row_number ≤ K
+    // window — identical pairs ordered by (mdoc, h), both total orders.
+    //
+    // The oracle never decodes: it replays the hash arithmetic from the
+    // histogram the pixels were planted from, so any decoder deviation
+    // hash-diverges. Bit 63 is built via the min-long literal (DuckDB
+    // raises on 1<<63); band slices mask after an arithmetic shift —
+    // sign-identical in both engines.
     Q("dedup_image", {
       val bit = "CASE WHEN s.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
         "ELSE (CAST(1 AS BIGINT) << s.i) END"
@@ -2749,10 +2768,16 @@ object LlmQueries {
          |hg AS (SELECT h, min(doc_id) AS mdoc FROM hash GROUP BY h),
          |bands AS (SELECT h, mdoc, b, (h >> (16 * b)) & 65535 AS bv
          |  FROM hg, (SELECT unnest(range(4)) AS b)),
-         |nbr AS (SELECT a.h AS h, min(b.mdoc) AS rep
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-         |  WHERE bit_count(xor(a.h, b.h)) <= 3
-         |  GROUP BY a.h)
+         |anch AS (SELECT b, bv, h, mdoc FROM (
+         |    SELECT b, bv, h, mdoc,
+         |      row_number() OVER (PARTITION BY b, bv ORDER BY mdoc, h) AS rn
+         |    FROM bands) WHERE rn <= $ImageAnchorK),
+         |nbr AS (SELECT h, min(m) AS rep FROM (
+         |    SELECT a.h AS h, an.mdoc AS m
+         |    FROM bands a JOIN anch an ON a.b = an.b AND a.bv = an.bv
+         |    WHERE bit_count(xor(a.h, an.h)) <= 3
+         |  UNION ALL SELECT h, mdoc AS m FROM hg)
+         |  GROUP BY h)
          |SELECT hs.doc_id, n.rep AS rep_id, (n.rep < hs.doc_id) AS is_dup
          |FROM hash hs JOIN nbr n ON hs.h = n.h
          |ORDER BY hs.doc_id""".stripMargin
@@ -2766,14 +2791,20 @@ object LlmQueries {
         explode(array((0 until 4).map(b => struct(lit(b).as("b"),
           shiftright($"h", b * 16).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("e"))
         .select($"h", $"mdoc", $"e.b".as("b"), $"e.bv".as("bv"))
-      // a hash meets itself in every band (dist 0), so every hash gets a
-      // rep ≤ its own anchor — the inner joins below can never drop a doc
-      val nbrMin = bands.as("a")
-        .join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv"))
-        .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 3)
-        .groupBy(col("a.h").as("h"))
-        .agg(min(col("b.mdoc")).as("rep"))
+      // bounded bucket probing: the K smallest (mdoc, h) anchors per
+      // (band, value) bucket, from a bounded map-side-combinable buffer
+      val minK = udaf(new graft.functions.MinKPairs(ImageAnchorK))
+      val anchors = bands.groupBy($"b", $"bv")
+        .agg(minK($"mdoc", $"h").as("as"))
+        .select($"b", $"bv", explode($"as").as("an"))
+        .select($"b", $"bv", $"an._1".as("am"), $"an._2".as("ah"))
+      // the unioned self-row keeps the rep total (rep ≤ own mdoc even
+      // when a hash is outside every bucket's anchor set)
+      val nbrMin = bands.join(anchors, Seq("b", "bv"))
+        .filter(bit_count($"h".bitwiseXOR($"ah")) <= 3)
+        .select($"h", $"am".as("m"))
+        .union(hg.select($"h", $"mdoc".as("m")))
+        .groupBy($"h").agg(min($"m").as("rep"))
       hashed.join(nbrMin, Seq("h"))
         .select($"doc_id", $"rep".as("rep_id"), ($"rep" < $"doc_id").as("is_dup"))
         .orderBy($"doc_id")
@@ -2913,10 +2944,7 @@ object LlmQueries {
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     }) { (s, d) =>
-      val featUdf = udf((ps: Seq[Int], vs: Seq[Int]) => {
-        val gray = new Array[Int](256)
-        var i = 0
-        while (i < ps.length) { gray(ps(i)) = vs(i); i += 1 }
+      val featUdf = udf((gray: Array[Int]) => {
         val bmp = Multimodal.encodeBmpGray(16, 16, gray)
         val (_, _, px) = Multimodal.decodeGrayPixels(bmp).getOrElse(
           sys.error("BMP pixel round-trip failed"))
@@ -2926,8 +2954,8 @@ object LlmQueries {
         while (j < px.length) { hist8(px(j) >> 5) += 1L; sum += px(j); j += 1 }
         (hist8.toSeq, sum / 256L)
       })
-      imageSparse(s, d)
-        .select($"doc_id", featUdf($"ps", $"vs").as("e"))
+      imageGrayFrame(s, d)
+        .select($"doc_id", featUdf($"gray").as("e"))
         .select(($"doc_id" +: (0 until 8).map(i =>
           element_at($"e._1", i + 1).as(s"f$i"))) :+ $"e._2".as("mean_gray"): _*)
         .orderBy($"doc_id")

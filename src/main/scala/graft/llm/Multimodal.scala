@@ -313,17 +313,17 @@ object Multimodal {
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
+        // one bulk getRGB: identical packed-RGB values to the per-pixel
+        // call, minus w·h Java2D dispatch+conversion round-trips (the
+        // per-pixel loop was the measured CPU of the map-only image build
+        // once the histogram moved into the row-local kernel)
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
         val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            gray(y * w + x) =
-              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
+          gray(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+          i += 1
         }
         Some((w, h, gray))
       }
@@ -409,15 +409,12 @@ object Multimodal {
       frames.foreach { g =>
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.getRaster.setSample(x, y, 0, g(y * w + x) & 0xFF)
-            x += 1
-          }
-          y += 1
-        }
+        // with the identity gray LUT the palette index IS the gray value:
+        // fill the byte raster directly instead of w·h setSample dispatches
+        val buf = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < buf.length) { buf(i) = (g(i) & 0xFF).toByte; i += 1 }
         wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       wr.endWriteSequence()
@@ -445,17 +442,16 @@ object Multimodal {
           (0 until n).map { f =>
             val img = r.read(f)
             val w = img.getWidth; val h = img.getHeight
+            // bulk getRGB — same values as the per-pixel call, one
+            // dispatch per frame instead of w·h (see decodeGrayPixels)
+            val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
             val gray = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                gray(y * w + x) =
-                  (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < rgbs.length) {
+              val rgb = rgbs(i)
+              gray(i) =
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              i += 1
             }
             (w, h, gray)
           }
