@@ -90,6 +90,21 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
     }
   }
 
+  /** Trained-linear quality gate (`quality_classifier`'s pocket
+    * perceptron) — the 100 TB deployment shape the module doc promises:
+    * TRAIN on a sample (training runs 2 bounded aggregates per round over
+    * a persisted (doc, feature) frame — corpus-sized at full width, cheap
+    * on a sample), SERVE the whole corpus in one codegen scan against
+    * literal weights ([[QualityLinear.scoreCol]]). Sample-trained vs
+    * full-trained serving agreement is pinned in `StumpDistillSpec`.
+    */
+  def filterLinear(sample: DataFrame): CurationPipeline = {
+    val m = QualityLinear.train(sample)
+    step(s"filterLinear(err=${m.pocketErr},round=${m.pocketRound})") {
+      QualityLinear.filterFrame(_, m)
+    }
+  }
+
   /** Keep only the named languages (metadata column filter). */
   def filterLangs(langs: String*): CurationPipeline =
     step(s"filterLangs(${langs.mkString(",")})") {

@@ -145,6 +145,80 @@ object Multimodal {
     }
   }
 
+  /** Encode signed 16-bit mono PCM samples as a REAL RIFF/WAVE payload
+    * (canonical 44-byte header + little-endian sample data) — the audio
+    * twin of [[encodeBmpGray]]/[[encodeGifGray]]: the synthetic stand-in
+    * for a crawl's audio payloads, built so the SAMPLE-level round-trip
+    * through the JDK's real audio codec ([[decodeWavSamples]]) is
+    * hash-provable from the planted samples. Reference content-type
+    * catalog names audio explicitly (`/root/reference/docs/draft.md:187-195`).
+    */
+  def encodeWavPcm16(rate: Int, samples: Array[Int]): Array[Byte] = {
+    require(rate > 0, "sample rate must be positive")
+    val n = samples.length
+    val dataSize = n * 2
+    val out = new Array[Byte](44 + dataSize)
+    def put4(i: Int, s: String): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+    def putU32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte; out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putU16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    put4(0, "RIFF"); putU32(4, 36L + dataSize); put4(8, "WAVE")
+    put4(12, "fmt "); putU32(16, 16); putU16(20, 1) // PCM
+    putU16(22, 1) // mono
+    putU32(24, rate.toLong); putU32(28, rate.toLong * 2) // byte rate
+    putU16(32, 2) // block align
+    putU16(34, 16) // bits per sample
+    put4(36, "data"); putU32(40, dataSize.toLong)
+    var i = 0
+    while (i < n) {
+      val s = samples(i)
+      out(44 + 2 * i) = (s & 0xFF).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL sample-level audio decode via the JDK codec
+    * (`javax.sound.sampled.AudioSystem` — the audio counterpart of the
+    * ImageIO pixel paths): returns (sampleRate, samples) for mono
+    * 16-bit signed PCM payloads, None when no JDK provider claims the
+    * payload or the format is anything else. Exact: PCM is lossless, so
+    * the decoded ints ARE the planted ints — the property the
+    * `multimodal_audio_features` oracle leans on.
+    */
+  def decodeWavSamples(data: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val outA = new Array[Int](n)
+          val be = f.isBigEndian
+          var i = 0
+          while (i < n) {
+            outA(i) =
+              if (be) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+              else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, outA))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** REAL MP4 (ISO BMFF) header decode: walks the top-level box list for
     * `moov`, then its children for `mvhd` (timescale + duration) and each
     * `trak`'s `tkhd` (16.16 fixed-point presentation width/height — the

@@ -57,6 +57,27 @@ import org.apache.spark.sql.types._
   *     one-shot batch run over the streamed exact-stage winners — i.e.
   *     the only residual order dependence left is clause 1's
   *     representative choice.
+  *
+  * ── State capacity at 10⁹ admitted docs ──
+  * Both tables grow with distinct ADMITTED content forever — correct for
+  * curation (a duplicate is a duplicate however long ago its original
+  * arrived), so the capacity number must be explicit. Per admitted doc:
+  * `seen` carries one (sha 32 B, ts 8 B, doc_id 8 B) row = 48 B of
+  * payload; `claims` carries `bands` (band 4 B, sig-slot 8 B, ts 8 B,
+  * doc_id 8 B) rows = 28·bands B — 112 B at the default 4 bands, 160 B
+  * total per admitted doc before columnar encoding (measured in
+  * StreamingCurationSpec: 134 B/doc in the deserialized cache at sf0.1,
+  * dictionary/RLE columnar at scale compresses below that). At 10⁹
+  * admitted docs that is ~160 GB cluster-wide — ~160 MB per executor on
+  * the 1000-executor reference deployment, held columnar and merged by
+  * one narrow-key shuffle per epoch; the tables never transit the driver.
+  * If the corpus outgrows memory, the EVICTION story is a dedup horizon,
+  * not an LRU: drop claim/seen rows with `ts < watermark − horizon`
+  * (both merges are (ts, doc_id)-min, so evicting only rows older than
+  * every future arrival's comparison window preserves all remaining
+  * decisions exactly); the trade — content re-admitted once its original
+  * ages past the horizon — is the standard bounded-state dedup contract
+  * (Structured Streaming's own `dropDuplicates` within watermark).
   */
 object StreamingCuration {
 

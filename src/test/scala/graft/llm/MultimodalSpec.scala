@@ -262,6 +262,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(hs.toSet.size == 3, "independent random frames collided")
   }
 
+  test("WAV PCM encode → JDK audio decode round-trips samples exactly") {
+    val rnd = new scala.util.Random(23)
+    // extremes, zeros, odd lengths — PCM must be bit-lossless
+    val cases = Seq(
+      Array(0, 1, -1, 32767, -32768, 12345, -12345),
+      Array(0),
+      Array.fill(1001)(rnd.nextInt(65536) - 32768))
+    for (samples <- cases) {
+      val wav = Multimodal.encodeWavPcm16(8000, samples)
+      val dec = Multimodal.decodeWavSamples(wav)
+      assert(dec.isDefined, s"JDK codec rejected a ${samples.length}-sample WAV")
+      val (rate, got) = dec.get
+      assert(rate == 8000)
+      assert(got.sameElements(samples), "samples drifted through the codec")
+    }
+    // the header-level reader agrees with the payload we wrote
+    val hdr = Multimodal.decodeWav(Multimodal.encodeWavPcm16(8000, Array.fill(8000)(5)))
+    assert(hdr.contains((8000, 1, 16, 1000000L)), s"header decode: $hdr")
+    // junk yields None, never throws
+    assert(Multimodal.decodeWavSamples(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
   test("resize survives a crafted header declaring dims whose product overflows Int") {
     // 131072 × 32768 = 2^32 — srcY*w wraps negative in Int arithmetic; the
     // Long index + bounds check must zero-fill instead of throwing AIOOBE

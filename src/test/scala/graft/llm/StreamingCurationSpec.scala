@@ -61,6 +61,44 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     st.claims.unpersist(); st.seen.unpersist()
   }
 
+  test("claim-state capacity: measured bytes per admitted doc at sf0.1") {
+    // the module doc's 10⁹-doc arithmetic (≈160 B/doc payload across the
+    // seen + 4-band claim tables), measured: stream sf0.1 in two epochs
+    // and read the two state frames' cached size from the storage layer.
+    val d01 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"), col("source"))
+    val m01 = StreamingCuration.freeze(
+      d01.select(col("doc_id"), col("text")),
+      d01.filter(col("source") === "src0").select(col("doc_id"), col("text")))
+    val in01 = d01.select(col("doc_id"), col("ts"), col("text"))
+    val n = in01.count()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    var st = StreamingCuration.emptyState(spark)
+    for ((lo, hi) <- Seq((-1L, n / 2), (n / 2, n + 1))) {
+      val (kept, st2) = StreamingCuration.epoch(
+        in01.filter(col("doc_id") > lo && col("doc_id") <= hi), st, m01)
+      kept.unpersist()
+      st = st2
+    }
+    val seenRows = st.seen.count()
+    val claimRows = st.claims.count()
+    // the only live caches newer than the snapshot are the final state
+    // frames (each epoch unpersists its predecessor and kept frames)
+    val stateBytes = spark.sparkContext.getRDDStorageInfo
+      .filterNot(i => before.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    val perDoc = stateBytes.toDouble / seenRows
+    info(f"state: $seenRows seen + $claimRows claims = $stateBytes bytes " +
+      f"cached ($perDoc%.0f B per admitted doc)")
+    st.claims.unpersist(); st.seen.unpersist()
+    assert(claimRows <= m01.bands.toLong * seenRows)
+    // the capacity arithmetic must stay honest: within 4x of the 160 B/doc
+    // figure the module doc quotes (deserialized cache overhead included)
+    assert(perDoc > 0 && perDoc < 640,
+      f"state bytes/doc drifted to $perDoc%.0f — update the module doc arithmetic")
+  }
+
   test("foreachBatch wrapper streams the identical kept set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

@@ -182,4 +182,37 @@ class StumpDistillSpec extends AnyFunSuite with SparkTestBase {
       s"row-local score drifted: only-served=${(servedKept -- featKept).take(5)} " +
         s"only-feat=${(featKept -- servedKept).take(5)}")
   }
+
+  test("sample-trained linear model serves like the full-trained one (100 TB shape)") {
+    import org.apache.spark.sql.functions._
+    // the deployment contract QualityLinear's module doc promises: train
+    // the pocket perceptron on a deterministic 20% sample, serve the
+    // whole corpus — keep/drop decisions must agree with full-corpus
+    // training on the overwhelming majority of docs
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val sample = docs.filter(
+      graft.functions.CrossHash.affine(2, col("doc_id")) % 100 < 20)
+    val nSample = sample.count()
+    val n = docs.count()
+    assert(nSample > 0 && nSample < n)
+    val mFull = QualityLinear.train(docs)
+    val mSamp = QualityLinear.train(sample)
+    val kFull = QualityLinear.filterFrame(docs, mFull)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val kSamp = QualityLinear.filterFrame(docs, mSamp)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val agree = all.count(id => kFull.contains(id) == kSamp.contains(id))
+    val pct = agree.toDouble / all.size
+    info(f"sample-trained agreement: $agree of ${all.size} (${pct * 100}%.1f%%)")
+    assert(pct >= 0.90,
+      f"sample-trained model diverged from full-trained: ${pct * 100}%.1f%% agreement")
+    // and the pipeline stage wires the same sampled-training shape
+    val piped = CurationPipeline(docs).filterLinear(sample)
+    assert(piped.lineage.exists(_.startsWith("filterLinear(")))
+    val pipedKept = piped.result.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(pipedKept == kSamp, "pipeline stage drifted from filterFrame")
+  }
 }
