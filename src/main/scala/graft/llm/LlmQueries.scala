@@ -804,6 +804,96 @@ object LlmQueries {
     * near-dup representative.
     */
   private[llm] val ImageAnchorK = 128
+
+  /** Cluster-representative Hamming-≤3 near-dup over any 64-bit hash
+    * frame (doc_id, h) — the pipeline behind `dedup_image`, shared with
+    * `dedup_audio` (identical scale shape for every 64-bit perceptual
+    * fingerprint): exact-hash collapse to a min-doc anchor, 4×16-bit
+    * banding (pigeonhole-exact at distance ≤ 3), bounded
+    * [[ImageAnchorK]]-anchor probing per (band, value) bucket via the
+    * map-side-combinable [[graft.functions.MinKPairs]] aggregator, and a
+    * min() rep aggregate — nothing pair-shaped survives a shuffle, output
+    * is one row per doc at every scale. The unioned self-row keeps the
+    * rep total even for hashes outside every bucket's anchor set.
+    */
+  private def hammingRepFrame(hashed: DataFrame): DataFrame = {
+    val hg = hashed.groupBy($"h").agg(min($"doc_id").as("mdoc"))
+    val bands = hg.select($"h", $"mdoc",
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        shiftright($"h", b * 16).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("e"))
+      .select($"h", $"mdoc", $"e.b".as("b"), $"e.bv".as("bv"))
+    val minK = udaf(new graft.functions.MinKPairs(ImageAnchorK))
+    val anchors = bands.groupBy($"b", $"bv")
+      .agg(minK($"mdoc", $"h").as("as"))
+      .select($"b", $"bv", explode($"as").as("an"))
+      .select($"b", $"bv", $"an._1".as("am"), $"an._2".as("ah"))
+    val nbrMin = bands.join(anchors, Seq("b", "bv"))
+      .filter(bit_count($"h".bitwiseXOR($"ah")) <= 3)
+      .select($"h", $"am".as("m"))
+      .union(hg.select($"h", $"mdoc".as("m")))
+      .groupBy($"h").agg(min($"m").as("rep"))
+    hashed.join(nbrMin, Seq("h"))
+      .select($"doc_id", $"rep".as("rep_id"), ($"rep" < $"doc_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB mirror of [[hammingRepFrame]]: appends the hg/bands/anch/nbr
+    * replay to a WITH-prefix whose final CTE is `hash(doc_id, h BIGINT)`.
+    * The anchor selection replays as a `row_number() ≤ K` window ordered
+    * by (mdoc, h) — the same total order MinKPairs keeps.
+    */
+  private def sqlHammingRep(withPrefix: String): String =
+    s"""$withPrefix,
+       |hg AS (SELECT h, min(doc_id) AS mdoc FROM hash GROUP BY h),
+       |bands AS (SELECT h, mdoc, b, (h >> (16 * b)) & 65535 AS bv
+       |  FROM hg, (SELECT unnest(range(4)) AS b)),
+       |anch AS (SELECT b, bv, h, mdoc FROM (
+       |    SELECT b, bv, h, mdoc,
+       |      row_number() OVER (PARTITION BY b, bv ORDER BY mdoc, h) AS rn
+       |    FROM bands) WHERE rn <= $ImageAnchorK),
+       |nbr AS (SELECT h, min(m) AS rep FROM (
+       |    SELECT a.h AS h, an.mdoc AS m
+       |    FROM bands a JOIN anch an ON a.b = an.b AND a.bv = an.bv
+       |    WHERE bit_count(xor(a.h, an.h)) <= 3
+       |  UNION ALL SELECT h, mdoc AS m FROM hg)
+       |  GROUP BY h)
+       |SELECT hs.doc_id, n.rep AS rep_id, (n.rep < hs.doc_id) AS is_dup
+       |FROM hash hs JOIN nbr n ON hs.h = n.h
+       |ORDER BY hs.doc_id""".stripMargin
+
+  /** Per-doc audio fingerprint frame (doc_id, h BIGINT) behind
+    * `dedup_audio`, memoized per (session, dir): each document plants the
+    * same deterministic PCM signal `multimodal_audio_features` decodes
+    * (one signed 16-bit sample per whitespace token), goes through the
+    * REAL RIFF/WAVE encode → javax.sound.sampled decode round-trip, and
+    * the DECODED samples hash via [[Multimodal.audioFingerprint64]] —
+    * 64 positional energy windows, bit = window above the floor mean.
+    * The oracle replays the window arithmetic from the planted samples,
+    * so a decoder deviation hash-diverges. Map-side codec + O(n) hash;
+    * the frame is 16 B/doc. Persisted: the band join references it on
+    * both sides plus the final rejoin.
+    */
+  private val audioHashMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame]()
+
+  /** The planted per-token PCM signal both audio queries decode from. */
+  private def audioSamplesCol: Column =
+    transform(split($"text", " "),
+      w => (H.wordHash(w) % 65536L - 32768L).cast(IntegerType))
+
+  private def audioHashFrame(s: SparkSession, d: String): DataFrame =
+    audioHashMemo.computeIfAbsent((s, d), _ => {
+      val hashUdf = udf((samp: Array[Int]) => {
+        val wav = Multimodal.encodeWavPcm16(8000, samp)
+        val (_, dec) = Multimodal.decodeWavSamples(wav).getOrElse(
+          sys.error("WAV sample round-trip failed"))
+        require(dec.length == samp.length, "WAV sample count drifted")
+        Multimodal.audioFingerprint64(dec)
+      })
+      graft.FrameRegistry.tracked(s, "audio_hash",
+        documents(s, d).select($"doc_id", hashUdf(audioSamplesCol).as("h")), d)
+    })
+
   private def videoHashFrame(s: SparkSession, d: String): DataFrame =
     videoHashMemo.computeIfAbsent((s, d), _ => {
       val grays = documents(s, d)
@@ -2749,65 +2839,65 @@ object LlmQueries {
     Q("dedup_image", {
       val bit = "CASE WHEN s.i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
         "ELSE (CAST(1 AS BIGINT) << s.i) END"
-      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
-         |  FROM (${sqlShingleTok("documents")})),
-         |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
-         |  FROM w GROUP BY doc_id, p),
-         |cell AS (SELECT i, 32 * (i // 8) + 2 * (i % 8) AS p
-         |  FROM (SELECT unnest(range(64)) AS i)),
-         |samp AS (SELECT d.doc_id, c.i, COALESCE(h.v, 0) AS v
-         |  FROM (SELECT DISTINCT doc_id FROM hist) d
-         |  CROSS JOIN cell c
-         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.p = c.p),
-         |mean AS (SELECT doc_id, sum(v) // 64 AS m FROM samp GROUP BY doc_id),
-         |hash AS (SELECT s.doc_id,
-         |    COALESCE(bit_or(CASE WHEN s.v > mn.m THEN $bit END),
-         |      CAST(0 AS BIGINT)) AS h
-         |  FROM samp s JOIN mean mn ON s.doc_id = mn.doc_id
-         |  GROUP BY s.doc_id),
-         |hg AS (SELECT h, min(doc_id) AS mdoc FROM hash GROUP BY h),
-         |bands AS (SELECT h, mdoc, b, (h >> (16 * b)) & 65535 AS bv
-         |  FROM hg, (SELECT unnest(range(4)) AS b)),
-         |anch AS (SELECT b, bv, h, mdoc FROM (
-         |    SELECT b, bv, h, mdoc,
-         |      row_number() OVER (PARTITION BY b, bv ORDER BY mdoc, h) AS rn
-         |    FROM bands) WHERE rn <= $ImageAnchorK),
-         |nbr AS (SELECT h, min(m) AS rep FROM (
-         |    SELECT a.h AS h, an.mdoc AS m
-         |    FROM bands a JOIN anch an ON a.b = an.b AND a.bv = an.bv
-         |    WHERE bit_count(xor(a.h, an.h)) <= 3
-         |  UNION ALL SELECT h, mdoc AS m FROM hg)
-         |  GROUP BY h)
-         |SELECT hs.doc_id, n.rep AS rep_id, (n.rep < hs.doc_id) AS is_dup
-         |FROM hash hs JOIN nbr n ON hs.h = n.h
-         |ORDER BY hs.doc_id""".stripMargin
+      sqlHammingRep(
+        s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
+           |  FROM (${sqlShingleTok("documents")})),
+           |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
+           |  FROM w GROUP BY doc_id, p),
+           |cell AS (SELECT i, 32 * (i // 8) + 2 * (i % 8) AS p
+           |  FROM (SELECT unnest(range(64)) AS i)),
+           |samp AS (SELECT d.doc_id, c.i, COALESCE(h.v, 0) AS v
+           |  FROM (SELECT DISTINCT doc_id FROM hist) d
+           |  CROSS JOIN cell c
+           |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.p = c.p),
+           |mean AS (SELECT doc_id, sum(v) // 64 AS m FROM samp GROUP BY doc_id),
+           |hash AS (SELECT s.doc_id,
+           |    COALESCE(bit_or(CASE WHEN s.v > mn.m THEN $bit END),
+           |      CAST(0 AS BIGINT)) AS h
+           |  FROM samp s JOIN mean mn ON s.doc_id = mn.doc_id
+           |  GROUP BY s.doc_id)""".stripMargin)
     }) { (s, d) =>
-      val hashed = imageHashFrame(s, d)
-      // exact-image collapse: one band row per DISTINCT hash with its
-      // min-doc anchor — the identical-image cliques (the quadratic
-      // core) never reach the join
-      val hg = hashed.groupBy($"h").agg(min($"doc_id").as("mdoc"))
-      val bands = hg.select($"h", $"mdoc",
-        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-          shiftright($"h", b * 16).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("e"))
-        .select($"h", $"mdoc", $"e.b".as("b"), $"e.bv".as("bv"))
-      // bounded bucket probing: the K smallest (mdoc, h) anchors per
-      // (band, value) bucket, from a bounded map-side-combinable buffer
-      val minK = udaf(new graft.functions.MinKPairs(ImageAnchorK))
-      val anchors = bands.groupBy($"b", $"bv")
-        .agg(minK($"mdoc", $"h").as("as"))
-        .select($"b", $"bv", explode($"as").as("an"))
-        .select($"b", $"bv", $"an._1".as("am"), $"an._2".as("ah"))
-      // the unioned self-row keeps the rep total (rep ≤ own mdoc even
-      // when a hash is outside every bucket's anchor set)
-      val nbrMin = bands.join(anchors, Seq("b", "bv"))
-        .filter(bit_count($"h".bitwiseXOR($"ah")) <= 3)
-        .select($"h", $"am".as("m"))
-        .union(hg.select($"h", $"mdoc".as("m")))
-        .groupBy($"h").agg(min($"m").as("rep"))
-      hashed.join(nbrMin, Seq("h"))
-        .select($"doc_id", $"rep".as("rep_id"), ($"rep" < $"doc_id").as("is_dup"))
-        .orderBy($"doc_id")
+      hammingRepFrame(imageHashFrame(s, d))
+    },
+
+    // Audio near-dup — the audio member of the perceptual-hash dedup
+    // family, over the REAL WAV codec round-trip: each doc's planted PCM
+    // signal (the `multimodal_audio_features` signal) encodes as RIFF/
+    // WAVE, decodes through javax.sound.sampled, and the DECODED samples
+    // fingerprint via 64 positional energy windows (bit = window energy
+    // above the floor mean — aHash's shape on the time axis,
+    // [[Multimodal.audioFingerprint64]]). Near-dup = Hamming ≤ 3 on the
+    // fingerprint, resolved by the SAME cluster-representative anchored
+    // band pipeline as dedup_image ([[hammingRepFrame]]) — exact-dup
+    // collapse first, bounded anchor probing, min() rep aggregates,
+    // one row per doc at every scale. The oracle replays the window
+    // arithmetic from the planted samples (PCM is lossless), so the
+    // codec round-trip is hash-proven.
+    Q("dedup_audio", {
+      val bit = "CASE WHEN f.j = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << f.j) END"
+      sqlHammingRep(
+        s"""WITH t AS (SELECT doc_id,
+           |  [CAST(${H.sqlWordHash("w")} % 65536 - 32768 AS BIGINT)
+           |   FOR w IN string_split(text, ' ')] AS s
+           |FROM documents),
+           |samp AS (SELECT doc_id, len(s) AS n, unnest(s) AS v,
+           |    unnest(range(len(s))) AS i FROM t),
+           |wen AS (SELECT doc_id, (i * 64) // n AS j, sum(abs(v)) AS e
+           |  FROM samp GROUP BY doc_id, (i * 64) // n),
+           |grid AS (SELECT unnest(range(64)) AS j),
+           |win AS (SELECT d.doc_id, g.j, COALESCE(w.e, 0) AS e
+           |  FROM (SELECT DISTINCT doc_id FROM t) d
+           |  CROSS JOIN grid g
+           |  LEFT JOIN wen w ON w.doc_id = d.doc_id AND w.j = g.j),
+           |m AS (SELECT doc_id, sum(e) // 64 AS m FROM win GROUP BY doc_id),
+           |hash AS (SELECT f.doc_id,
+           |    COALESCE(bit_or(CASE WHEN f.e > mm.m THEN $bit END),
+           |      CAST(0 AS BIGINT)) AS h
+           |  FROM win f JOIN m mm ON f.doc_id = mm.doc_id
+           |  GROUP BY f.doc_id)""".stripMargin)
+    }) { (s, d) =>
+      hammingRepFrame(audioHashFrame(s, d))
     },
 
     // Video near-dup — the multi-frame extension of dedup_image over a
@@ -3021,6 +3111,75 @@ object LlmQueries {
         .select(($"doc_id" +: Seq($"e._1".as("n_samples"), $"e._2".as("zero_crossings"),
           $"e._3".as("mean_abs"), $"e._4".as("energy"))) ++
           (0 until 8).map(j => element_at($"e._5", j + 1).as(s"a$j")): _*)
+        .orderBy($"doc_id")
+    },
+
+    // REAL frame-derived video features — the feature-extraction
+    // counterpart of dedup_video, completing the {image, audio, video} ×
+    // {features, dedup} matrix: each doc's 4-frame 16×16 grayscale
+    // rendering goes through the full GIF encode → ImageIO multi-frame
+    // decode, and the features come from the DECODED frames
+    // ([[Multimodal.videoFeatures]]): per-frame floor mean m0..m3, total
+    // temporal motion Σ_f Σ_p |px_{f+1} − px_f| (the scene-change
+    // statistic), and the global 8-bucket intensity histogram over all
+    // four frames. The GIF grayscale round-trip is exact, so the oracle
+    // replays every integer from the planted per-frame histograms without
+    // decoding — a decoder deviation hash-diverges. Scale shape: the
+    // row-local videoGrayHist codegen kernel + a map-side O(4·256) codec
+    // round-trip per doc; no shuffle before the final ORDER BY.
+    Q("multimodal_video_features", {
+      val frVals = (0 until VideoFrames)
+        .map(f => s"(${f}, ${H.affineA(f)}, ${H.affineB(f)})").mkString(", ")
+      val vCols = (0 until VideoFrames).map(f =>
+        s"sum(CASE WHEN f = $f THEN v ELSE 0 END) AS v$f").mkString(",\n  ")
+      val mCols = (0 until VideoFrames).map(f =>
+        s"CAST(sum(v$f) // 256 AS BIGINT) AS m$f").mkString(",\n  ")
+      val motion = (0 until VideoFrames - 1)
+        .map(f => s"abs(v${f + 1} - v$f)").mkString(" + ")
+      val gCols = (0 until 8).map(g =>
+        s"CAST(sum(${(0 until VideoFrames).map(f =>
+          s"CASE WHEN v$f >> 5 = $g THEN 1 ELSE 0 END").mkString(" + ")}) AS BIGINT) AS g$g")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x
+         |  FROM (${sqlShingleTok("documents")})),
+         |fr AS (SELECT * FROM (VALUES $frVals) t(f, fa, fb)),
+         |hist AS (SELECT doc_id, f, p, least(255, 16 * count(*)) AS v FROM (
+         |    SELECT w.doc_id, fr.f, ((w.x * fr.fa + fr.fb) % ${H.P1}) % 256 AS p
+         |    FROM w CROSS JOIN fr)
+         |  GROUP BY doc_id, f, p),
+         |vd AS (SELECT DISTINCT doc_id FROM w),
+         |cell AS (SELECT CAST(unnest(range(256)) AS INT) AS p),
+         |grid AS (SELECT d.doc_id, fr.f, c.p, COALESCE(h.v, 0) AS v
+         |  FROM vd d CROSS JOIN fr CROSS JOIN cell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.f = fr.f AND h.p = c.p),
+         |pix AS (SELECT doc_id, p,
+         |  $vCols
+         |  FROM grid GROUP BY doc_id, p)
+         |SELECT doc_id,
+         |  $mCols,
+         |  CAST(sum($motion) AS BIGINT) AS motion,
+         |  $gCols
+         |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((gray: Array[Int]) => {
+        val frames = (0 until VideoFrames).map { f =>
+          val g = new Array[Int](256)
+          var i = 0
+          while (i < 256) { g(i) = gray(f * 256 + i); i += 1 }
+          g
+        }
+        Multimodal.videoFeatures(16, 16, frames)
+      })
+      documents(s, d)
+        .select($"doc_id",
+          graft.functions.ImageRender.videoGrayHistCol($"text", VideoFrames)
+            .as("gray"))
+        .filter(size($"gray") > 0)
+        .select($"doc_id", featUdf($"gray").as("e"))
+        .select(($"doc_id" +:
+          (0 until VideoFrames).map(f => element_at($"e._1", f + 1).as(s"m$f"))) ++
+          ($"e._2".as("motion") +:
+            (0 until 8).map(g => element_at($"e._3", g + 1).as(s"g$g"))): _*)
         .orderBy($"doc_id")
     },
 
@@ -3376,7 +3535,8 @@ object LlmQueries {
     "ivf_cell_layout" -> ((s, d) => { ivfCellLayout(s, d); () }),
     "bpe_table" -> ((s, d) => { bpeTrained(s, d)._2.count(); () }),
     "image_hash" -> ((s, d) => { imageHashFrame(s, d).count(); () }),
-    "video_hash" -> ((s, d) => { videoHashFrame(s, d).count(); () }))
+    "video_hash" -> ((s, d) => { videoHashFrame(s, d).count(); () }),
+    "audio_hash" -> ((s, d) => { audioHashFrame(s, d).count(); () }))
 
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

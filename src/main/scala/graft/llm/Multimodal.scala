@@ -542,6 +542,71 @@ object Multimodal {
   def videoFrameHashes(data: Array[Byte]): Seq[(Long, Long)] =
     decodeGifFrames(data).map { case (w, h, g) => (aHash64(w, h, g), dHash64(w, h, g)) }
 
+  /** 64-bit audio fingerprint over PCM samples — the audio member of the
+    * perceptual-hash family (aHash's shape applied to the time axis):
+    * the signal splits into 64 positional windows (sample i lands in
+    * window `(i·64)/n`, integer division — near-equal spans, replayable
+    * in SQL), each window's energy is Σ|amplitude|, and bit j is set
+    * when window j's energy exceeds the floor mean of all 64. Empty
+    * windows (n < 64) carry energy 0, exactly as the oracle's grid join
+    * renders them. Energy stays in int64: n ≤ 10⁴ samples × 2¹⁵ ≈ 3×10⁸
+    * per window.
+    */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      e(((i.toLong * 64) / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var sum = 0L
+    var j = 0
+    while (j < 64) { sum += e(j); j += 1 }
+    val m = sum / 64
+    var h = 0L
+    j = 0
+    while (j < 64) { if (e(j) > m) h |= (1L << j); j += 1 }
+    h
+  }
+
+  /** Frame-level video features over the REAL codec round-trip: GIF
+    * encode → ImageIO multi-frame decode → per-frame floor mean, total
+    * temporal motion Σ_f Σ_p |px_{f+1} − px_f| (the adjacent-frame pixel
+    * delta — the scene-change statistic), and the global 8-bucket
+    * intensity histogram over every decoded frame. The GIF grayscale
+    * round-trip is exact (256-gray palette), so all three are replayable
+    * integers from the planted frames.
+    */
+  def videoFeatures(w: Int, h: Int, frames: Seq[Array[Int]]): (Seq[Long], Long, Seq[Long]) = {
+    val gif = encodeGifGray(w, h, frames)
+    val dec = decodeGifFrames(gif)
+    require(dec.length == frames.length, "GIF frame round-trip failed")
+    val px = dec.map(_._3)
+    val cells = w * h
+    val means = px.map { p =>
+      var s = 0L; var i = 0
+      while (i < cells) { s += p(i); i += 1 }
+      s / cells
+    }
+    var motion = 0L
+    var f = 0
+    while (f < px.length - 1) {
+      var i = 0
+      while (i < cells) { motion += math.abs(px(f + 1)(i) - px(f)(i)).toLong; i += 1 }
+      f += 1
+    }
+    val hist = new Array[Long](8)
+    f = 0
+    while (f < px.length) {
+      var i = 0
+      while (i < cells) { hist(px(f)(i) >> 5) += 1L; i += 1 }
+      f += 1
+    }
+    (means, motion, hist.toSeq)
+  }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */

@@ -284,6 +284,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWavSamples(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
+  test("audioFingerprint64: positional window energies above the floor mean set bits") {
+    // n=4 → sample i lands in window 16·i (the (i·64)/n arithmetic);
+    // energies e0=100, e16=200, e32=0, e48=50, mean = 350/64 = 5 →
+    // windows 0/16/48 exceed it, window 32 (zero) does not
+    val h = Multimodal.audioFingerprint64(Array(100, -200, 0, 50))
+    assert(h == ((1L << 0) | (1L << 16) | (1L << 48)), s"got ${h.toBinaryString}")
+    // n > 64: windows tile near-equally; a flat signal sets NO bits
+    // (every window energy equals the mean exactly — strict >)
+    assert(Multimodal.audioFingerprint64(Array.fill(128)(7)) == 0L)
+    // Int.MinValue-free: |−32768| stays exact in the Long accumulator
+    val extreme = Multimodal.audioFingerprint64(Array.fill(64)(-32768))
+    assert(extreme == 0L) // all windows equal → none strictly above mean
+    assert(Multimodal.audioFingerprint64(Array.emptyIntArray) == 0L)
+    // the fingerprint survives the REAL codec round-trip unchanged
+    val samples = Array.tabulate(300)(i => (i * 2731) % 65536 - 32768)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val (_, dec) = Multimodal.decodeWavSamples(wav).get
+    assert(Multimodal.audioFingerprint64(dec) ==
+      Multimodal.audioFingerprint64(samples))
+  }
+
+  test("videoFeatures: means/motion/histogram replay from the planted frames") {
+    // two flat frames (10, 30) + a ramp + a copy of the ramp: means are
+    // exact, motion = Σ|Δ| across adjacent frames, hist counts gray>>5
+    val flat10 = Array.fill(256)(10)
+    val flat30 = Array.fill(256)(30)
+    val ramp = Array.tabulate(256)(_ % 256)
+    val (means, motion, hist) =
+      Multimodal.videoFeatures(16, 16, Seq(flat10, flat30, ramp, ramp.clone()))
+    assert(means == Seq(10L, 30L, (0 until 256).sum / 256L, (0 until 256).sum / 256L))
+    val rampDelta = (0 until 256).map(i => math.abs((i % 256) - 30).toLong).sum
+    assert(motion == 256L * 20 + rampDelta + 0L)
+    // hist: flat10 → bucket 0 ×256; flat30 → bucket 0 ×256; each ramp
+    // spreads 32 per bucket
+    assert(hist(0) == 256L + 256L + 32L + 32L)
+    assert((1 until 8).forall(g => hist(g) == 64L))
+    assert(hist.sum == 4L * 256)
+  }
+
   test("resize survives a crafted header declaring dims whose product overflows Int") {
     // 131072 × 32768 = 2^32 — srcY*w wraps negative in Int arithmetic; the
     // Long index + bounds check must zero-fill instead of throwing AIOOBE
