@@ -77,15 +77,24 @@ object PairStateProbe {
       val measured = scala.collection.mutable.Map.empty[String, Double]
       // the profile build (shingle stats) is the dispatch input, charged
       // separately so inter_counts reports its own marginal cost
+      def build(n: String): (String, () => Unit) =
+        s"build:$n" -> (() =>
+          SparkEntry.builds.find(_._1 == s"build:$n").get._2(spark, sfDir))
+      def query(n: String): (String, () => Unit) =
+        n -> (() => { SparkEntry.all.find(_.name == n).get.fn(spark, sfDir).count(); () })
       val entries: Seq[(String, () => Unit)] = Seq(
-        "build:shingle_stats" -> (() =>
-          SparkEntry.builds.find(_._1 == "build:shingle_stats").get._2(spark, sfDir)),
-        "build:inter_counts" -> (() =>
-          SparkEntry.builds.find(_._1 == "build:inter_counts").get._2(spark, sfDir)),
-        "basket_pairs" -> (() => {
-          SparkEntry.all.find(_.name == "basket_pairs").get.fn(spark, sfDir).count()
-          ()
-        }))
+        build("shingle_stats"),
+        build("inter_counts"),
+        query("basket_pairs"),
+        // the media family's pair-shaped stages (VERDICT r11 #4): the
+        // anchored band join behind dedup_image/dedup_audio and the
+        // frame-set containment join behind dedup_video are the heaviest
+        // pair stages in the registry after the dispatch rework — each
+        // hash build is charged first so the dedup entry reports the
+        // join's own marginal state
+        build("image_hash"), query("dedup_image"),
+        build("video_hash"), query("dedup_video"),
+        build("audio_hash"), query("dedup_audio"))
       for ((name, run) <- entries) {
         val t0 = System.nanoTime()
         val (_, a) = window(run())
