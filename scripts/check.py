@@ -64,6 +64,17 @@ def main(sf_dir, out_dir):
     t_env = os.environ.get("GRAFT_CHECK_THREADS")
     if t_env:
         con.execute(f"SET threads TO {int(t_env)}")
+    # the giant media oracles (dedup_video's 144M-row frame grid at sf10)
+    # spill DuckDB temp past the disk when run with default settings
+    # alongside another check process; a memory cap + relaxed insertion
+    # order keep the hash joins in budget. Row order stays deterministic:
+    # every oracle ends in an explicit ORDER BY, which DuckDB honors
+    # regardless of preserve_insertion_order.
+    m_env = os.environ.get("GRAFT_CHECK_MEMLIMIT")
+    if m_env:
+        con.execute(f"SET memory_limit = '{m_env}'")
+    if os.environ.get("GRAFT_CHECK_NO_ORDER"):
+        con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
