@@ -10,7 +10,10 @@ numerically equal). Every cell is canonicalized to a string the way the
 driver's hash does — decimal.Decimal keeps its scale — so a raw-DECIMAL
 output column with mismatched scale FAILS here exactly as it would there.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query1,query2,...]
+The optional third arg restricts the gate to a comma-separated subset —
+how the giant-oracle scales (sf10) run in shards so one DuckDB process
+never holds every spill at once.
 """
 import sys, os, json, glob, math, decimal, datetime
 import duckdb
@@ -57,7 +60,7 @@ def col_values(tbl, name):
     return [canon(v) for v in tbl.column(name).to_pylist()]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     # cap DuckDB parallelism when sharing the host with a timed run
     # (default = all cores): GRAFT_CHECK_THREADS=8 python3 scripts/check.py ...
@@ -78,6 +81,12 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = [q for q in only if q not in oracle]
+        if missing:
+            print(f"FAIL subset: not in oracle_sql.json: {missing}")
+            return 1
+        oracle = {q: oracle[q] for q in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -128,4 +137,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))

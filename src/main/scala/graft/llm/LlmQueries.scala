@@ -794,6 +794,13 @@ object LlmQueries {
     new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] val VideoFrames = 4
 
+  /** Frame rate planted in the AVI container (`multimodal_avi_features`):
+    * µs-per-frame = 1000000/12 = 83333 exercises the integer-division
+    * header arithmetic (a divisor of 10⁶ would make a wrong rounding
+    * direction invisible).
+    */
+  private[llm] val AviFps = 12
+
   /** Anchors probed per (band, value) bucket in `dedup_image` — buckets
     * up to this size get EXACT pairwise treatment; above it, members
     * compare against the K smallest (mdoc, h) anchors only. K = 128
@@ -2711,6 +2718,48 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic global training-order shuffle — the write-side verb
+    // that turns a curated corpus into training shards: every doc hashes
+    // to one of 64 shards (affine seed 90) and takes a pseudo-random
+    // position WITHIN its shard (order by affine seed 91, doc_id
+    // tie-break) — exactly `repartition(64, shard).sortWithinPartitions
+    // (ord)` on the write path, reproducible across runs/engines unlike
+    // `orderBy(rand())`. The output proves both halves of the contract:
+    // shard sizes/membership (n_docs, id_sum) prove the ASSIGNMENT, and
+    // the position-weighted checksum Σ pos·(doc_id mod P1) proves the
+    // ORDER — swapping any two docs within a shard changes it. Scale
+    // shape: ONE hash shuffle on the shard key + an in-partition sort (no
+    // global order anywhere); at 100 TB each shard is an independent
+    // task, the same plan the writer runs. Checksum bound: pos ≤ docs/64,
+    // terms ≤ (n/64)·P1 ≈ 10⁵·10⁹ per doc at sf10 — Σ stays < 2^63 up to
+    // ~10⁸ docs/shard, far past any per-shard size a real layout allows.
+    Q("corpus_shuffle", {
+      val shard = s"(${H.sqlAffine(90, "doc_id")}) % 64"
+      val ord = H.sqlAffine(91, "doc_id")
+      s"""WITH s AS (SELECT doc_id, $shard AS shard_id, $ord AS ord FROM documents),
+         |p AS (SELECT doc_id, shard_id,
+         |  row_number() OVER (PARTITION BY shard_id ORDER BY ord, doc_id) AS pos
+         |  FROM s)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(pos * (doc_id % ${H.P1})) AS BIGINT) AS order_sum
+         |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard_id").orderBy($"ord", $"doc_id")
+      documents(s, d)
+        .select($"doc_id",
+          (H.affine(90, $"doc_id") % 64).as("shard_id"),
+          H.affine(91, $"doc_id").as("ord"))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("id_sum"),
+          sum($"pos" * ($"doc_id" % H.P1)).as("order_sum"))
+        .orderBy($"shard_id")
+    },
+
     // Document chunking: sliding token windows (window 64, stride 48 — 16
     // tokens of overlap) — how long documents become bounded training
     // samples while dedup/decontamination stay chunk-addressable. One
@@ -3051,6 +3100,57 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // REAL image resize under the oracle gate — the last of the brief's
+    // four multimodal verbs (decode / feature-extract / resize /
+    // frame-sample) to move from stub to real: each doc's 16×16 rendering
+    // goes BMP encode → ImageIO pixel decode → nearest-neighbor resample
+    // to 8×8 with the exact integer index map src=(2y,2x) → BMP re-encode
+    // → ImageIO decode AGAIN ([[Multimodal.resizeImage]] — the output is
+    // itself a decodable image, proven by decoding it). Every resized
+    // pixel is a sampled planted cell, so the oracle replays the index
+    // map in SQL: per-row sums r0..r7 + total pin all 64 sample
+    // positions. Map-side codec work, vocabulary-free, ~80 B/doc output.
+    Q("multimodal_resize", {
+      val rCols = (0 until 8).map(y =>
+        s"CAST(sum(CASE WHEN i // 8 = $y THEN v ELSE 0 END) AS BIGINT) AS r$y")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
+         |  FROM (${sqlShingleTok("documents")})),
+         |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
+         |  FROM w GROUP BY doc_id, p),
+         |cell AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+         |samp AS (SELECT d.doc_id, c.i, COALESCE(h.v, 0) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM hist) d
+         |  CROSS JOIN cell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id
+         |    AND h.p = 32 * (c.i // 8) + 2 * (c.i % 8))
+         |SELECT doc_id, 8 AS width, 8 AS height,
+         |  $rCols,
+         |  CAST(sum(v) AS BIGINT) AS rsum
+         |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((gray: Array[Int]) => {
+        val bmp = Multimodal.encodeBmpGray(16, 16, gray)
+        val rbmp = Multimodal.resizeImage(bmp, 8, 8)
+          .getOrElse(sys.error("resize pixel path failed"))
+        val (w, h, px) = Multimodal.decodeGrayPixels(rbmp)
+          .getOrElse(sys.error("resized BMP decode failed"))
+        require(w == 8 && h == 8, "resized dims drifted")
+        val rows = (0 until 8).map { y =>
+          var t = 0L; var x = 0
+          while (x < 8) { t += px(y * 8 + x); x += 1 }
+          t
+        }
+        (rows, rows.sum)
+      })
+      imageGrayFrame(s, d)
+        .select($"doc_id", featUdf($"gray").as("e"))
+        .select(($"doc_id" +: Seq(lit(8).as("width"), lit(8).as("height"))) ++
+          (0 until 8).map(y => element_at($"e._1", y + 1).as(s"r$y")) :+
+          $"e._2".as("rsum"): _*)
+        .orderBy($"doc_id")
+    },
+
     // REAL sample-level audio features — the audio member of the decoded-
     // media family (VERDICT r11 #5, the GIF playbook applied to WAV):
     // each doc plants a deterministic PCM signal (one signed 16-bit
@@ -3180,6 +3280,75 @@ object LlmQueries {
           (0 until VideoFrames).map(f => element_at($"e._1", f + 1).as(s"m$f"))) ++
           ($"e._2".as("motion") +:
             (0 until 8).map(g => element_at($"e._3", g + 1).as(s"g$g"))): _*)
+        .orderBy($"doc_id")
+    },
+
+    // REAL AVI container round-trip — the SECOND video container beside
+    // GIF, and the one that carries frame-exact TIMING metadata: each
+    // doc's 4-frame rendering encodes as a RIFF AVI with uncompressed
+    // 8-bit DIB frames ('DIB ' VfW codec, identity gray palette), the
+    // header fields (width/height/frame count/µs-per-frame/duration) come
+    // from the REAL avih parse, and per-frame pixel sums come from the
+    // DECODED frames — each '00db' DIB chunk decoded through the JDK's
+    // actual BMP ImageIO codec ([[Multimodal.decodeAviFrames]]). DIB is
+    // lossless, so the oracle replays the sums from the planted per-frame
+    // histograms and the header fields as the arithmetic constants the
+    // encoder wrote — a container-walk or codec deviation hash-diverges.
+    // Scale shape: identical to multimodal_video_features — the row-local
+    // videoGrayHist codegen kernel + a map-side O(4·256) codec round-trip
+    // per doc; no shuffle before the final ORDER BY.
+    Q("multimodal_avi_features", {
+      val usPf = 1000000L / AviFps
+      val durUs = usPf * VideoFrames
+      val frVals = (0 until VideoFrames)
+        .map(f => s"(${f}, ${H.affineA(f)}, ${H.affineB(f)})").mkString(", ")
+      val sCols = (0 until VideoFrames).map(f =>
+        s"CAST(sum(CASE WHEN f = $f THEN v ELSE 0 END) AS BIGINT) AS s$f")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} AS x
+         |  FROM (${sqlShingleTok("documents")})),
+         |fr AS (SELECT * FROM (VALUES $frVals) t(f, fa, fb)),
+         |hist AS (SELECT doc_id, f, p, least(255, 16 * count(*)) AS v FROM (
+         |    SELECT w.doc_id, fr.f, ((w.x * fr.fa + fr.fb) % ${H.P1}) % 256 AS p
+         |    FROM w CROSS JOIN fr)
+         |  GROUP BY doc_id, f, p)
+         |SELECT doc_id, 16 AS width, 16 AS height,
+         |  $VideoFrames AS n_frames,
+         |  CAST($usPf AS BIGINT) AS us_per_frame,
+         |  CAST($durUs AS BIGINT) AS dur_micros,
+         |  $sCols
+         |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((gray: Array[Int]) => {
+        val frames = (0 until VideoFrames).map { f =>
+          val g = new Array[Int](256)
+          var i = 0
+          while (i < 256) { g(i) = gray(f * 256 + i); i += 1 }
+          g
+        }
+        val avi = Multimodal.encodeAviGray(16, 16, AviFps, frames)
+        val meta = Multimodal.decodeAviMeta(avi)
+          .getOrElse(sys.error("AVI header round-trip failed"))
+        val dec = Multimodal.decodeAviFrames(avi)
+        require(dec.length == frames.length && meta._3 == frames.length,
+          "AVI frame round-trip failed")
+        val sums = dec.map { case (_, _, px) =>
+          var t = 0L; var i = 0
+          while (i < px.length) { t += px(i); i += 1 }
+          t
+        }
+        (meta._1, meta._2, meta._3, meta._4, meta._5, sums)
+      })
+      documents(s, d)
+        .select($"doc_id",
+          graft.functions.ImageRender.videoGrayHistCol($"text", VideoFrames)
+            .as("gray"))
+        .filter(size($"gray") > 0)
+        .select($"doc_id", featUdf($"gray").as("e"))
+        .select(($"doc_id" +: Seq($"e._1".as("width"), $"e._2".as("height"),
+          $"e._3".as("n_frames"), $"e._4".as("us_per_frame"),
+          $"e._5".as("dur_micros"))) ++
+          (0 until VideoFrames).map(f => element_at($"e._6", f + 1).as(s"s$f")): _*)
         .orderBy($"doc_id")
     },
 

@@ -290,8 +290,10 @@ object Multimodal {
   /** Decode one payload: real imageio header parse for `image/...` content
     * types, real RIFF header parse for `audio/...` WAV payloads (for audio,
     * `width` carries the sample rate and `height` the duration in millis —
-    * the closest MediaMeta analog of pixel dims), real ISO-BMFF box parse
-    * for `video/...` MP4 payloads (pixel dims from the video trak's tkhd,
+    * the closest MediaMeta analog of pixel dims), real RIFF walk for
+    * `video/...` AVI payloads (dims + frame count from avih) falling back
+    * to the real ISO-BMFF box parse
+    * for MP4 payloads (pixel dims from the video trak's tkhd,
     * `nChannels` carries the track count), stub for everything else and
     * for payloads no real parser recognizes. The SHA-256 content hash is
     * computed either way.
@@ -316,11 +318,19 @@ object Multimodal {
         case None => decodeStub(key, contentType, data)
       }
     else if (contentType != null && contentType.startsWith("video/"))
-      decodeMp4(data) match {
-        case Some((w, h, nTraks, _)) =>
+      // container sniff order: AVI (RIFF magic, cheap reject) then MP4;
+      // for AVI `nChannels` carries the frame count — the closest
+      // MediaMeta analog of MP4's track count
+      decodeAviMeta(data) match {
+        case Some((w, h, n, _, _)) =>
           MediaMeta(key, contentType, data.length,
-            width = w, height = h, nChannels = nTraks, sha = sha)
-        case None => decodeStub(key, contentType, data)
+            width = w, height = h, nChannels = n, sha = sha)
+        case None => decodeMp4(data) match {
+          case Some((w, h, nTraks, _)) =>
+            MediaMeta(key, contentType, data.length,
+              width = w, height = h, nChannels = nTraks, sha = sha)
+          case None => decodeStub(key, contentType, data)
+        }
       }
     else decodeStub(key, contentType, data)
   }
@@ -387,17 +397,32 @@ object Multimodal {
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
-        // one bulk getRGB: identical packed-RGB values to the per-pixel
-        // call, minus w·h Java2D dispatch+conversion round-trips (the
-        // per-pixel loop was the measured CPU of the map-only image build
-        // once the histogram moved into the row-local kernel)
-        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        val cm = img.getColorModel
         val gray = new Array[Int](w * h)
-        var i = 0
-        while (i < rgbs.length) {
-          val rgb = rgbs(i)
-          gray(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-          i += 1
+        if (!cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+          cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+          img.getRaster.getNumBands == 1 && cm.getComponentSize(0) == 8) {
+          // single-band 8-bit gray (e.g. the reader normalized an
+          // identity-gray-palette DIB/BMP to TYPE_BYTE_GRAY): the raster
+          // sample IS the stored gray value. getRGB here would run the
+          // LINEAR-gray → sRGB color-space conversion (TYPE_BYTE_GRAY's
+          // space is linear) and silently distort every non-extreme value
+          // (50 → 122) — the samples are the exact planted bytes.
+          img.getRaster.getSamples(0, 0, w, h, 0, gray)
+        } else {
+          // one bulk getRGB: identical packed-RGB values to the per-pixel
+          // call, minus w·h Java2D dispatch+conversion round-trips (the
+          // per-pixel loop was the measured CPU of the map-only image build
+          // once the histogram moved into the row-local kernel). Indexed
+          // images MUST take this path — their raster samples are palette
+          // indices, not gray values.
+          val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < rgbs.length) {
+            val rgb = rgbs(i)
+            gray(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            i += 1
+          }
         }
         Some((w, h, gray))
       }
@@ -607,6 +632,227 @@ object Multimodal {
     (means, motion, hist.toSeq)
   }
 
+  // ────────────────────── real AVI (RIFF) video container ──────────────
+  // The second real video container beside GIF: AVI with uncompressed
+  // 8-bit DIB frames ('DIB ' fourcc — the Video-for-Windows uncompressed
+  // codec), the one video container whose frame payloads are lossless AND
+  // whose per-frame pixel decode can route through a REAL JDK codec: each
+  // '00db' chunk is a DIB bitmap, so prepending a 14-byte BITMAPFILEHEADER
+  // to (strf InfoHeader + palette + frame bytes) yields a standalone BMP
+  // that ImageIO decodes. Container walk = our RIFF parser (the same
+  // chunk-list discipline as [[decodeWav]] — container formats are the
+  // reference's own domain, `docs/draft.md:35-51`); pixel decode = the
+  // JDK's BMP reader. Unlike the GIF path, AVI carries real TIMING
+  // metadata (µs/frame in avih, rate/scale in strh) — the fps/duration
+  // fields `multimodal_meta`'s MP4 path reads from mvhd exist here for a
+  // frame-exact container. Everything is byte-exact, so planted matrices
+  // round-trip bit-identically and the oracle replays from the plant.
+
+  /** Encode top-down grayscale frames (all `w×h`, values 0..255) as an
+    * AVI with uncompressed 8-bit DIB frames and an identity 256-gray
+    * palette. Layout: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER+palette}} → LIST(movi){'00db'×n}.
+    * Rows are stored bottom-up, padded to 4 bytes (DIB convention);
+    * [[decodeAviFrames]] of the result returns the planted matrices
+    * exactly (MultimodalSpec pins the round-trip).
+    */
+  def encodeAviGray(w: Int, h: Int, fps: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty &&
+      frames.forall(_.length == w * h), "dims must match every frame")
+    val rowSize = (w + 3) / 4 * 4 // 8-bit pixels, 4-byte row padding
+    val frameBytes = rowSize * h
+    val n = frames.length
+    val strfSize = 40 + 256 * 4
+    // sizes of the LIST payloads (fourcc included, per RIFF convention)
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + n * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = new Array[Byte](8 + riffSize)
+    var p = 0
+    def put4(s: String): Unit = {
+      var j = 0
+      while (j < 4) { out(p + j) = s.charAt(j).toByte; j += 1 }
+      p += 4
+    }
+    def pu32(v: Long): Unit = {
+      out(p) = (v & 0xFF).toByte; out(p + 1) = ((v >> 8) & 0xFF).toByte
+      out(p + 2) = ((v >> 16) & 0xFF).toByte; out(p + 3) = ((v >> 24) & 0xFF).toByte
+      p += 4
+    }
+    def pu16(v: Int): Unit = {
+      out(p) = (v & 0xFF).toByte; out(p + 1) = ((v >> 8) & 0xFF).toByte; p += 2
+    }
+    put4("RIFF"); pu32(riffSize.toLong); put4("AVI ")
+    put4("LIST"); pu32(hdrlSize.toLong); put4("hdrl")
+    put4("avih"); pu32(56)
+    pu32(1000000L / fps) // dwMicroSecPerFrame
+    pu32(fps.toLong * frameBytes) // dwMaxBytesPerSec
+    pu32(0) // dwPaddingGranularity
+    pu32(0) // dwFlags (no index — movi chunks are walked sequentially)
+    pu32(n.toLong) // dwTotalFrames
+    pu32(0); pu32(1) // dwInitialFrames, dwStreams
+    pu32(frameBytes.toLong) // dwSuggestedBufferSize
+    pu32(w.toLong); pu32(h.toLong)
+    pu32(0); pu32(0); pu32(0); pu32(0) // dwReserved[4]
+    put4("LIST"); pu32(strlSize.toLong); put4("strl")
+    put4("strh"); pu32(56)
+    put4("vids"); put4("DIB ") // fccType, fccHandler (uncompressed DIB)
+    pu32(0); pu16(0); pu16(0) // flags, priority, language
+    pu32(0) // initial frames
+    pu32(1); pu32(fps.toLong) // dwScale, dwRate → fps = rate/scale
+    pu32(0); pu32(n.toLong) // dwStart, dwLength (frames)
+    pu32(frameBytes.toLong) // buffer size
+    pu32(0xFFFFFFFFL) // quality (default)
+    pu32(0) // sample size (0 = one sample per chunk)
+    pu16(0); pu16(0); pu16(w); pu16(h) // rcFrame
+    put4("strf"); pu32(strfSize.toLong)
+    pu32(40); pu32(w.toLong); pu32(h.toLong) // biSize, biWidth, biHeight (+h = bottom-up)
+    pu16(1); pu16(8) // biPlanes, biBitCount
+    pu32(0) // biCompression = BI_RGB
+    pu32(frameBytes.toLong)
+    pu32(0); pu32(0) // pixels/meter
+    pu32(256); pu32(0) // biClrUsed, biClrImportant
+    var c = 0
+    while (c < 256) { // identity gray palette: B,G,R,reserved
+      out(p) = c.toByte; out(p + 1) = c.toByte; out(p + 2) = c.toByte
+      out(p + 3) = 0; p += 4; c += 1
+    }
+    put4("LIST"); pu32(moviSize.toLong); put4("movi")
+    frames.foreach { g =>
+      put4("00db"); pu32(frameBytes.toLong)
+      var y = 0
+      while (y < h) {
+        val rowOff = p + (h - 1 - y) * rowSize // bottom-up
+        var x = 0
+        while (x < w) { out(rowOff + x) = (g(y * w + x) & 0xFF).toByte; x += 1 }
+        y += 1
+      }
+      p += frameBytes
+    }
+    require(p == out.length, s"AVI layout arithmetic: wrote $p of ${out.length}")
+    out
+  }
+
+  /** Walk the children of a RIFF enclosure `[start, end)`: (fourcc,
+    * payload start, payload end). LIST chunks report their list type as
+    * the fourcc with payload starting past it — callers recurse with the
+    * returned bounds. Chunk sizes are padded to even per RIFF.
+    */
+  private def riffChunks(data: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = start
+      def hasNext: Boolean = pos + 8 <= end && pos + 8 <= data.length
+      def next(): (String, Int, Int) = {
+        def u32(i: Int): Long = (data(i) & 0xFFL) | ((data(i + 1) & 0xFFL) << 8) |
+          ((data(i + 2) & 0xFFL) << 16) | ((data(i + 3) & 0xFFL) << 24)
+        var typ = new String(data, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var size = math.min(u32(pos + 4), (end - pos - 8).toLong).toInt
+        var body = pos + 8
+        pos = body + size + (size & 1) // even padding
+        if (typ == "LIST" && size >= 4) { // surface the list type
+          typ = new String(data, body, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          body += 4; size -= 4
+        }
+        (typ, body, body + size)
+      }
+    }
+
+  /** REAL AVI header decode: walks hdrl for `avih` (+`strh` of the first
+    * video stream) and returns (width, height, nFrames, usPerFrame,
+    * durationMicros). O(header) — movi frame data is skipped by declared
+    * size. None when the payload is not a RIFF/AVI container.
+    */
+  def decodeAviMeta(data: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    def u32(i: Int): Long = (data(i) & 0xFFL) | ((data(i + 1) & 0xFFL) << 8) |
+      ((data(i + 2) & 0xFFL) << 16) | ((data(i + 3) & 0xFFL) << 24)
+    val isAvi = data.length >= 12 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+      data(8) == 'A' && data(9) == 'V' && data(10) == 'I' && data(11) == ' '
+    if (!isAvi) return None
+    try {
+      riffChunks(data, 12, data.length).collectFirst { case ("hdrl", hs, he) =>
+        var w = 0; var h = 0; var n = 0; var usPf = 0L
+        for ((typ, bs, be) <- riffChunks(data, hs, he)) typ match {
+          case "avih" if be - bs >= 56 =>
+            usPf = u32(bs)
+            n = u32(bs + 16).toInt
+            w = u32(bs + 32).toInt; h = u32(bs + 36).toInt
+          case _ => ()
+        }
+        // duration = frames × µs/frame; saturate crafted headers like the
+        // WAV/MP4 paths rather than wrapping Long negative
+        val dur = if (usPf > 0 && n > 0 && usPf > Long.MaxValue / n) Long.MaxValue
+        else usPf * n
+        (w, h, n, usPf, dur)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** FULL AVI frame decode: walks movi for '00db'/'00dc' chunks and
+    * decodes each DIB frame through the REAL JDK BMP codec — a 14-byte
+    * BITMAPFILEHEADER is prepended to (strf header+palette, frame bytes)
+    * and the standalone BMP goes through [[decodeGrayPixels]] (ImageIO).
+    * Returns top-down grayscale matrices like [[decodeGifFrames]]; Nil
+    * when the payload is not AVI or carries no parseable video stream.
+    */
+  def decodeAviFrames(data: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    if (decodeAviMeta(data).isEmpty) return Nil
+    try {
+      // locate the strf blob (InfoHeader + palette) once; every frame
+      // shares it
+      var strf: Option[(Int, Int)] = None
+      var movi: Option[(Int, Int)] = None
+      for ((typ, bs, be) <- riffChunks(data, 12, data.length)) typ match {
+        case "hdrl" =>
+          for ((t2, s2, e2) <- riffChunks(data, bs, be) if t2 == "strl";
+               (t3, s3, e3) <- riffChunks(data, s2, e2) if t3 == "strf" && strf.isEmpty)
+            strf = Some((s3, e3))
+        case "movi" if movi.isEmpty => movi = Some((bs, be))
+        case _ => ()
+      }
+      (strf, movi) match {
+        case (Some((fs, fe)), Some((ms, me))) =>
+          val hdrLen = fe - fs
+          riffChunks(data, ms, me).collect {
+            case (typ, bs, be) if typ.endsWith("db") || typ.endsWith("dc") =>
+              val frameLen = be - bs
+              val bmp = new Array[Byte](14 + hdrLen + frameLen)
+              bmp(0) = 'B'; bmp(1) = 'M'
+              def p32(i: Int, v: Int): Unit = {
+                bmp(i) = (v & 0xFF).toByte; bmp(i + 1) = ((v >> 8) & 0xFF).toByte
+                bmp(i + 2) = ((v >> 16) & 0xFF).toByte; bmp(i + 3) = (v >>> 24).toByte
+              }
+              p32(2, bmp.length) // file size
+              p32(10, 14 + hdrLen) // pixel data offset
+              System.arraycopy(data, fs, bmp, 14, hdrLen)
+              System.arraycopy(data, bs, bmp, 14 + hdrLen, frameLen)
+              decodeGrayPixels(bmp)
+          }.flatten.toSeq
+        case _ => Nil
+      }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** REAL frame sampling for AVI payloads (replaces [[frameSampleStub]]
+    * for the container we can actually parse): every k-th decoded frame,
+    * k = ceil(total/n), re-encoded as a standalone BMP via
+    * [[encodeBmpGray]] — the downstream per-image tools (aHash, feature
+    * extraction) consume BMPs directly. Falls back to Nil for non-AVI
+    * payloads; callers then use the stub.
+    */
+  def frameSampleAvi(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    require(n > 0, "sample count must be positive")
+    val frames = decodeAviFrames(data)
+    if (frames.isEmpty) Nil
+    else {
+      val k = math.max(1, (frames.length + n - 1) / n)
+      frames.zipWithIndex.collect {
+        case ((w, h, g), i) if i % k == 0 => encodeBmpGray(w, h, g)
+      }.take(n)
+    }
+  }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */
@@ -644,6 +890,35 @@ object Multimodal {
     out
   }
 
+  /** REAL image resize for JDK-decodable payloads: full pixel decode
+    * (ImageIO), nearest-neighbor resample with the exact integer index
+    * map `src = (y·h/newH, x·w/newW)` — the same map [[resizeStub]]
+    * applies to raw bytes, here applied to actual pixels — re-encoded as
+    * an uncompressed BMP. Every step is exact integer arithmetic over
+    * losslessly-decoded pixels, so the resized image's pixels are
+    * replayable from the source pixels (the `multimodal_resize` oracle
+    * replays the sample positions in SQL). None when no JDK codec claims
+    * the payload — callers then fall back to the stub.
+    */
+  def resizeImage(data: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    require(newW > 0 && newH > 0, "target dims must be positive")
+    decodeGrayPixels(data).map { case (w, h, g) =>
+      val out = new Array[Int](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val srcY = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val srcX = (x.toLong * w / newW).toInt
+          out(y * newW + x) = g(srcY * w + srcX)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmpGray(newW, newH, out)
+    }
+  }
+
   /** STUB frame sampler for payloads with no JDK-decodable frames (e.g.
     * MP4 — no JDK codec): returns `n` evenly spaced byte-slices standing
     * in for decoded frames. Multi-frame GIF payloads go through the REAL
@@ -673,12 +948,14 @@ object Multimodal {
       .mapPartitions(_.map { case (k, ct, d) => decode(k, ct, d) })
   }
 
-  /** Resize every entry payload to `newW×newH` using its decoded dimensions
-    * — header parse and resample fused in one per-partition pass so pixels
-    * never round-trip through a shuffle, and nothing hashes or re-decodes
-    * the payload (dims come from the O(header) [[decodeDimsStub]]).
-    * `content_type` rides through so downstream stages can still route by
-    * modality.
+  /** Resize every entry payload to `newW×newH` — header parse and resample
+    * fused in one per-partition pass so pixels never round-trip through a
+    * shuffle. Image payloads the JDK can decode go through the REAL
+    * [[resizeImage]] pixel path (decode → nearest-neighbor → BMP);
+    * everything else falls back to [[resizeStub]] over raw bytes with
+    * stub dims. `content_type` rides through so downstream stages can
+    * still route by modality (resized images are BMP re-encodes —
+    * `image/bmp`).
     */
   def resizeEntries(df: DataFrame, newW: Int, newH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -687,12 +964,15 @@ object Multimodal {
       .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
       .as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (k, ct, d) =>
-        // real header dims for images, stub dims for other modalities
-        val (w, h, _) =
-          if (ct != null && ct.startsWith("image/"))
-            decodeImage(d).getOrElse(decodeDimsStub(d))
-          else decodeDimsStub(d)
-        (k, ct, newW, newH, resizeStub(d, w, h, newW, newH))
+        val real =
+          if (ct != null && ct.startsWith("image/")) resizeImage(d, newW, newH)
+          else None
+        real match {
+          case Some(px) => (k, "image/bmp", newW, newH, px)
+          case None =>
+            val (w, h, _) = decodeDimsStub(d)
+            (k, ct, newW, newH, resizeStub(d, w, h, newW, newH))
+        }
       })
       .toDF("key", "content_type", "width", "height", "data")
   }

@@ -62,7 +62,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(same.toSeq == data.toSeq, "identity resize must be a no-op")
     val df = Multimodal.resizeEntries(mediaDf(10), 8, 8).collect()
     assert(df.length == 10)
+    // fake payloads aren't decodable → stub path: raw newW·newH bytes
     assert(df.forall(_.getAs[Array[Byte]]("data").length == 64))
+  }
+
+  test("resizeImage: REAL decode → nearest-neighbor → BMP, exact index map") {
+    val src = Array.tabulate(16 * 16)(i => (i * 7) % 256)
+    val bmp = Multimodal.encodeBmpGray(16, 16, src)
+    val out = Multimodal.resizeImage(bmp, 8, 8)
+    assert(out.isDefined, "a real BMP payload must take the pixel path")
+    val dec = Multimodal.decodeGrayPixels(out.get)
+    assert(dec.exists { case (w, h, g) =>
+      w == 8 && h == 8 && (0 until 64).forall { i =>
+        val y = i / 8; val x = i % 8
+        g(i) == src((y * 16 / 8) * 16 + (x * 16 / 8)) // src = (2y, 2x)
+      }
+    }, "resized pixels must be the exact nearest-neighbor samples")
+    // identity resize round-trips the pixels unchanged
+    val same = Multimodal.resizeImage(bmp, 16, 16)
+    assert(same.flatMap(Multimodal.decodeGrayPixels).exists(_._3.sameElements(src)))
+    // undecodable payloads return None (callers fall back to the stub)
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 8, 8).isEmpty)
+    // resizeEntries routes real image payloads through the pixel path:
+    // output is a BMP whose pixels match, not raw bytes
+    import spark.implicits._
+    val realDf = spark.range(3L).select(
+      format_string("img%04d", $"id").as("key"),
+      lit(null).cast("binary").as("metadata"),
+      array(struct(
+        lit("a.bmp").as("file_name"),
+        lit("image/bmp").as("content_type"),
+        lit("").as("encoding"),
+        lit(bmp).as("data"))).as("entries"))
+    val resized = Multimodal.resizeEntries(realDf, 8, 8).collect()
+    assert(resized.forall(r => r.getAs[String]("content_type") == "image/bmp" &&
+      Multimodal.decodeGrayPixels(r.getAs[Array[Byte]]("data"))
+        .exists { case (w, h, _) => w == 8 && h == 8 }))
   }
 
   test("pipeline: shardpack round-trip then decode preserves payload identity") {
@@ -119,10 +154,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(metas("junk").width == stubJunk.width && metas("junk").height == stubJunk.height)
     val stubWav = Multimodal.decodeStub("wav1", "audio/wav", Array[Byte](9, 9, 9, 9))
     assert(metas("wav1").width == stubWav.width)
-    // resize consumes the REAL dims for images (exact nearest-neighbor map)
+    // decodable images take the REAL pixel resize path: the output is an
+    // 8×8 BMP (itself decodable), not raw newW·newH stub bytes
     val resized = Multimodal.resizeEntries(df.filter($"key" === "png1"), 8, 8)
       .select("data").head.getAs[Array[Byte]](0)
-    assert(resized.length == 64)
+    assert(Multimodal.decodeGrayPixels(resized)
+      .exists { case (w, h, _) => w == 8 && h == 8 })
   }
 
   /** Canonical 44-byte-header PCM WAV with an optional pre-`fmt ` chunk to
@@ -331,5 +368,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 16)
     assert(out(0) == 7)            // idx 0 is in range
     assert(out(15) == 0)           // out-of-range source positions zero-fill
+  }
+
+  test("AVI DIB round-trip is pixel-exact; header carries real timing metadata") {
+    val rnd = new scala.util.Random(13)
+    // 13 wide exercises the 4-byte DIB row padding (rowSize 16 ≠ w)
+    val frames = Seq.fill(5)(Array.fill(13 * 7)(rnd.nextInt(256)))
+    val avi = Multimodal.encodeAviGray(13, 7, 12, frames)
+    assert(avi.take(4).map(_.toChar).mkString == "RIFF" &&
+      avi.slice(8, 12).map(_.toChar).mkString == "AVI ")
+    val meta = Multimodal.decodeAviMeta(avi)
+    assert(meta.contains((13, 7, 5, 83333L, 5L * 83333L)),
+      s"avih header fields drifted: $meta")
+    val back = Multimodal.decodeAviFrames(avi)
+    assert(back.length == 5, s"expected 5 frames, got ${back.length}")
+    back.zip(frames).zipWithIndex.foreach { case (((w, h, g), want), f) =>
+      assert(w == 13 && h == 7)
+      assert(g.sameElements(want), s"frame $f pixels drifted through the DIB codec")
+    }
+    // the decode() dispatch reads the AVI header for video/* payloads
+    val m = Multimodal.decode("v1", "video/x-msvideo", avi)
+    assert(m.width == 13 && m.height == 7 && m.nChannels == 5)
+    // junk / non-AVI yield None/Nil, never throw
+    assert(Multimodal.decodeAviMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAviFrames(Multimodal.encodeBmpGray(4, 4, Array.fill(16)(9))).isEmpty)
+  }
+
+  test("frameSampleAvi returns every k-th decoded frame as a standalone BMP") {
+    val frames = (0 until 6).map(f => Array.fill(16 * 16)(f * 40))
+    val avi = Multimodal.encodeAviGray(16, 16, 10, frames)
+    val sampled = Multimodal.frameSampleAvi(avi, 3) // k = ceil(6/3) = 2
+    assert(sampled.length == 3)
+    sampled.zip(Seq(0, 2, 4)).foreach { case (bmp, f) =>
+      val dec = Multimodal.decodeGrayPixels(bmp)
+      assert(dec.exists { case (w, h, g) =>
+        w == 16 && h == 16 && g.sameElements(frames(f))
+      }, s"sampled frame $f should be the planted matrix as a decodable BMP")
+    }
+    // non-AVI payloads fall back to Nil (callers then use the stub)
+    assert(Multimodal.frameSampleAvi(Array[Byte](1, 2, 3), 2).isEmpty)
   }
 }
