@@ -3151,6 +3151,53 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // REAL NumPy tensor payloads — `application/x-npy` is in the
+    // reference's own recommended-content-type catalog
+    // (`docs/draft.md:187-195`): the annotation/tensor member of a
+    // training record. Each doc's 16×16 rendering is encoded as an int64
+    // .npy v1.0 tensor (magic, padded dict header, little-endian
+    // payload), decoded back through the header parse
+    // ([[Multimodal.decodeNpyLongs]]), and the output proves the full
+    // round-trip: shape dims from the DECODED header, element sum, and a
+    // position-weighted checksum Σ (i+1)·vᵢ that any element reorder or
+    // byte-order slip changes. Integers are exact, so the oracle replays
+    // all three from the planted histogram. Map-side O(256) per doc,
+    // no shuffle before the final ORDER BY. (float32 `<f4` — the
+    // embedding shape — is pinned bit-exact in MultimodalSpec.)
+    Q("multimodal_npy_features", {
+      s"""WITH w AS (SELECT doc_id, ${H.sqlWordHash("w")} % 256 AS p
+         |  FROM (${sqlShingleTok("documents")})),
+         |hist AS (SELECT doc_id, p, least(255, 16 * count(*)) AS v
+         |  FROM w GROUP BY doc_id, p),
+         |cell AS (SELECT CAST(unnest(range(256)) AS INT) AS p),
+         |grid AS (SELECT d.doc_id, c.p, COALESCE(h.v, 0) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM hist) d
+         |  CROSS JOIN cell c
+         |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.p = c.p)
+         |SELECT doc_id, 16 AS dim0, 16 AS dim1,
+         |  CAST(sum(v) AS BIGINT) AS el_sum,
+         |  CAST(sum((p + 1) * v) AS BIGINT) AS pos_sum
+         |FROM grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((gray: Array[Int]) => {
+        val vals = gray.map(_.toLong)
+        val npy = Multimodal.encodeNpyLongs(Seq(16, 16), vals)
+        val (shape, dec) = Multimodal.decodeNpyLongs(npy)
+          .getOrElse(sys.error("npy round-trip failed"))
+        require(shape == Seq(16, 16) && dec.length == 256, "npy shape drifted")
+        var elSum = 0L; var posSum = 0L; var i = 0
+        while (i < dec.length) {
+          elSum += dec(i); posSum += (i + 1) * dec(i); i += 1
+        }
+        (shape.head, shape(1), elSum, posSum)
+      })
+      imageGrayFrame(s, d)
+        .select($"doc_id", featUdf($"gray").as("e"))
+        .select($"doc_id", $"e._1".as("dim0"), $"e._2".as("dim1"),
+          $"e._3".as("el_sum"), $"e._4".as("pos_sum"))
+        .orderBy($"doc_id")
+    },
+
     // REAL sample-level audio features — the audio member of the decoded-
     // media family (VERDICT r11 #5, the GIF playbook applied to WAV):
     // each doc plants a deterministic PCM signal (one signed 16-bit

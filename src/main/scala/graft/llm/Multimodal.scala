@@ -332,6 +332,19 @@ object Multimodal {
           case None => decodeStub(key, contentType, data)
         }
       }
+    else if (contentType == "application/x-npy")
+      // real tensor-header parse (the reference's recommended annotation
+      // type): width/height carry the first two dims, nChannels the
+      // element width in bytes
+      decodeNpyHeader(data) match {
+        case Some((descr, shape, _)) =>
+          val elemBytes = descr.drop(2).toIntOption.getOrElse(0)
+          MediaMeta(key, contentType, data.length,
+            width = shape.headOption.getOrElse(1),
+            height = if (shape.length > 1) shape(1) else 1,
+            nChannels = elemBytes, sha = sha)
+        case None => decodeStub(key, contentType, data)
+      }
     else decodeStub(key, contentType, data)
   }
 
@@ -889,6 +902,124 @@ object Multimodal {
     }
     out
   }
+
+  // ────────────────────── real NumPy (.npy) tensor payloads ────────────
+  // The reference's recommended-content-type catalog names
+  // `application/x-npy` explicitly (`docs/draft.md:187-195`) — the tensor
+  // payload of an ML training record. The .npy v1.0 format is public and
+  // tiny: 6-byte magic, version, u16 header length, a Python-dict header
+  // ({'descr','fortran_order','shape'}) padded to a 64-byte boundary,
+  // then raw elements. Both directions below are byte-exact for integer
+  // and IEEE-754 payloads, so planted tensors round-trip bit-identically
+  // (the multimodal_npy_features oracle leans on the i8 path; f4 carries
+  // embeddings).
+
+  /** Encode a C-order tensor as .npy v1.0 with the given numpy descr
+    * (`<i8` int64 or `<f4` float32), shape, and little-endian payload.
+    */
+  private def encodeNpy(descr: String, shape: Seq[Int], payload: Array[Byte]): Array[Byte] = {
+    val shapeStr = shape.mkString("(", ", ", if (shape.length == 1) ",)" else ")")
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    // total header (magic 8 + len 2 + dict + padding + '\n') ≡ 0 mod 64
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val out = new Array[Byte](10 + header.length + payload.length)
+    out(0) = 0x93.toByte; out(1) = 'N'; out(2) = 'U'; out(3) = 'M'
+    out(4) = 'P'; out(5) = 'Y'; out(6) = 1; out(7) = 0
+    out(8) = (header.length & 0xFF).toByte
+    out(9) = ((header.length >> 8) & 0xFF).toByte
+    var i = 0
+    while (i < header.length) { out(10 + i) = header.charAt(i).toByte; i += 1 }
+    System.arraycopy(payload, 0, out, 10 + header.length, payload.length)
+    out
+  }
+
+  /** int64 tensor → .npy (`<i8`, C-order). */
+  def encodeNpyLongs(shape: Seq[Int], values: Array[Long]): Array[Byte] = {
+    require(shape.product == values.length, "shape must match value count")
+    val payload = new Array[Byte](values.length * 8)
+    var i = 0
+    while (i < values.length) {
+      var v = values(i); var j = 0
+      while (j < 8) { payload(i * 8 + j) = (v & 0xFF).toByte; v >>= 8; j += 1 }
+      i += 1
+    }
+    encodeNpy("<i8", shape, payload)
+  }
+
+  /** float32 tensor → .npy (`<f4`, C-order) — the embedding-column shape. */
+  def encodeNpyFloats(shape: Seq[Int], values: Array[Float]): Array[Byte] = {
+    require(shape.product == values.length, "shape must match value count")
+    val bb = java.nio.ByteBuffer.allocate(values.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putFloat)
+    encodeNpy("<f4", shape, bb.array())
+  }
+
+  /** REAL .npy header decode: (descr, shape, payload offset). Handles
+    * v1.0 (u16 header len) and v2.0 (u32); None when the magic, version
+    * or header dict is malformed. O(header) — elements are not touched.
+    */
+  def decodeNpyHeader(data: Array[Byte]): Option[(String, Seq[Int], Int)] = {
+    if (data.length < 10 || data(0) != 0x93.toByte || data(1) != 'N' ||
+      data(2) != 'U' || data(3) != 'M' || data(4) != 'P' || data(5) != 'Y') return None
+    try {
+      val major = data(6) & 0xFF
+      val (hLen, hOff) =
+        if (major == 1) (((data(8) & 0xFF) | ((data(9) & 0xFF) << 8)), 10)
+        else ((data(8) & 0xFF) | ((data(9) & 0xFF) << 8) |
+          ((data(10) & 0xFF) << 16) | ((data(11) & 0xFF) << 24), 12)
+      if (hOff + hLen > data.length) return None
+      val header = new String(data, hOff, hLen, java.nio.charset.StandardCharsets.US_ASCII)
+      val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(header).map(_.group(1))
+      val shape = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header).map(_.group(1))
+      // fortran-order payloads would transpose silently; reject them
+      val cOrder = "'fortran_order':\\s*False".r.findFirstIn(header).isDefined
+      (descr, shape) match {
+        case (Some(d), Some(s)) if cOrder =>
+          val dims = s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+          Some((d, if (dims.isEmpty) Seq(1) else dims, hOff + hLen))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** FULL int64 tensor decode (`<i8`): (shape, values). None on any other
+    * dtype — callers dispatch on [[decodeNpyHeader]]'s descr.
+    */
+  def decodeNpyLongs(data: Array[Byte]): Option[(Seq[Int], Array[Long])] =
+    decodeNpyHeader(data).flatMap { case (descr, shape, off) =>
+      val n = shape.product
+      if (descr != "<i8" || off + n * 8 > data.length) None
+      else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var v = 0L; var j = 7
+          while (j >= 0) { v = (v << 8) | (data(off + i * 8 + j) & 0xFFL); j -= 1 }
+          out(i) = v; i += 1
+        }
+        Some((shape, out))
+      }
+    }
+
+  /** FULL float32 tensor decode (`<f4`): (shape, values) — bit-exact
+    * (IEEE-754 bytes pass through intBitsToFloat untouched).
+    */
+  def decodeNpyFloats(data: Array[Byte]): Option[(Seq[Int], Array[Float])] =
+    decodeNpyHeader(data).flatMap { case (descr, shape, off) =>
+      val n = shape.product
+      if (descr != "<f4" || off + n * 4 > data.length) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(data, off, n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getFloat(); i += 1 }
+        Some((shape, out))
+      }
+    }
 
   /** REAL image resize for JDK-decodable payloads: full pixel decode
     * (ImageIO), nearest-neighbor resample with the exact integer index

