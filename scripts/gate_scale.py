@@ -5,9 +5,13 @@ the next starts), append results to a log, and skip queries already PASSed
 in that log — a crashed/killed run resumes where it left off.
 
 Usage: python3 scripts/gate_scale.py <sfDir> <verifyOutDir> <logFile>
-Env:   GRAFT_CHECK_MEMLIMIT / GRAFT_CHECK_NO_ORDER / GRAFT_CHECK_THREADS
-       pass through to check.py (the sf10 media oracles need
-       MEMLIMIT≈24GB + NO_ORDER to stay inside the disk budget).
+Env:   GRAFT_CHECK_MEMLIMIT / GRAFT_CHECK_THREADS pass through to check.py
+       (the sf10 media oracles need MEMLIMIT≈24GB; per-query process
+       isolation reclaims each oracle's spill before the next starts).
+       Do NOT set GRAFT_CHECK_NO_ORDER for a recorded gate — it is
+       unsound (see check.py: DuckDB's Arrow fetch can return a final
+       ORDER BY's batches out of order under it), and a PASS produced
+       under it would stick in the resume log.
 """
 import json
 import os

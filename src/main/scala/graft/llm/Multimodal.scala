@@ -786,11 +786,15 @@ object Multimodal {
     try {
       riffChunks(data, 12, data.length).collectFirst { case ("hdrl", hs, he) =>
         var w = 0; var h = 0; var n = 0; var usPf = 0L
+        // u32 fields read as Long, saturated to Int.MaxValue: a crafted
+        // dwTotalFrames/dwWidth ≥ 2^31 must clamp, not wrap negative
+        // (a negative n would also bypass the duration saturation below)
+        def sat(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
         for ((typ, bs, be) <- riffChunks(data, hs, he)) typ match {
           case "avih" if be - bs >= 56 =>
             usPf = u32(bs)
-            n = u32(bs + 16).toInt
-            w = u32(bs + 32).toInt; h = u32(bs + 36).toInt
+            n = sat(u32(bs + 16))
+            w = sat(u32(bs + 32)); h = sat(u32(bs + 36))
           case _ => ()
         }
         // duration = frames × µs/frame; saturate crafted headers like the
@@ -847,12 +851,12 @@ object Multimodal {
     } catch { case _: Exception => Nil }
   }
 
-  /** REAL frame sampling for AVI payloads (replaces [[frameSampleStub]]
-    * for the container we can actually parse): every k-th decoded frame,
+  /** REAL frame sampling for AVI payloads: every k-th decoded frame,
     * k = ceil(total/n), re-encoded as a standalone BMP via
     * [[encodeBmpGray]] — the downstream per-image tools (aHash, feature
-    * extraction) consume BMPs directly. Falls back to Nil for non-AVI
-    * payloads; callers then use the stub.
+    * extraction) consume BMPs directly. Returns Nil for non-AVI payloads;
+    * [[frameSample]] is the production dispatcher that falls back to the
+    * stub there.
     */
   def frameSampleAvi(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
     require(n > 0, "sample count must be positive")
@@ -985,13 +989,25 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Element count of a decoded shape, or -1 when any dim is negative or
+    * the product overflows Int — a crafted header's `(-1,)` or
+    * `(16, 16, 16777216)` must fall to None, not wrap past the bounds
+    * check and throw in array allocation (the never-throw contract every
+    * decoder in this file honors).
+    */
+  private def safeElemCount(shape: Seq[Int]): Int = {
+    var n = 1L
+    shape.foreach { d => if (d < 0) return -1; n *= d; if (n > Int.MaxValue) return -1 }
+    n.toInt
+  }
+
   /** FULL int64 tensor decode (`<i8`): (shape, values). None on any other
     * dtype — callers dispatch on [[decodeNpyHeader]]'s descr.
     */
   def decodeNpyLongs(data: Array[Byte]): Option[(Seq[Int], Array[Long])] =
     decodeNpyHeader(data).flatMap { case (descr, shape, off) =>
-      val n = shape.product
-      if (descr != "<i8" || off + n * 8 > data.length) None
+      val n = safeElemCount(shape)
+      if (descr != "<i8" || n < 0 || n > (data.length - off) / 8) None
       else {
         val out = new Array[Long](n)
         var i = 0
@@ -1009,8 +1025,8 @@ object Multimodal {
     */
   def decodeNpyFloats(data: Array[Byte]): Option[(Seq[Int], Array[Float])] =
     decodeNpyHeader(data).flatMap { case (descr, shape, off) =>
-      val n = shape.product
-      if (descr != "<f4" || off + n * 4 > data.length) None
+      val n = safeElemCount(shape)
+      if (descr != "<f4" || n < 0 || n > (data.length - off) / 4) None
       else {
         val bb = java.nio.ByteBuffer.wrap(data, off, n * 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1048,6 +1064,24 @@ object Multimodal {
       }
       encodeBmpGray(newW, newH, out)
     }
+  }
+
+  /** Frame-sample dispatch: REAL decoded frames for containers we can
+    * parse (AVI DIB via [[frameSampleAvi]]; multi-frame GIF via
+    * [[decodeGifFrames]], same every-k-th pick, re-encoded as BMPs),
+    * byte-slice stub for codec-less payloads (MP4 — JNI swap point).
+    */
+  def frameSample(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    require(n > 0, "sample count must be positive")
+    val avi = frameSampleAvi(data, n)
+    if (avi.nonEmpty) return avi
+    val gif = decodeGifFrames(data)
+    if (gif.length > 1) {
+      val k = math.max(1, (gif.length + n - 1) / n)
+      gif.zipWithIndex.collect {
+        case ((w, h, g), i) if i % k == 0 => encodeBmpGray(w, h, g)
+      }.take(n)
+    } else frameSampleStub(data, n)
   }
 
   /** STUB frame sampler for payloads with no JDK-decodable frames (e.g.
@@ -1106,6 +1140,23 @@ object Multimodal {
         }
       })
       .toDF("key", "content_type", "width", "height", "data")
+  }
+
+  /** Sample up to `n` frames per entry payload — one output row per
+    * sampled frame (`key, frame_idx, data`), real decoded frames for
+    * AVI/GIF containers and byte-slice stubs otherwise ([[frameSample]]).
+    * Per-partition like the other entry verbs; payloads stream through.
+    */
+  def sampleFrameEntries(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"key", explode($"entries").as("e"))
+      .select($"key", $"e.data".as("data"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (k, d) =>
+        frameSample(d, n).zipWithIndex.map { case (f, i) => (k, i, f) }
+      })
+      .toDF("key", "frame_idx", "data")
   }
 
   /** Extract feature vectors per entry payload (batch shape: one partition =

@@ -50,6 +50,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.map(_.length).sum <= data.length + 4 * 250)
     assert(frames.head.head == 0.toByte)
     assert(Multimodal.frameSampleStub(Array.emptyByteArray, 4).isEmpty)
+    // the production dispatcher: REAL decoded frames for parseable
+    // containers (GIF here; AVI pinned in its own case), stub otherwise
+    val gifFrames = (0 until 4).map(f => Array.fill(8 * 8)(f * 60))
+    val gif = Multimodal.encodeGifGray(8, 8, gifFrames)
+    val viaGif = Multimodal.frameSample(gif, 2) // k = 2 -> frames 0, 2
+    assert(viaGif.length == 2)
+    assert(Multimodal.decodeGrayPixels(viaGif(1)).exists(_._3.sameElements(gifFrames(2))))
+    assert(Multimodal.frameSample(data, 4).length == 4) // stub fallback
+    // the entry-level verb emits one row per sampled frame
+    val rows = Multimodal.sampleFrameEntries(mediaDf(5), 3).collect()
+    assert(rows.length == 15 && rows.forall(_.getAs[Int]("frame_idx") < 3))
   }
 
   test("resize maps payloads to exactly newW*newH bytes, idempotent at same size") {
@@ -397,8 +408,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("npy round-trip is bit-exact for int64 and float32 tensors") {
     val longs = Array.tabulate(256L.toInt)(i => (i * 2654435761L) - 123456789L)
     val npyL = Multimodal.encodeNpyLongs(Seq(16, 16), longs)
-    assert(npyL.length % 64 == 0 || true) // header padding never corrupts payload
     assert((npyL(0) & 0xFF) == 0x93 && npyL.slice(1, 6).map(_.toChar).mkString == "NUMPY")
+    // numpy's own spec: magic + length field + padded dict ≡ 0 mod 64,
+    // i.e. the payload offset is 64-aligned
+    assert(Multimodal.decodeNpyHeader(npyL).exists(_._3 % 64 == 0),
+      "npy payload offset must be 64-byte aligned")
     assert(Multimodal.decodeNpyHeader(npyL).exists { case (d, s, _) =>
       d == "<i8" && s == Seq(16, 16)
     })
@@ -422,6 +436,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // junk / truncated payloads fall back, never throw
     assert(Multimodal.decodeNpyHeader(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeNpyLongs(npyL.take(50)).isEmpty)
+    // crafted shapes must fall to None, never throw: a negative dim would
+    // pass a naive bounds check into a negative array allocation, and an
+    // Int-overflowing dim product would wrap past it into AIOOBE
+    def withShape(src: Array[Byte], shape: String): Array[Byte] = {
+      val s = new String(src, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val i = s.indexOf("'shape':")
+      val j = s.indexOf(")", i)
+      (s.substring(0, i) + s"'shape': ($shape" + s.substring(j))
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    assert(Multimodal.decodeNpyLongs(withShape(npyL, "-1,")).isEmpty)
+    assert(Multimodal.decodeNpyLongs(withShape(npyL, "16, 16, 16777216")).isEmpty)
+    assert(Multimodal.decodeNpyFloats(withShape(npyF, "-6,")).isEmpty)
   }
 
   test("frameSampleAvi returns every k-th decoded frame as a standalone BMP") {
