@@ -801,6 +801,15 @@ object LlmQueries {
     */
   private[llm] val AviFps = 12
 
+  /** MJPEG MP4 timing plant (`multimodal_mp4_features`): timescale 90000
+    * (the MPEG convention) with 3750 units/sample → 24 fps; duration
+    * 4·3750 = 15000 units → 15000·10⁶/90000 = 166666 µs exercises the
+    * truncating division in the mvhd duration arithmetic the same way
+    * AviFps does for the RIFF path.
+    */
+  private[llm] val Mp4Timescale = 90000
+  private[llm] val Mp4SampleDelta = 3750
+
   /** Anchors probed per (band, value) bucket in `dedup_image` — buckets
     * up to this size get EXACT pairwise treatment; above it, members
     * compare against the K smallest (mdoc, h) anchors only. K = 128
@@ -3396,6 +3405,80 @@ object LlmQueries {
           $"e._3".as("n_frames"), $"e._4".as("us_per_frame"),
           $"e._5".as("dur_micros"))) ++
           (0 until VideoFrames).map(f => element_at($"e._6", f + 1).as(s"s$f")): _*)
+        .orderBy($"doc_id")
+    },
+
+    // REAL MP4 (ISO BMFF) MJPEG round-trip — the THIRD video container,
+    // and the one that retires the last frame-decode stub: per doc, 4
+    // FLAT 16×16 frames (value 16+32·bucket_f, bucket planted from the
+    // doc_id affine family) encode as an MP4 with Motion-JPEG samples
+    // ([[Multimodal.encodeMp4Mjpeg]] — full moov with mvhd/tkhd and a
+    // complete stbl sample table), the REAL demux walks stsd/stsc/stsz/
+    // stco to slice each sample ([[Multimodal.decodeMp4Samples]]), and
+    // each sample decodes through the JDK's actual JPEG ImageIO codec.
+    // Flat frames are DC-only, so the JDK JPEG round-trip is bit-exact
+    // (MultimodalSpec pins all 8 gray levels) — and the contract still
+    // buckets the decoded mean by 32, so ±15 of codec drift can never
+    // flip a value. The oracle replays the planted buckets and the
+    // container timing constants (duration 15000/90000 units exercises
+    // the truncating µs division); a demux or codec deviation
+    // hash-diverges. The header-path [[Multimodal.decodeMp4]] parse is
+    // cross-checked against the demux dims inside the UDF. Scale shape:
+    // map-side O(4·256) codec round-trip per doc, no shuffle before the
+    // final ORDER BY — identical to the GIF/AVI video paths.
+    Q("multimodal_mp4_features", {
+      val durUnits = Mp4SampleDelta.toLong * VideoFrames
+      val durMicros = durUnits * 1000000L / Mp4Timescale
+      val bExprs = (0 until VideoFrames).map(f =>
+        s"(doc_id * ${H.affineA(200 + f)} + ${H.affineB(200 + f)}) % ${H.P1} % 8 AS b$f")
+        .mkString(",\n  |    ")
+      val motion = (0 until VideoFrames - 1)
+        .map(f => s"abs(b${f + 1} - b$f)").mkString(" + ")
+      s"""WITH b AS (SELECT doc_id,
+         |    $bExprs
+         |  FROM documents)
+         |SELECT doc_id, 16 AS width, 16 AS height,
+         |  $VideoFrames AS n_frames,
+         |  CAST($Mp4Timescale AS BIGINT) AS timescale,
+         |  CAST($durUnits AS BIGINT) AS dur_units,
+         |  CAST($durMicros AS BIGINT) AS dur_micros,
+         |  ${(0 until VideoFrames).map(f => s"CAST(b$f AS BIGINT) AS b$f").mkString(", ")},
+         |  CAST($motion AS BIGINT) AS motion
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val featUdf = udf((docId: Long) => {
+        val frames = (0 until VideoFrames).map { f =>
+          val bucket = ((docId * H.affineA(200 + f) + H.affineB(200 + f)) % H.P1 % 8).toInt
+          Array.fill(256)(16 + 32 * bucket)
+        }
+        val mp4 = Multimodal.encodeMp4Mjpeg(16, 16, Mp4Timescale, Mp4SampleDelta, frames)
+        val (w, h, ts, durUnits, samples) = Multimodal.decodeMp4Samples(mp4)
+          .getOrElse(sys.error("MP4 demux round-trip failed"))
+        val dec = Multimodal.decodeMp4Frames(mp4)
+        require(dec.length == frames.length && samples.length == frames.length,
+          "MP4 frame round-trip failed")
+        // header path (mvhd/tkhd) must agree with the demux (stsd) dims
+        val meta = Multimodal.decodeMp4(mp4)
+          .getOrElse(sys.error("MP4 header parse failed"))
+        require(meta._1 == w && meta._2 == h, "MP4 header/demux dim mismatch")
+        val buckets = dec.map { case (_, _, px) =>
+          var t = 0L; var i = 0
+          while (i < px.length) { t += px(i); i += 1 }
+          // mean is exactly 16+32k (flat DC-only JPEG); bucket floor is
+          // robust to ±15 of codec drift either way
+          (t / px.length / 32).toLong
+        }
+        val motion = buckets.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+        (w, h, samples.length, ts, durUnits,
+          durUnits * 1000000L / ts, buckets, motion)
+      })
+      documents(s, d)
+        .select($"doc_id", featUdf($"doc_id").as("e"))
+        .select(($"doc_id" +: Seq($"e._1".as("width"), $"e._2".as("height"),
+          $"e._3".as("n_frames"), $"e._4".cast(LongType).as("timescale"),
+          $"e._5".as("dur_units"), $"e._6".as("dur_micros"))) ++
+          (0 until VideoFrames).map(f => element_at($"e._7", f + 1).as(s"b$f")) :+
+          $"e._8".as("motion"): _*)
         .orderBy($"doc_id")
     },
 

@@ -232,25 +232,10 @@ object Multimodal {
       ((data(i) & 0xFFL) << 24) | ((data(i + 1) & 0xFFL) << 16) |
         ((data(i + 2) & 0xFFL) << 8) | (data(i + 3) & 0xFFL)
     def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
-    // walk children of [start, end), returning (type → payload offset);
-    // size==1 means 64-bit largesize, size==0 means "to end of enclosure"
+    // walk children of [start, end) via the shared ISO-BMFF iterator
+    // ([[bmffBoxes]] — also the demux walk of [[decodeMp4Samples]])
     def boxes(start: Long, end: Long): Iterator[(String, Long, Long)] =
-      new Iterator[(String, Long, Long)] {
-        private var pos = start
-        def hasNext: Boolean = pos + 8 <= end && pos + 8 <= data.length
-        def next(): (String, Long, Long) = {
-          val p = pos.toInt
-          val declared = u32(p)
-          val typ = new String(data, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-          val (hdr, size) =
-            if (declared == 1 && pos + 16 <= data.length) (16L, u64(p + 8))
-            else if (declared == 0) (8L, end - pos)
-            else (8L, declared)
-          val r = (typ, pos + hdr, pos + math.max(hdr, size))
-          pos += math.max(hdr, size)
-          r
-        }
-      }
+      bmffBoxes(data, start, end)
     try {
       boxes(0, data.length).collectFirst { case ("moov", s, e) =>
         var dims: Option[(Int, Int)] = None
@@ -870,6 +855,318 @@ object Multimodal {
     }
   }
 
+  // ───────────────── real MP4 (ISO BMFF) MJPEG video ─────────────────
+  // The THIRD real video container, and the one that closes the last
+  // frame-decode gap: MP4 whose video samples are Motion-JPEG — each
+  // sample is a standalone baseline JPEG that the JDK's own ImageIO codec
+  // decodes, so MP4 frame decode needs no JNI after all. The container
+  // walk reuses [[decodeMp4]]'s box-iterator discipline (ISO/IEC 14496-12
+  // is the reference's own container domain, `docs/draft.md:35-51`); the
+  // sample demux is the REAL stbl machinery — stsd 'jpeg' sample entry,
+  // stts timing, stsc chunk mapping, stsz sizes, stco/co64 offsets — so a
+  // wrong stsc expansion or a misplaced chunk offset surfaces as a hash
+  // divergence, never a silent skip. JPEG is lossy in general, but FLAT
+  // frames (one DC coefficient per 8×8 block, every AC zero) round-trip
+  // bit-exact through the JDK codec at its default quality
+  // (MultimodalSpec pins all 8 planted gray levels); the planted frames
+  // are flat, and the query contract still buckets the decoded mean by 32
+  // so ±15 of codec drift can never flip a value.
+
+  /** Shared ISO-BMFF box iterator over `[start, end)`: yields
+    * (type, payloadStart, boxEnd). size==1 → 64-bit largesize follows the
+    * type; size==0 → box extends to the enclosure end. Malformed sizes
+    * stop iteration rather than spin (a declared size < header would
+    * otherwise loop forever on `pos += 0`).
+    */
+  private def bmffBoxes(data: Array[Byte], start: Long, end: Long): Iterator[(String, Long, Long)] = {
+    def u32(i: Int): Long =
+      ((data(i) & 0xFFL) << 24) | ((data(i + 1) & 0xFFL) << 16) |
+        ((data(i + 2) & 0xFFL) << 8) | (data(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    new Iterator[(String, Long, Long)] {
+      private var pos = start
+      def hasNext: Boolean = pos + 8 <= end && pos + 8 <= data.length
+      def next(): (String, Long, Long) = {
+        val p = pos.toInt
+        val declared = u32(p)
+        val typ = new String(data, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (hdr, size) =
+          if (declared == 1 && pos + 16 <= data.length) (16L, u64(p + 8))
+          else if (declared == 0) (8L, end - pos)
+          else (8L, declared)
+        val r = (typ, pos + hdr, pos + math.max(hdr, size))
+        pos += math.max(hdr, size)
+        r
+      }
+    }
+  }
+
+  /** Encode one grayscale matrix as a baseline JPEG via the JDK codec
+    * (TYPE_BYTE_GRAY → single-component JPEG at the writer's default
+    * quality). Flat inputs round-trip exactly; see the section note.
+    */
+  def jpegEncodeGray(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h, "dims must match pixels")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Encode grayscale frames as an MP4 (ISO BMFF) with a Motion-JPEG
+    * video track: `ftyp` + one `mdat` holding the concatenated JPEG
+    * samples (one chunk) + a full `moov` — mvhd (timescale/duration),
+    * tkhd (16.16 presentation dims), mdhd/hdlr('vide')/vmhd/dinf, and a
+    * complete sample table (stsd 'jpeg' VisualSampleEntry, stts with one
+    * constant-delta run, stsc, stsz, stco). `sampleDelta` is in
+    * `timescale` units; duration = n·sampleDelta. [[decodeMp4]] (the
+    * header path) and [[decodeMp4Samples]] (the demux) both read the
+    * result; MultimodalSpec pins the round-trip.
+    */
+  def encodeMp4Mjpeg(w: Int, h: Int, timescale: Int, sampleDelta: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0 && sampleDelta > 0 &&
+      frames.nonEmpty && frames.forall(_.length == w * h),
+      "dims must match every frame")
+    val samples = frames.map(jpegEncodeGray(w, h, _))
+    val n = samples.length
+    val duration = n.toLong * sampleDelta
+    // size-back-patched box writer: push a placeholder, write the body,
+    // patch the u32 size — no hand-summed layout arithmetic to get wrong
+    val bytes = new java.util.ArrayList[Byte]() // growable, patchable
+    def put(b: Int): Unit = bytes.add(b.toByte)
+    def put4s(s: String): Unit = { require(s.length == 4); s.foreach(c => put(c.toInt)) }
+    def pu16(v: Int): Unit = { put(v >>> 8); put(v) }
+    def pu32(v: Long): Unit = { put((v >>> 24).toInt); put((v >>> 16).toInt); put((v >>> 8).toInt); put(v.toInt) }
+    def patch32(at: Int, v: Long): Unit = {
+      bytes.set(at, (v >>> 24).toByte); bytes.set(at + 1, (v >>> 16).toByte)
+      bytes.set(at + 2, (v >>> 8).toByte); bytes.set(at + 3, v.toByte)
+    }
+    def box(typ: String)(body: => Unit): Unit = {
+      val at = bytes.size()
+      pu32(0); put4s(typ)
+      body
+      patch32(at, (bytes.size() - at).toLong)
+    }
+    def full(typ: String, version: Int = 0, flags: Int = 0)(body: => Unit): Unit =
+      box(typ) { put(version); put(flags >>> 16); put((flags >>> 8) & 0xFF); put(flags & 0xFF); body }
+    box("ftyp") { put4s("isom"); pu32(0x200); put4s("isom"); put4s("mp41") }
+    // mdat: record where sample payload starts — that offset IS stco[0]
+    var chunkOffset = 0L
+    box("mdat") {
+      chunkOffset = bytes.size().toLong
+      samples.foreach(s => s.foreach(b => bytes.add(b)))
+    }
+    val identityMatrix = Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+    box("moov") {
+      full("mvhd") {
+        pu32(0); pu32(0) // creation/modification time
+        pu32(timescale.toLong); pu32(duration)
+        pu32(0x10000); pu16(0x100); pu16(0); pu32(0); pu32(0) // rate, volume, reserved
+        identityMatrix.foreach(pu32)
+        (0 until 6).foreach(_ => pu32(0)) // pre_defined
+        pu32(2) // next_track_ID
+      }
+      box("trak") {
+        full("tkhd", 0, 7) { // enabled | in-movie | in-preview
+          pu32(0); pu32(0); pu32(1); pu32(0); pu32(duration)
+          pu32(0); pu32(0); pu16(0); pu16(0); pu16(0); pu16(0)
+          identityMatrix.foreach(pu32)
+          pu32(w.toLong << 16); pu32(h.toLong << 16) // 16.16 fixed point
+        }
+        box("mdia") {
+          full("mdhd") {
+            pu32(0); pu32(0); pu32(timescale.toLong); pu32(duration)
+            pu16(0x55C4); pu16(0) // language 'und', pre_defined
+          }
+          full("hdlr") {
+            pu32(0); put4s("vide"); pu32(0); pu32(0); pu32(0)
+            "VideoHandler".foreach(c => put(c.toInt)); put(0)
+          }
+          box("minf") {
+            full("vmhd", 0, 1) { pu16(0); pu16(0); pu16(0); pu16(0) }
+            box("dinf") {
+              full("dref") { pu32(1); full("url ", 0, 1) {} }
+            }
+            box("stbl") {
+              full("stsd") {
+                pu32(1)
+                box("jpeg") { // VisualSampleEntry, ISO 14496-12 §12.1.3
+                  (0 until 6).foreach(_ => put(0)); pu16(1) // reserved, data_reference_index
+                  pu16(0); pu16(0); (0 until 3).foreach(_ => pu32(0)) // pre_defined/reserved
+                  pu16(w); pu16(h)
+                  pu32(0x480000); pu32(0x480000) // 72 dpi
+                  pu32(0); pu16(1) // reserved, frame_count
+                  put(0); (0 until 31).foreach(_ => put(0)) // compressorname (pascal, empty)
+                  pu16(24); pu16(0xFFFF) // depth, pre_defined = -1
+                }
+              }
+              full("stts") { pu32(1); pu32(n.toLong); pu32(sampleDelta.toLong) }
+              full("stsc") { pu32(1); pu32(1); pu32(n.toLong); pu32(1) }
+              full("stsz") { pu32(0); pu32(n.toLong); samples.foreach(s => pu32(s.length.toLong)) }
+              full("stco") { pu32(1); pu32(chunkOffset) }
+            }
+          }
+        }
+      }
+    }
+    val out = new Array[Byte](bytes.size())
+    var i = 0
+    while (i < out.length) { out(i) = bytes.get(i); i += 1 }
+    out
+  }
+
+  /** REAL MP4 sample demux: walk moov → trak → mdia → minf → stbl for the
+    * first track whose stsd sample entry is 'jpeg', expand the stsc
+    * chunk-run table against stco/co64 chunk offsets and stsz sample
+    * sizes, and slice each sample's bytes out of the payload. Returns
+    * (width, height, timescale, durationUnits, samples); None when the
+    * payload has no parseable MJPEG track. Never throws on crafted
+    * headers: sizes/offsets are validated against the payload bounds and
+    * counts are capped (a declared u32 sample count near 2^32 would
+    * otherwise allocate before the bounds check fires).
+    */
+  def decodeMp4Samples(data: Array[Byte]): Option[(Int, Int, Long, Long, Seq[Array[Byte]])] = {
+    def u16(i: Int): Int = ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
+    def u32(i: Int): Long =
+      ((data(i) & 0xFFL) << 24) | ((data(i + 1) & 0xFFL) << 16) |
+        ((data(i + 2) & 0xFFL) << 8) | (data(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    val MaxSamples = 1 << 20 // crafted-count allocation guard
+    try {
+      bmffBoxes(data, 0, data.length).collectFirst { case ("moov", ms, me) =>
+        var timescale = 0L
+        var duration = 0L
+        var track: Option[(Int, Int, Long, Long, Seq[Array[Byte]])] = None
+        for ((typ, bs, be) <- bmffBoxes(data, ms, me)) typ match {
+          case "mvhd" if bs + 4 <= data.length =>
+            val v = data(bs.toInt) & 0xFF
+            if (v == 1 && bs + 32 <= be) { timescale = u32(bs.toInt + 20); duration = u64(bs.toInt + 24) }
+            else if (bs + 24 <= be) { timescale = u32(bs.toInt + 12); duration = u32(bs.toInt + 16) }
+          case "trak" if track.isEmpty =>
+            val stbl = for {
+              (t1, s1, e1) <- bmffBoxes(data, bs, be) if t1 == "mdia"
+              (t2, s2, e2) <- bmffBoxes(data, s1, e1) if t2 == "minf"
+              (t3, s3, e3) <- bmffBoxes(data, s2, e2) if t3 == "stbl"
+            } yield (s3, e3)
+            stbl.toSeq.headOption.foreach { case (ss, se) =>
+              var dims: Option[(Int, Int)] = None
+              var sizes: Array[Long] = null
+              var chunkOffs: Array[Long] = null
+              // stsc runs: (firstChunk, samplesPerChunk)
+              var stscRuns: Array[(Long, Long)] = null
+              for ((t, s, e) <- bmffBoxes(data, ss, se)) t match {
+                case "stsd" if s + 8 <= e =>
+                  // first sample entry: size4 + fourcc; MJPEG is 'jpeg'
+                  val entS = (s + 8).toInt
+                  if (entS + 8 <= data.length &&
+                    new String(data, entS + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "jpeg" &&
+                    entS + 34 <= data.length)
+                    dims = Some((u16(entS + 32), u16(entS + 34)))
+                case "stsz" if s + 12 <= e =>
+                  val fixed = u32((s + 4).toInt)
+                  val cnt = u32((s + 8).toInt)
+                  if (cnt >= 0 && cnt <= MaxSamples &&
+                    (fixed != 0 || s + 12 + cnt * 4 <= e)) {
+                    sizes = new Array[Long](cnt.toInt)
+                    var i = 0
+                    while (i < cnt) {
+                      sizes(i) = if (fixed != 0) fixed else u32((s + 12 + i * 4).toInt)
+                      i += 1
+                    }
+                  }
+                case "stco" if s + 8 <= e =>
+                  val cnt = u32((s + 4).toInt)
+                  if (cnt >= 0 && cnt <= MaxSamples && s + 8 + cnt * 4 <= e) {
+                    chunkOffs = new Array[Long](cnt.toInt)
+                    var i = 0
+                    while (i < cnt) { chunkOffs(i) = u32((s + 8 + i * 4).toInt); i += 1 }
+                  }
+                case "co64" if s + 8 <= e =>
+                  val cnt = u32((s + 4).toInt)
+                  if (cnt >= 0 && cnt <= MaxSamples && s + 8 + cnt * 8 <= e) {
+                    chunkOffs = new Array[Long](cnt.toInt)
+                    var i = 0
+                    while (i < cnt) { chunkOffs(i) = u64((s + 8 + i * 8).toInt); i += 1 }
+                  }
+                case "stsc" if s + 8 <= e =>
+                  val cnt = u32((s + 4).toInt)
+                  if (cnt >= 0 && cnt <= MaxSamples && s + 8 + cnt * 12 <= e) {
+                    stscRuns = new Array[(Long, Long)](cnt.toInt)
+                    var i = 0
+                    while (i < cnt) {
+                      stscRuns(i) = (u32((s + 8 + i * 12).toInt), u32((s + 12 + i * 12).toInt))
+                      i += 1
+                    }
+                  }
+                case _ => ()
+              }
+              for ((w, h) <- dims if sizes != null && chunkOffs != null &&
+                  stscRuns != null && stscRuns.nonEmpty && w > 0 && h > 0) {
+                // expand chunk runs → per-sample (offset, size)
+                val out = Seq.newBuilder[Array[Byte]]
+                var sample = 0
+                var run = 0
+                var chunk = 0 // 0-based
+                var ok = true
+                while (sample < sizes.length && chunk < chunkOffs.length && ok) {
+                  // advance run while the NEXT run starts at or before this chunk
+                  while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk + 1) run += 1
+                  val perChunk = stscRuns(run)._2
+                  var off = chunkOffs(chunk)
+                  var i = 0L
+                  while (i < perChunk && sample < sizes.length && ok) {
+                    val sz = sizes(sample)
+                    if (off < 0 || sz < 0 || sz > data.length || off + sz > data.length) ok = false
+                    else {
+                      out += java.util.Arrays.copyOfRange(data, off.toInt, (off + sz).toInt)
+                      off += sz
+                      sample += 1
+                    }
+                    i += 1
+                  }
+                  chunk += 1
+                }
+                if (ok && sample == sizes.length)
+                  track = Some((w, h, timescale, duration, out.result()))
+              }
+            }
+          case _ => ()
+        }
+        track
+      }.flatten
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL MP4 frame decode: demux the MJPEG samples, then decode each
+    * through the JDK's JPEG ImageIO codec ([[decodeGrayPixels]] — the
+    * single-band gray raster path, so samples are the stored values with
+    * no linear→sRGB distortion). Returns Nil for payloads with no
+    * decodable MJPEG track.
+    */
+  def decodeMp4Frames(data: Array[Byte]): Seq[(Int, Int, Array[Int])] =
+    decodeMp4Samples(data) match {
+      case Some((_, _, _, _, samples)) => samples.flatMap(decodeGrayPixels(_))
+      case None => Nil
+    }
+
+  /** REAL frame sampling for MJPEG MP4 payloads: every k-th demuxed
+    * sample, k = ceil(total/n). Each sample is ALREADY a standalone JPEG
+    * image — no re-encode needed, unlike the AVI/GIF paths. Returns Nil
+    * for payloads with no MJPEG track.
+    */
+  def frameSampleMp4(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    require(n > 0, "sample count must be positive")
+    decodeMp4Samples(data) match {
+      case Some((_, _, _, _, samples)) if samples.nonEmpty =>
+        val k = math.max(1, (samples.length + n - 1) / n)
+        samples.zipWithIndex.collect { case (s, i) if i % k == 0 => s }.take(n)
+      case _ => Nil
+    }
+  }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */
@@ -1068,8 +1365,10 @@ object Multimodal {
 
   /** Frame-sample dispatch: REAL decoded frames for containers we can
     * parse (AVI DIB via [[frameSampleAvi]]; multi-frame GIF via
-    * [[decodeGifFrames]], same every-k-th pick, re-encoded as BMPs),
-    * byte-slice stub for codec-less payloads (MP4 — JNI swap point).
+    * [[decodeGifFrames]], same every-k-th pick, re-encoded as BMPs;
+    * MJPEG MP4 via [[frameSampleMp4]] — each demuxed sample is already a
+    * standalone JPEG), byte-slice stub only for payloads no JDK codec
+    * claims.
     */
   def frameSample(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
     require(n > 0, "sample count must be positive")
@@ -1081,13 +1380,16 @@ object Multimodal {
       gif.zipWithIndex.collect {
         case ((w, h, g), i) if i % k == 0 => encodeBmpGray(w, h, g)
       }.take(n)
-    } else frameSampleStub(data, n)
+    } else {
+      val mp4 = frameSampleMp4(data, n)
+      if (mp4.nonEmpty) mp4 else frameSampleStub(data, n)
+    }
   }
 
-  /** STUB frame sampler for payloads with no JDK-decodable frames (e.g.
-    * MP4 — no JDK codec): returns `n` evenly spaced byte-slices standing
-    * in for decoded frames. Multi-frame GIF payloads go through the REAL
-    * [[decodeGifFrames]] path instead.
+  /** STUB frame sampler for payloads with no JDK-decodable frames (a
+    * codec the JDK lacks — e.g. H.264 in MP4): returns `n` evenly spaced
+    * byte-slices standing in for decoded frames. AVI, multi-frame GIF,
+    * and MJPEG MP4 payloads all go through REAL decode paths instead.
     */
   def frameSampleStub(data: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (data.isEmpty || n <= 0) Seq.empty

@@ -465,4 +465,82 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // non-AVI payloads fall back to Nil (callers then use the stub)
     assert(Multimodal.frameSampleAvi(Array[Byte](1, 2, 3), 2).isEmpty)
   }
+
+  test("flat gray frames round-trip bit-exact through the JDK JPEG codec") {
+    // the exactness multimodal_mp4_features leans on: a FLAT frame is
+    // DC-only (every AC coefficient zero), and the JDK encoder's default
+    // quality reproduces the DC level exactly for all 8 planted buckets
+    for (k <- 0 until 8) {
+      val v = 16 + 32 * k
+      val jpg = Multimodal.jpegEncodeGray(16, 16, Array.fill(256)(v))
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "not a JPEG (SOI)")
+      val dec = Multimodal.decodeGrayPixels(jpg)
+      assert(dec.exists { case (w, h, g) =>
+        w == 16 && h == 16 && g.forall(_ == v)
+      }, s"flat level $v drifted through the JPEG round-trip: " +
+        dec.map(_._3.distinct.take(5).mkString(",")).getOrElse("decode failed"))
+    }
+    // non-flat content is lossy but bounded — the bucket contract's ±15
+    // margin rests on this staying an order of magnitude smaller
+    val grad = Array.tabulate(256)(i => i % 256)
+    val back = Multimodal.decodeGrayPixels(Multimodal.jpegEncodeGray(16, 16, grad))
+    assert(back.exists { case (_, _, g) =>
+      g.zip(grad).map { case (a, b) => math.abs(a - b) }.max < 8
+    }, "gradient error exceeded the documented JPEG drift bound")
+  }
+
+  test("MP4 MJPEG mux/demux round-trip: sample table, dims, timing, exact frames") {
+    val vals = Seq(48, 144, 16, 240)
+    val frames = vals.map(v => Array.fill(256)(v))
+    val mp4 = Multimodal.encodeMp4Mjpeg(16, 16, 90000, 3750, frames)
+    assert(mp4.slice(4, 8).map(_.toChar).mkString == "ftyp")
+    // demux: dims from the stsd 'jpeg' entry, timing from mvhd, one
+    // sample per planted frame sliced via stsc/stsz/stco
+    val Some((w, h, ts, dur, samples)) = Multimodal.decodeMp4Samples(mp4)
+    assert(w == 16 && h == 16 && ts == 90000L && dur == 15000L)
+    assert(samples.length == 4)
+    samples.foreach(s => assert((s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xD8,
+      "each demuxed sample must be a standalone JPEG"))
+    // the header path reads the same container: dims + truncating µs math
+    val meta = Multimodal.decodeMp4(mp4)
+    assert(meta.contains((16, 16, 1, 15000L * 1000000L / 90000L)),
+      s"mvhd/tkhd header fields drifted: $meta")
+    // full frame decode through the JDK JPEG codec is exact for flat frames
+    val dec = Multimodal.decodeMp4Frames(mp4)
+    assert(dec.length == 4)
+    dec.zip(vals).zipWithIndex.foreach { case (((fw, fh, g), v), f) =>
+      assert(fw == 16 && fh == 16)
+      assert(g.forall(_ == v), s"frame $f drifted through the MJPEG round-trip")
+    }
+    // junk / truncated / crafted payloads yield None or Nil, never throw
+    assert(Multimodal.decodeMp4Samples(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeMp4Samples(mp4.take(mp4.length / 2)).isEmpty)
+    assert(Multimodal.decodeMp4Frames(Multimodal.encodeBmpGray(4, 4, Array.fill(16)(9))).isEmpty)
+    // crafted stsz count near 2^31: the allocation cap + bounds check must
+    // reject it before `new Array` fires
+    val crafted = mp4.clone()
+    val stszAt = crafted.sliding(4).indexWhere(_.sameElements("stsz".getBytes))
+    assert(stszAt > 0)
+    val cntAt = stszAt + 4 + 4 + 4 // fourcc, version/flags, fixed-size field
+    crafted(cntAt) = 0x7F.toByte; crafted(cntAt + 1) = 0xFF.toByte
+    crafted(cntAt + 2) = 0xFF.toByte; crafted(cntAt + 3) = 0xFF.toByte
+    assert(Multimodal.decodeMp4Samples(crafted).isEmpty,
+      "a crafted u32 sample count must fall to None, not allocate")
+  }
+
+  test("frameSample routes MJPEG MP4 through the real demux") {
+    val frames = (0 until 6).map(f => Array.fill(256)(16 + 32 * (f % 8)))
+    val mp4 = Multimodal.encodeMp4Mjpeg(16, 16, 90000, 3750, frames)
+    val sampled = Multimodal.frameSample(mp4, 3) // k = ceil(6/3) = 2
+    assert(sampled.length == 3)
+    sampled.zip(Seq(0, 2, 4)).foreach { case (jpg, f) =>
+      val dec = Multimodal.decodeGrayPixels(jpg)
+      assert(dec.exists { case (w, h, g) =>
+        w == 16 && h == 16 && g.forall(_ == 16 + 32 * (f % 8))
+      }, s"sampled frame $f should be the planted flat JPEG")
+    }
+    // payloads with no decodable track still fall to the byte-slice stub
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    assert(Multimodal.frameSample(junk, 2).length == 2)
+  }
 }
