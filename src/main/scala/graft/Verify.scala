@@ -53,8 +53,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // always dump the FULL oracle map, even for a subset run: a subset
+    // iteration into a dir holding a full Verify dump would otherwise
+    // truncate oracle_sql.json to the subset and silently shrink any
+    // later gate run (or break one reading the file concurrently)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
