@@ -74,13 +74,29 @@ object Bench {
     }
     // registry order (not Map hash order): run-to-run and round-to-round
     // timings stay comparable per query
+    //
+    // SPARK_GRAFT_BENCH_FORCE=1 drives each query by iterating every
+    // OUTPUT ROW (queryExecution.toRdd.foreachPartition — no driver
+    // collect) instead of count(): count() lets Catalyst column-prune a
+    // PROJECTED deterministic UDF column, so map-only codec queries
+    // (multimodal_*_features) bench at scan+sort cost under the default.
+    // Forced mode measures delivered-row cost — what a writer downstream
+    // of the query would pay. Default stays count() so committed
+    // artifacts keep their baseline semantics until a deliberate
+    // re-baseline flips every scale in one commit.
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    def drive(df: org.apache.spark.sql.DataFrame): Unit =
+      if (force) df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
+      else { df.count(); () }
     val results = buildResults ++ SparkEntry.all.map { q =>
       var lastShuffle = 0L
       var failed = false
       val times = (1 to runs).map { _ =>
         val s0 = drained()
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
+        try drive(q.fn(spark, sfDir)) catch { case _: Throwable => failed = true }
         val sec = (System.nanoTime() - t0) / 1e9
         lastShuffle = drained() - s0
         sec
