@@ -1167,6 +1167,49 @@ object Multimodal {
     }
   }
 
+  /** REAL feature embedding from decoded pixels — the decodable-format
+    * counterpart of [[extractStub]]: full pixel decode through the JDK
+    * codec ([[decodeGrayPixels]]), then exact-integer average pooling to
+    * a `gw×gh` grid. Cell (gy,gx) is the floor mean of its source block
+    * (rows `[gy·h/gh, (gy+1)·h/gh)` × cols `[gx·w/gw, (gx+1)·w/gw)`) —
+    * the downsampled-intensity descriptor classical visual near-dup /
+    * retrieval pipelines use below the learned-model layer. Deterministic
+    * exact integers, so an oracle can replay every cell from planted
+    * pixels (a 16×16 source pooled to 8×8 is the 2×2-block floor mean).
+    * None when no JDK codec claims the payload — callers fall back to
+    * the byte-histogram stub, which remains the honest stand-in for
+    * payloads that need a codec the JDK lacks.
+    */
+  def pixelEmbed(data: Array[Byte], gw: Int, gh: Int): Option[Array[Long]] = {
+    require(gw > 0 && gh > 0, "grid dims must be positive")
+    decodeGrayPixels(data).map { case (w, h, gray) =>
+      val out = new Array[Long](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        // Long index math: decoders cap dims, but the pooling contract
+        // must not depend on that (crafted w·h near Int.MaxValue)
+        val y0 = (gy.toLong * h / gh).toInt; val y1 = ((gy + 1).toLong * h / gh).toInt
+        var gx = 0
+        while (gx < gw) {
+          val x0 = (gx.toLong * w / gw).toInt; val x1 = ((gx + 1).toLong * w / gw).toInt
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += gray(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          // a source smaller than the grid leaves some blocks empty
+          // (x0 == x1 or y0 == y1): those cells are 0, not a crash
+          out(gy * gw + gx) = if (n == 0) 0L else sum / n
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+
   /** STUB feature extractor: 8 byte-histogram buckets, L1-normalized.
     * Deterministic; stands in for a real embedding model.
     */
@@ -1462,14 +1505,27 @@ object Multimodal {
   }
 
   /** Extract feature vectors per entry payload (batch shape: one partition =
-    * one decode batch, matching the shard = task unit).
+    * one decode batch, matching the shard = task unit). Image payloads take
+    * the REAL path — pixel decode + 8×8 average-pool embedding
+    * ([[pixelEmbed]], values scaled to [0,1] by /255, exact in double) —
+    * with the byte-histogram [[extractStub]] as the fallback for
+    * content types no JDK codec claims. The content-type gate keeps the
+    * non-image path free of per-payload ImageIO reader probing.
     */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select($"key", explode($"entries").as("e"))
-      .select($"key", $"e.data".as("data"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (k, d) => MediaFeatures(k, extractStub(d)) })
+      .select($"key", $"e.content_type".as("content_type"), $"e.data".as("data"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, ct, d) =>
+        val real =
+          if (ct != null && ct.startsWith("image/")) pixelEmbed(d, 8, 8)
+          else None
+        MediaFeatures(k, real match {
+          case Some(e) => e.map(_ / 255.0)
+          case None    => extractStub(d)
+        })
+      })
   }
 }

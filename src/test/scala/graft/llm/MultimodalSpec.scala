@@ -37,10 +37,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("extractFeatures produces fixed-width L1-normalized vectors") {
+    // undecodable payloads (fake jpeg bytes) take the byte-histogram
+    // fallback even under the image/* content type
     val feats = Multimodal.extractFeatures(mediaDf(20)).collect()
     assert(feats.length == 20)
     assert(feats.forall(_.features.length == 8))
     assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
+  }
+
+  test("pixelEmbed: exact 2x2-block floor means; real extractFeatures route") {
+    // hand-checkable plant: gray(y,x) = 16y + x on a 16×16 grid, so the
+    // pooled cell (gy,gx) = floor((v00+v01+v10+v11)/4) with
+    // v = {32gy+2gx, +1, +16, +17} → mean = 32gy + 2gx + 8 (exact /4=+34/4=8.5→
+    // floor of sum (4·(32gy+2gx)+34)/4 = 32gy+2gx+8)
+    val gray = Array.tabulate(256)(i => (i / 16) * 16 + (i % 16))
+    // cap at 255 not needed: max = 15*16+15 = 255 exactly
+    val bmp = Multimodal.encodeBmpGray(16, 16, gray)
+    val e = Multimodal.pixelEmbed(bmp, 8, 8).get
+    assert(e.length == 64)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val exp = (4 * (32 * gy + 2 * gx) + 34) / 4
+      assert(e(gy * 8 + gx) == exp, s"cell ($gy,$gx)")
+    }
+    // undecodable payload → None (caller falls back to the stub)
+    assert(Multimodal.pixelEmbed(Array[Byte](1, 2, 3), 8, 8).isEmpty)
+    // a source smaller than the grid leaves empty blocks at 0, no crash
+    val tiny = Multimodal.encodeBmpGray(2, 2, Array(10, 20, 30, 40))
+    val te = Multimodal.pixelEmbed(tiny, 8, 8).get
+    assert(te.length == 64 && te.count(_ != 0L) <= 4)
+    // the REAL extractFeatures route: a decodable image entry yields the
+    // pooled embedding (scaled /255), not the byte histogram
+    import spark.implicits._
+    val df = Seq(("real0", bmp)).toDF("key", "data").select(
+      $"key", lit(null).cast("binary").as("metadata"),
+      array(struct(lit("a.bmp").as("file_name"),
+        lit("image/bmp").as("content_type"),
+        lit("").as("encoding"), $"data".as("data"))).as("entries"))
+    val out = Multimodal.extractFeatures(df).collect()
+    assert(out.length == 1 && out.head.features.length == 64)
+    assert(out.head.features.zipWithIndex.forall { case (f, i) =>
+      f == e(i) / 255.0
+    })
   }
 
   test("frame sampling covers the payload with n slices") {
