@@ -31,6 +31,7 @@ object PlanAudit {
   private val allowed: Map[String, Set[String]] = Map(
     "join_cross" -> Set("CARTESIAN", "NESTED_LOOP"), // explicit 25×5 dim product
     "sim_topk" -> Set("NESTED_LOOP"), // build side = 1-row query vector: optimal
+    "sim_image_topk" -> Set("NESTED_LOOP"), // build side = 1-row query embedding (as sim_topk)
     "sim_knn_join" -> Set("NESTED_LOOP"), // build side = bounded query set (20 rows)
     "dedup_simhash" -> Set("NESTED_LOOP"), // bounded SampleDocs; scale path = minhash
     "dedup_embedding_cosine" -> Set("NESTED_LOOP"), // bounded SampleVecs; scale path = ann
