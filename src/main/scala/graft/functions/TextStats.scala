@@ -269,6 +269,72 @@ object TextStats {
   def wordBigramsCol(text: Column, minLen: Int): Column =
     Bridge.column(WordBigrams(Bridge.expression(text), minLen))
 
+  /** One-pass Gopher-rule counters: the five per-document statistics the
+    * quality family's label and the `quality_gopher` query aggregate from
+    * TWO explode→groupBy passes (`split(text, "\\s+")` words and
+    * `split(text, "\n")` lines) — ~2 corpus-sized doc-keyed exchanges per
+    * training run — for values that are row-LOCAL. Semantics pinned to the
+    * expression formulation the DuckDB oracle still runs (GopherStatsSpec
+    * diffs them element-wise):
+    *
+    *  - words    = maximal runs of code points outside Java regex `\s`
+    *               (exactly `[ \t\n\f\r]` — NOT the wider
+    *               Character.isWhitespace set), i.e. the non-empty
+    *               elements of `split(text, "\\s+")`;
+    *  - sum_wlen = Σ length(word) in CODE POINTS (Spark `length`);
+    *  - n_alpha  = words containing ≥1 ASCII letter (`rlike "[a-zA-Z]"`);
+    *  - n_lines  = elements of `split(text, "\n")` — newline count + 1,
+    *               empty segments INCLUDED (the query has no line filter);
+    *  - n_bullet = lines matching `^\s*[-*]` — optional `\s` run then a
+    *               literal '-' or '*'.
+    */
+  def gopherStats(s: String): Array[Long] = {
+    var nWords = 0L; var sumWlen = 0L; var nAlpha = 0L
+    var nLines = 1L; var nBullet = 0L
+    var runLen = 0L; var hasAlpha = false
+    // bullet scanner state: 0 = in leading \s of the line, 1 = decided
+    var lineState = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isWs) {
+        if (runLen > 0L) {
+          nWords += 1L; sumWlen += runLen
+          if (hasAlpha) nAlpha += 1L
+          runLen = 0L; hasAlpha = false
+        }
+      } else {
+        runLen += 1L
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z'))
+          hasAlpha = true
+      }
+      if (cp == '\n') {
+        nLines += 1L
+        lineState = 0
+      } else if (lineState == 0) {
+        if (cp == '-' || cp == '*') { nBullet += 1L; lineState = 1 }
+        // \s\n\f\r can't appear mid-line except \t and ' ' — any
+        // regex-\s char keeps the scanner in the leading-run state
+        else if (!isWs) lineState = 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (runLen > 0L) {
+      nWords += 1L; sumWlen += runLen
+      if (hasAlpha) nAlpha += 1L
+    }
+    Array(nWords, sumWlen, nAlpha, nLines, nBullet)
+  }
+
+  /** Column wrapper: a struct (n_words, sum_wlen, n_alpha, n_lines,
+    * n_bullet).
+    */
+  def gopherStatsCol(text: Column): Column =
+    Bridge.column(GopherStats(Bridge.expression(text)))
+
   /** First `n` lowercased letters of the document in one scan — the fuzzy
     * skeleton `substring(regexp_replace(lower(text), "[^a-z]", ""), 1, n)`
     * without the two intermediate full-length strings; the scan stops as
@@ -388,6 +454,42 @@ case class ReadabilityCounts(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ReadabilityCounts =
+    copy(child = newChild)
+}
+
+case class GopherStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_wlen", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false)))
+
+  override def prettyName: String = "gopher_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = TextStats.gopherStats(input.asInstanceOf[UTF8String].toString)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2), a(3), a(4)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextStats.gopherStats($c.toString());
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$arr[0], $arr[1], $arr[2], $arr[3], $arr[4]});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }
 

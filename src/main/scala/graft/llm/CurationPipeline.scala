@@ -113,16 +113,15 @@ final class CurationPipeline private (df: DataFrame, val lineage: Seq[String]) {
 
   /** Gopher-rule quality gate (quality_gopher's thresholds). */
   def filterGopher(): CurationPipeline = step("filterGopher") { d =>
-    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
-    val nWords = size(words)
-    val meanWlen = aggregate(words, lit(0L), (a, w) => a + length(w))
-      .cast(DoubleType) / nWords
-    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]")))
-      .cast(DoubleType) / nWords
-    val lines = split(col("text"), "\n")
-    val bulletRatio = size(filter(lines, l => l.rlike("^\\s*[-*]")))
-      .cast(DoubleType) / size(lines)
-    d.filter(nWords >= 50 && nWords <= 100000 &&
+    // r12: the one-scan gopher_stats codegen kernel replaces the
+    // interpreted higher-order lambdas (two regex evaluations per word /
+    // line) — same row-local plan, codegen per-task work (guide §1.2
+    // step 2); GopherStatsSpec pins kernel == expression semantics
+    val g = graft.functions.TextStats.gopherStatsCol(col("text"))
+    val meanWlen = g.getField("sum_wlen").cast(DoubleType) / g.getField("n_words")
+    val alphaRatio = g.getField("n_alpha").cast(DoubleType) / g.getField("n_words")
+    val bulletRatio = g.getField("n_bullet").cast(DoubleType) / g.getField("n_lines")
+    d.filter(g.getField("n_words") >= 50 && g.getField("n_words") <= 100000 &&
       meanWlen >= 3 && meanWlen <= 10 &&
       alphaRatio >= 0.8 && bulletRatio <= 0.9)
   }

@@ -1113,10 +1113,20 @@ object LlmQueries {
       // the next occurrence's lead. (A single-space scheme needed two
       // passes and STILL misaligned self-pair merges on symbol runs ≥ 5 —
       // caught by BpeMergesSpec's greedy-equivalence property.)
-      var cur = tok.groupBy($"w").agg(count(lit(1)).as("freq"))
+      // r12 optimization (guide §1.2 step 1 — fewer passes): rounds no
+      // longer persist+count each replace result (2 jobs/round). The
+      // BASE word histogram is the only corpus-derived state; each
+      // round's argmax job applies the ≤9 accumulated merge replaces
+      // map-side over the cached base (vocab-sized string work, trivial
+      // against the job it rides in), so the loop runs 1 job per round
+      // instead of 2, and one final materialization replaces the ten.
+      // Merge order, replace semantics and the returned histogram are
+      // bit-identical — the replaces chain in the same sequence.
+      val base = tok.groupBy($"w").agg(count(lit(1)).as("freq"))
         .select($"w",
           concat(lit("  "), regexp_replace($"w", "(.)", "$1  ")).as("s"), $"freq")
         .persist()
+      var cur = base
       val out = Seq.newBuilder[(Int, String, String, String, Long)]
       var step = 1
       var exhausted = false
@@ -1139,15 +1149,17 @@ object LlmQueries {
           case Array(best) =>
             val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
             out += ((step, a, b, a + b, n))
-            val next = cur
-              .select($"w",
-                replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"), $"freq")
-              .persist()
-            next.count() // materialize before dropping the parent's cache
-            cur.unpersist()
-            cur = next
+            cur = cur.select($"w",
+              replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"), $"freq")
             step += 1
         }
+      }
+      if (!(cur eq base)) {
+        // the consumers (bpe_merges/bpe_encode, the vocab memos) re-read
+        // the FINAL histogram: cache it once, release the base
+        cur = cur.persist()
+        cur.count()
+        base.unpersist()
       }
       (out.result(), cur)
     })

@@ -46,6 +46,63 @@ object Multimodal {
     */
   final case class MediaFeatures(key: String, features: Array[Double])
 
+  /** Thread-local ImageIO reader/writer cache — r12 per-task-work
+    * optimization (guide §1.2 step 2, §4.5 "initialise heavyweight state
+    * once per task"): the media kernels run one codec round-trip PER
+    * DOCUMENT, and `ImageIO.read` / `getImageWriters*` construct (and
+    * dispose) a fresh reader/writer through an SPI registry scan on every
+    * call — measured as a double-digit share of the map-only
+    * `build:image/video/audio_hash` stages whose payloads are ~1 KB.
+    * Executor task threads are pooled and long-lived, so one
+    * reader/writer per (thread, format) amortizes construction across
+    * every payload the thread ever decodes; `reset()` in each caller's
+    * `finally` restores the instance to its initial state between
+    * payloads (readers/writers are stateful but reusable by contract —
+    * they are NOT thread-safe, which is exactly what the ThreadLocal
+    * guarantees). Decode output is bit-identical: the same JDK codec
+    * classes run with the same default params.
+    */
+  private object Codec {
+    private val readers = ThreadLocal.withInitial(
+      () => new java.util.HashMap[String, javax.imageio.ImageReader]())
+    private val writers = ThreadLocal.withInitial(
+      () => new java.util.HashMap[String, javax.imageio.ImageWriter]())
+
+    def reader(fmt: String): javax.imageio.ImageReader = {
+      val m = readers.get()
+      var r = m.get(fmt)
+      if (r == null) {
+        r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+        m.put(fmt, r)
+      }
+      r
+    }
+
+    def writer(fmt: String): javax.imageio.ImageWriter = {
+      val m = writers.get()
+      var w = m.get(fmt)
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        m.put(fmt, w)
+      }
+      w
+    }
+
+    /** Magic-byte sniff for the four formats the engine plants/decodes —
+      * "" routes unknown payloads to the generic (per-call probing)
+      * ImageIO path, so arbitrary inputs keep exactly the old behavior.
+      */
+    def sniff(data: Array[Byte]): String =
+      if (data.length < 4) ""
+      else if (data(0) == 'B' && data(1) == 'M') "bmp"
+      else if (data(0) == 'G' && data(1) == 'I' && data(2) == 'F' &&
+        data(3) == '8') "gif"
+      else if ((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+        data(3) == 'G') "png"
+      else if ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8) "jpeg"
+      else ""
+  }
+
   /** STUB header parse — dimensions only, reads the first 4 payload bytes
     * (a real implementation parses JPEG SOF / WAV fmt / MP4 moov, which is
     * likewise O(header), never O(payload)).
@@ -88,7 +145,11 @@ object Multimodal {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(data))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      // r12: thread-cached reader for known formats (see [[Codec]])
+      val fmt = Codec.sniff(data)
+      val readers =
+        if (fmt.isEmpty) javax.imageio.ImageIO.getImageReaders(iis)
+        else java.util.Collections.singletonList(Codec.reader(fmt)).iterator()
       if (!readers.hasNext) None
       else {
         val r = readers.next()
@@ -99,7 +160,7 @@ object Multimodal {
           val types = r.getImageTypes(0)
           val bands = if (types.hasNext) types.next().getNumBands else 3
           Some((w, h, bands))
-        } finally r.dispose()
+        } finally { if (fmt.isEmpty) r.dispose() else r.reset() }
       }
     } catch {
       case _: Exception => None
@@ -388,10 +449,24 @@ object Multimodal {
       // explicit memory-cache stream: ImageIO.read(InputStream) wraps in
       // a FileCache stream by default — a temp file created and deleted
       // PER PAYLOAD, which dominated the sf10 image build (500k docs ×
-      // 32 threads hammering /tmp); same fix as the decodeImage header path
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(data)))
+      // 32 threads hammering /tmp); same fix as the decodeImage header path.
+      // r12: known formats decode through the thread-cached reader
+      // ([[Codec]]) instead of a fresh SPI scan + reader per payload.
+      val fmt = Codec.sniff(data)
+      val img =
+        if (fmt.isEmpty)
+          javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(data)))
+        else {
+          val r = Codec.reader(fmt)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(data))
+          try {
+            r.setInput(iis, true, true)
+            r.read(0)
+          } finally { r.reset(); iis.close() }
+        }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -492,10 +567,12 @@ object Multimodal {
   def encodeGifGray(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty &&
       frames.forall(_.length == w * h), "dims must match every frame")
-    val lut = Array.tabulate[Byte](256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, lut, lut, lut)
     val bos = new java.io.ByteArrayOutputStream()
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // r12: thread-cached writer (one SPI scan per thread, not per payload)
+    // and ONE BufferedImage reused across the frames of a call —
+    // writeToSequence encodes synchronously, so mutating the raster
+    // between frames is safe. Same writer class, same stream, same bytes.
+    val wr = Codec.writer("gif")
     // memory-cache output stream: createImageOutputStream defaults to a
     // FileCache stream — one temp file per encoded payload (see
     // decodeGrayPixels); the payloads are hundreds of bytes
@@ -503,20 +580,28 @@ object Multimodal {
     try {
       wr.setOutput(ios)
       wr.prepareWriteSequence(null)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GrayIndexCm)
+      // with the identity gray LUT the palette index IS the gray value:
+      // fill the byte raster directly instead of w·h setSample dispatches
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
       frames.foreach { g =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        // with the identity gray LUT the palette index IS the gray value:
-        // fill the byte raster directly instead of w·h setSample dispatches
-        val buf = img.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var i = 0
         while (i < buf.length) { buf(i) = (g(i) & 0xFF).toByte; i += 1 }
         wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       wr.endWriteSequence()
-    } finally { ios.close(); wr.dispose() }
+    } finally { wr.reset(); ios.close() }
     bos.toByteArray
+  }
+
+  /** The identity 256-gray palette every GIF encode uses — immutable,
+    * shared (was rebuilt per payload).
+    */
+  private val GrayIndexCm: java.awt.image.IndexColorModel = {
+    val lut = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, lut, lut, lut)
   }
 
   /** FULL multi-frame pixel decode via ImageIO: every frame of the
@@ -529,7 +614,12 @@ object Multimodal {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(data))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      // r12: known formats reuse the thread-cached reader (reset between
+      // payloads); unknown payloads keep the per-call SPI probe + dispose
+      val fmt = Codec.sniff(data)
+      val readers =
+        if (fmt.isEmpty) javax.imageio.ImageIO.getImageReaders(iis)
+        else java.util.Collections.singletonList(Codec.reader(fmt)).iterator()
       if (!readers.hasNext) Nil
       else {
         val r = readers.next()
@@ -552,7 +642,7 @@ object Multimodal {
             }
             (w, h, gray)
           }
-        } finally r.dispose()
+        } finally { if (fmt.isEmpty) r.dispose() else r.reset() }
       }
     } catch { case _: Exception => Nil } finally iis.close()
   }
@@ -911,7 +1001,16 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setSamples(0, 0, w, h, 0, gray)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    // r12: thread-cached writer + memory-cache stream — ImageIO.write on
+    // a bare OutputStream builds a FileCache stream (one TEMP FILE per
+    // encoded payload) and a fresh writer per call; same codec class,
+    // default params, identical bytes
+    val wr = Codec.writer("jpeg")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(img)
+    } finally { wr.reset(); ios.close() }
     bos.toByteArray
   }
 

@@ -52,6 +52,115 @@ object QualityDistill {
       .select(col("doc_id"), col("pos").cast(LongType).as("b"), col("col").as("x"))
   }
 
+  // ─────────────── row-local (array-shaped) training frames ────────────
+  // The explode→groupBy→join formulations below ([[featFrame]],
+  // [[gopherLabel]], [[jointLabel]]) are kept as the REFERENCE
+  // formulations — the DuckDB oracle runs their SQL twins and
+  // StumpDistillSpec diffs the kernels against them — but training now
+  // runs on ONE map-only scan per corpus: all B+3 features land in a
+  // per-doc array ([[graft.functions.TextStats.bucketCountsCol]] +
+  // [[graft.functions.TextStats.repetitionCol]]) and the label comes from
+  // the one-pass [[graft.functions.TextStats.gopherStatsCol]] kernel, so
+  // the per-round histogram is `posexplode → groupBy(b, x)` (partial-agg,
+  // vocabulary-sized shuffle) with ZERO doc-keyed exchanges and ZERO
+  // joins. r12 optimization — guide §2.3 "aggregate before you shuffle" /
+  // §2.4 "remove shuffles outright": the previous shape paid 2 corpus
+  // exchanges (token groupBy + zero-fill join) per feature frame and 2
+  // more (gopher groupBy + label join) per training round's survivor set.
+
+  /** Gopher keep label as row-local columns over `docs`: (y, labeled) —
+    * `labeled` is the inner-join semantics of the reference formulation
+    * (docs with zero `\s+`-split words have no label row and are excluded
+    * from training and query output).
+    */
+  private[llm] def gopherLabelCols: (Column, Column) = {
+    val g = graft.functions.TextStats.gopherStatsCol(col("text"))
+    val nw = g.getField("n_words")
+    val meanW = g.getField("sum_wlen").cast(DoubleType) / nw
+    val alpha = g.getField("n_alpha").cast(DoubleType) / nw
+    val y = when(nw >= 50L && nw <= 100000L &&
+      meanW >= 3 && meanW <= 10 && alpha >= 0.8, 1L).otherwise(0L)
+    (y, nw > 0L)
+  }
+
+  /** Joint Gopher ∧ low-repetition label, row-local (the reference
+    * formulation is [[jointLabel]]).
+    */
+  private[llm] def jointLabelCols: (Column, Column) = {
+    val (gy, labeled) = gopherLabelCols
+    val r = graft.functions.TextStats.repetitionCol(col("text"))
+    val repOk = r.getField("n_grams") === 0L ||
+      r.getField("n_dup") * 50L <= r.getField("n_grams")
+    (when(gy === 1L && repOk, 1L).otherwise(0L), labeled)
+  }
+
+  /** (doc_id, xv, y, labeled) — the stump's B+1 features as one array
+    * column, Gopher label, all row-local: one codegen scan of `docs`.
+    */
+  private[llm] def stumpVec(docs: DataFrame): DataFrame = {
+    val (y, labeled) = gopherLabelCols
+    docs.select(col("doc_id"),
+      graft.functions.TextStats.bucketCountsCol(col("text"), 1, B).as("xv"),
+      y.as("y"), labeled.as("labeled"))
+  }
+
+  /** (doc_id, xv, y, labeled) — the cascade's B+3 features (buckets,
+    * total, n_grams, n_dup) and the joint label, all row-local.
+    */
+  private[llm] def cascadeVec(docs: DataFrame): DataFrame = {
+    val (y, labeled) = jointLabelCols
+    val r = graft.functions.TextStats.repetitionCol(col("text"))
+    docs.select(col("doc_id"),
+      concat(graft.functions.TextStats.bucketCountsCol(col("text"), 1, B),
+        array(r.getField("n_grams"), r.getField("n_dup"))).as("xv"),
+      y.as("y"), labeled.as("labeled"))
+  }
+
+  /** The per-round (b, x, pos_at, n_at) histogram over a LABELED vec
+    * frame: posexplode of the feature array — a map-only generate — into
+    * the (b, x) partial aggregation. Same rows as
+    * `featFrame(docs) JOIN label GROUP BY b, x`, minus the two doc-keyed
+    * exchanges and the join.
+    */
+  private def histFromVec(vec: DataFrame): DataFrame =
+    vec.select(col("y"), posexplode(col("xv")))
+      .groupBy(col("pos").cast(LongType).as("b"), col("col").as("x"))
+      .agg(sum(col("y")).as("pos_at"), count(lit(1)).as("n_at"))
+
+  /** One-row best-split frame (b, t, e) over a labeled vec frame — the
+    * same cum/argmin arithmetic as [[searchFrame]] on identical histogram
+    * rows.
+    */
+  private[llm] def bestSplitVec(vec: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("b")).orderBy(col("x").desc)
+    val cum = histFromVec(vec).select(col("b"), col("x").as("t"),
+      sum(col("pos_at")).over(w).as("pos_ge"), sum(col("n_at")).over(w).as("n_ge"))
+    val totPos = vec.agg(sum(col("y")).as("p"))
+    cum.crossJoin(totPos)
+      .select(col("b"), col("t"),
+        ((col("n_ge") - col("pos_ge")) + (col("p") - col("pos_ge"))).as("e"))
+      .orderBy(col("e"), col("b"), col("t")).limit(1)
+  }
+
+  /** Dual-direction best split over a labeled vec frame — the vec twin of
+    * [[searchFrameDual]].
+    */
+  private[llm] def bestSplitDualVec(vec: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("b")).orderBy(col("x").desc)
+    val cum = histFromVec(vec).select(col("b"), col("x").as("t"),
+      sum(col("pos_at")).over(w).as("pos_ge"), sum(col("n_at")).over(w).as("n_ge"))
+    val tot = vec.agg(sum(col("y")).as("p"), count(lit(1)).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("b"), col("t"), explode(array(
+        struct(((col("n_ge") - col("pos_ge")) +
+          (col("p") - col("pos_ge"))).as("e"), lit(1).as("dir")),
+        struct((col("pos_ge") + (col("n") - col("n_ge")) -
+          (col("p") - col("pos_ge"))).as("e"), lit(0).as("dir")))).as("c"))
+      .select(col("b"), col("t"), col("c.dir").as("dir"), col("c.e").as("e"))
+      .orderBy(col("e"), col("b"), col("t"), col("dir").desc)
+      .limit(1)
+  }
+
   /** The Gopher keep rule as a 0/1 label — quality_gopher's expressions
     * verbatim (same op order both engines).
     */
@@ -90,7 +199,7 @@ object QualityDistill {
     * is the one-row model, the "load the index" step of this family.
     */
   def train(docs: DataFrame): StumpModel = {
-    val r = searchFrame(featFrame(docs), gopherLabel(docs)).collect()
+    val r = bestSplitVec(stumpVec(docs).filter(col("labeled"))).collect()
     require(r.nonEmpty, "empty corpus: no split candidates")
     StumpModel(r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
   }
@@ -196,22 +305,23 @@ object QualityDistill {
     * index" contract as [[train]].
     */
   def trainCascade(docs: DataFrame, rounds: Int = 3): Seq[CascadeStage] = {
-    val feat = featFrameExt(docs).persist()
+    // one map-only scan builds every feature and the label; each round is
+    // then a single job over the cached doc-count-sized frame — survivors
+    // are a ROW-LOCAL predicate chain over the feature array, replacing
+    // the per-round doc-keyed keep-set join of the (doc, b, x) shape
+    val vec = cascadeVec(docs).filter(col("labeled")).persist()
     try {
-      var surviving = jointLabel(docs)
+      var pred: Column = lit(true)
       (1 to rounds).map { _ =>
-        val sub = feat.join(surviving.select(col("doc_id")), "doc_id")
-        val r = searchFrameDual(sub, surviving).collect()
+        val r = bestSplitDualVec(vec.filter(pred)).collect()
         require(r.nonEmpty, "empty corpus: no split candidates")
         val st = CascadeStage(r.head.getLong(0), r.head.getLong(1),
           r.head.getInt(2) == 1, r.head.getLong(3))
-        val keep = feat.filter(col("b") === st.bucket &&
-            (if (st.ge) col("x") >= st.threshold else col("x") < st.threshold))
-          .select(col("doc_id"))
-        surviving = surviving.join(keep, "doc_id")
+        val x = element_at(col("xv"), st.bucket.toInt + 1)
+        pred = pred && (if (st.ge) x >= st.threshold else x < st.threshold)
         st
       }
-    } finally feat.unpersist()
+    } finally { vec.unpersist(); () }
   }
 
   /** One stage's served feature as a row-local Column. */

@@ -80,13 +80,35 @@ object QualityLinear {
 
   /** Training feature rows: [[QualityDistill.featFrameExt]]'s B+3 features
     * plus the bias row — exactly one (doc, b) row per doc and feature.
+    * REFERENCE formulation (spec-diffed against [[featVec]]); training
+    * itself runs on the array shape below.
     */
   private[llm] def featLin(docs: DataFrame): DataFrame =
     QualityDistill.featFrameExt(docs)
       .unionAll(docs.select(col("doc_id"), lit(FBias).as("b"), lit(1L).as("x")))
 
+  /** Row-local training frame (xv, y, labeled): the D features of
+    * [[featLin]] as ONE array per doc (bucket counts + total from the
+    * serving kernel, the two repetition counters, bias 1) and the joint
+    * label — a single codegen scan of `docs`, no explode, no shuffle.
+    * r12 optimization (guide §2.3/§2.4): the (doc, b, x) shape paid a
+    * token groupBy + zero-fill join to build, and every training round
+    * re-shuffled it doc-keyed twice (score aggregate + gradient join);
+    * on the array shape each round is one map-combine aggregate.
+    */
+  private[llm] def featVec(docs: DataFrame): DataFrame = {
+    val (y, labeled) = QualityDistill.jointLabelCols
+    val r = graft.functions.TextStats.repetitionCol(col("text"))
+    docs.select(
+      concat(
+        graft.functions.TextStats.bucketCountsCol(col("text"), 1, QualityDistill.B),
+        array(r.getField("n_grams"), r.getField("n_dup"), lit(1L))).as("xv"),
+      y.as("y"), labeled.as("labeled"))
+  }
+
   /** Integer standardization stats over the feature frame: a D-row
     * bounded collect (model-sized, like the stump's 1-row split).
+    * Reference (b, x) formulation — training uses [[standardizeVec]].
     */
   private[llm] def standardize(feat: DataFrame, nDocs: Long): (Array[Long], Array[Long]) = {
     val rows = feat.groupBy(col("b"))
@@ -102,13 +124,24 @@ object QualityLinear {
     (mu, rng)
   }
 
-  private def litAt(a: Array[Long]): Column =
-    element_at(array(a.toSeq.map(lit): _*), (col("b") + 1L).cast(IntegerType))
-
-  /** Standardized feature column over a (doc_id, b, x) frame. */
-  private def xsCol(mu: Array[Long], rng: Array[Long]): Column =
-    when(col("b") === FBias, lit(Scale))
-      .otherwise(tdivCol((col("x") - litAt(mu)) * Scale, litAt(rng)))
+  /** Same mu/rng from the array frame: one map-combine aggregate (3·D
+    * columns, one ~1-row exchange), zero doc-keyed shuffle. Sums of
+    * longs commute, so the integers are identical to [[standardize]]'s.
+    */
+  private[llm] def standardizeVec(vec: DataFrame, nDocs: Long): (Array[Long], Array[Long]) = {
+    val aggs = (0 until D).flatMap { b =>
+      val x = element_at(col("xv"), b + 1)
+      Seq(sum(x).as(s"s$b"), max(x).as(s"mx$b"), min(x).as(s"mn$b"))
+    }
+    val r = vec.agg(aggs.head, aggs.tail: _*).head()
+    val mu = new Array[Long](D)
+    val rng = Array.fill(D)(1L)
+    (0 until D).foreach { b =>
+      mu(b) = tdiv(r.getLong(3 * b), nDocs)
+      rng(b) = math.max(1L, r.getLong(3 * b + 1) - r.getLong(3 * b + 2))
+    }
+    (mu, rng)
+  }
 
   /** Train the pocket perceptron. Bounded driver state: D-row stat and
     * gradient collects plus the weight vector — nothing corpus-sized.
@@ -117,52 +150,69 @@ object QualityLinear {
     val spark = docs.sparkSession
     val nDocs = docs.count()
     require(nDocs > 0, "empty corpus: nothing to train on")
-    val lab = graft.FrameRegistry.transient(spark, "qlin_lab",
-      QualityDistill.jointLabel(docs))
-    val raw = graft.FrameRegistry.transient(spark, "qlin_feat", featLin(docs))
-    try trainOn(spark, lab, raw, nDocs, rounds)
+    // ONE transient frame holds features AND label, built in a single
+    // map-only scan — the separate (doc, b, x) feature frame (token
+    // groupBy + zero-fill join) and label frame (gopher groupBy + join)
+    // are gone (r12, guide §2.4)
+    val vec = graft.FrameRegistry.transient(spark, "qlin_feat", featVec(docs))
+    try trainOnVec(vec, nDocs, rounds)
     finally {
-      // the ((B+4)·nDocs)-row feature frame and the label frame are pure
-      // training intermediates — the model memoizes per (session, dir),
-      // so nothing ever re-reads these caches; release the slots instead
-      // of pinning them until transient-cap eviction (trainCascade's
-      // finally discipline)
+      // the frame is a pure training intermediate — the model memoizes
+      // per (session, dir), so nothing ever re-reads this cache; release
+      // the slot instead of pinning it until transient-cap eviction
       graft.FrameRegistry.releaseFamily(spark, "qlin_feat")
-      graft.FrameRegistry.releaseFamily(spark, "qlin_lab")
     }
   }
 
-  private def trainOn(spark: org.apache.spark.sql.SparkSession,
-      lab: DataFrame, raw: DataFrame, nDocs: Long, rounds: Int): LinearModel = {
-    val (mu, rng) = standardize(raw, nDocs)
-    // a projection over the cached raw frame — no second persist needed
-    val feats = raw.select(col("doc_id"), col("b"), xsCol(mu, rng).as("xs"))
-    var w = new Array[Long](D)
-    var pocketErr = Long.MaxValue
-    var pocketRound = 0
-    var pocketW = w.clone()
-    val errs = scala.collection.mutable.ArrayBuffer[Long]()
-    for (t <- 1 to rounds + 1) {
-      val scored = feats.groupBy(col("doc_id"))
-        .agg(sum(col("xs") * litAt(w)).as("score"))
-      val mis = scored.join(lab, "doc_id")
-        .filter((col("score") > 0L) =!= (col("y") === 1L))
-      // D rows: per-feature signed gradient sum + the misclassified count
-      // (every doc carries exactly one row per feature, so any cnt is n_mis)
-      val grad = feats.join(mis.select(col("doc_id"), col("y")), "doc_id")
-        .groupBy(col("b"))
-        .agg(sum((col("y") * 2L - 1L) * col("xs")).as("g"), count(lit(1)).as("cnt"))
-        .collect()
-      val nMis = if (grad.isEmpty) 0L else grad.head.getLong(2)
-      errs += nMis
-      if (nMis < pocketErr) { pocketErr = nMis; pocketRound = t; pocketW = w.clone() }
-      if (t <= rounds && nMis > 0L) {
-        val w2 = w.clone()
-        grad.foreach { r => w2(r.getLong(0).toInt) += tdiv(r.getLong(1), nMis) }
-        w = w2
+  private def trainOnVec(vec: DataFrame, nDocs: Long, rounds: Int): LinearModel = {
+    val spark = vec.sparkSession
+    // mu/rng over ALL docs (the reference frame has a row per doc and
+    // feature regardless of label validity)
+    val (mu, rng) = standardizeVec(vec, nDocs)
+    // standardize ONCE into a cached array column: the per-round jobs
+    // then embed only the fresh weight literals in small element_at
+    // multiply-adds — keeping the D tdiv trees out of the per-round
+    // codegen (each round generates new code because w changes; with the
+    // tdivs inlined, seven janino compiles of 3×D-node trees cost more
+    // than the jobs they run)
+    val xsArr = array((0 until D).map { b =>
+      if (b == FBias.toInt) lit(Scale)
+      else tdivCol((element_at(col("xv"), b + 1) - mu(b)) * Scale, lit(rng(b)))
+    }: _*)
+    val feats = graft.FrameRegistry.transient(spark, "qlin_xs",
+      vec.filter(col("labeled")).select(xsArr.as("xs"), col("y")))
+    try {
+      var w = new Array[Long](D)
+      var pocketErr = Long.MaxValue
+      var pocketRound = 0
+      var pocketW = w.clone()
+      val errs = scala.collection.mutable.ArrayBuffer[Long]()
+      for (t <- 1 to rounds + 1) {
+        // ONE map-combine aggregate per round: score and
+        // misclassification are row-local under literal weights, the D
+        // signed gradient sums and the misclassified count
+        // partial-aggregate map-side — no doc-keyed exchange, no join
+        // (was: score groupBy(doc) + label join + gradient join +
+        // groupBy(b) per round)
+        val score = (0 until D)
+          .map(b => lit(w(b)) * element_at(col("xs"), b + 1)).reduce(_ + _)
+        val sign = col("y") * 2L - 1L
+        val gradAggs = (0 until D).map(b =>
+          sum(sign * element_at(col("xs"), b + 1)).as(s"g$b")) :+
+          count(lit(1)).as("cnt")
+        val r = feats.filter((score > 0L) =!= (col("y") === 1L))
+          .agg(gradAggs.head, gradAggs.tail: _*).head()
+        val nMis = r.getLong(D)
+        errs += nMis
+        if (nMis < pocketErr) { pocketErr = nMis; pocketRound = t; pocketW = w.clone() }
+        if (t <= rounds && nMis > 0L) {
+          val w2 = w.clone()
+          (0 until D).foreach { b => w2(b) += tdiv(r.getLong(b), nMis) }
+          w = w2
+        }
       }
-    }
-    LinearModel(mu, rng, pocketW, pocketErr, pocketRound, errs.toSeq)
+      LinearModel(mu, rng, pocketW, pocketErr, pocketRound, errs.toSeq)
+    } finally graft.FrameRegistry.releaseFamily(spark, "qlin_xs")
   }
 
   /** Row-local score Σ_b w_b·xs_b — ONE codegen scan: the B+1 hashed

@@ -708,20 +708,20 @@ object TextRankQueries {
         |    AND alpha_ratio >= 0.8 AND bullet_ratio <= 0.9 AS BOOLEAN) AS keep
         |FROM ws JOIN ls ON ws.doc_id = ls.doc_id
         |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
-      val words = documents(s, d).select(col("doc_id"),
-          explode(split(col("text"), "\\s+")).as("w"))
-        .filter($"w" =!= "")
-      val ws = words.groupBy($"doc_id").agg(
-        count(lit(1)).as("n_words"),
-        (sum(length($"w")).cast(DoubleType) / count(lit(1))).as("mean_wlen"),
-        (sum(when($"w".rlike("[a-zA-Z]"), 1).otherwise(0)).cast(DoubleType) /
-          count(lit(1))).as("alpha_ratio"))
-      val ls = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
-        .groupBy($"doc_id").agg(
-          (sum(when($"l".rlike("^\\s*[-*]"), 1).otherwise(0)).cast(DoubleType) /
-            count(lit(1))).as("bullet_ratio"))
-      ws.join(ls, "doc_id")
+      // r12: all five statistics are row-LOCAL — the one-scan
+      // gopher_stats kernel replaces two explode→groupBy passes and the
+      // doc-keyed join (3 exchanges → the final sort only, guide §2.4);
+      // the inner-join semantics (wordless docs emit no row) survive as
+      // the n_words > 0 filter. GopherStatsSpec diffs the kernel against
+      // the split/rlike formulation the oracle still runs.
+      val g = graft.functions.TextStats.gopherStatsCol(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), g.as("g"))
+        .filter($"g.n_words" > 0L)
+        .select($"doc_id", $"g.n_words".as("n_words"),
+          ($"g.sum_wlen".cast(DoubleType) / $"g.n_words").as("mean_wlen"),
+          ($"g.n_alpha".cast(DoubleType) / $"g.n_words").as("alpha_ratio"),
+          ($"g.n_bullet".cast(DoubleType) / $"g.n_lines").as("bullet_ratio"))
         .select($"doc_id", $"n_words", $"mean_wlen", $"alpha_ratio", $"bullet_ratio",
           ($"n_words" >= 50 && $"n_words" <= 100000 &&
             $"mean_wlen" >= 3 && $"mean_wlen" <= 10 &&
@@ -784,17 +784,21 @@ object TextRankQueries {
          |FROM best bs JOIN feat f ON f.b = bs.b JOIN lab l USING (doc_id)
          |ORDER BY f.doc_id""".stripMargin
     }) { (s, d) =>
+      // r12: training and scoring both run on the row-local array frame
+      // (one codegen scan builds all B+1 features and the label; the
+      // histogram is posexplode → (b, x) partial agg) — the (doc, b, x)
+      // explode/groupBy/zero-fill-join shape and its per-doc label join
+      // are gone (guide §2.4). Output identical: the scored `x` is the
+      // best bucket's array slot.
       val docs = documents(s, d)
-      val feat = QualityDistill.featFrame(docs)
-      val lab = QualityDistill.gopherLabel(docs)
-      val best = QualityDistill.searchFrame(feat, lab)
-      feat.as("f")
-        .join(broadcast(best.as("bs")), col("f.b") === col("bs.b"))
-        .join(lab, "doc_id")
+      val vec = QualityDistill.stumpVec(docs).filter(col("labeled"))
+      val best = QualityDistill.bestSplitVec(vec)
+      val x = element_at($"xv", (col("bs.b") + 1L).cast(IntegerType))
+      vec.crossJoin(broadcast(best.as("bs")))
         .select($"doc_id", col("bs.b").as("stump_b"), col("bs.t").as("stump_t"),
-          col("bs.e").as("train_err"), col("f.x").as("x"),
-          (col("f.x") >= col("bs.t")).as("predicted"), ($"y" === 1).as("actual"),
-          ((col("f.x") >= col("bs.t")) === ($"y" === 1)).as("agree"))
+          col("bs.e").as("train_err"), x.as("x"),
+          (x >= col("bs.t")).as("predicted"), ($"y" === 1).as("actual"),
+          ((x >= col("bs.t")) === ($"y" === 1)).as("agree"))
         .orderBy($"doc_id")
     },
 
@@ -884,16 +888,19 @@ object TextRankQueries {
     }) { (s, d) =>
       val docs = documents(s, d)
       val stages = QualityDistill.trainCascade(docs, rounds = 3)
-      val lab = QualityDistill.jointLabel(docs)
+      // r12: the label is row-local (gopher_stats + repetition kernels) —
+      // the explode→groupBy label build and its doc-keyed join are gone;
+      // serving is now a pure map + final sort (guide §2.4)
+      val (y, labeled) = QualityDistill.jointLabelCols
       val kept = QualityDistill.cascadeKeepCol(stages)
       val stageCols = stages.zipWithIndex.flatMap { case (st, i) => Seq(
         lit(st.bucket).as(s"s${i + 1}_b"), lit(st.threshold).as(s"s${i + 1}_t"),
         lit(if (st.ge) 1 else 0).as(s"s${i + 1}_ge"))
       }
-      docs.join(lab, "doc_id")
+      docs.filter(labeled)
         .select((col("doc_id") +: stageCols) ++ Seq(
-          kept.as("kept"), ($"y" === 1).as("actual"),
-          (kept === ($"y" === 1)).as("agree")): _*)
+          kept.as("kept"), (y === 1).as("actual"),
+          (kept === (y === 1)).as("agree")): _*)
         .orderBy($"doc_id")
     },
 
@@ -1000,8 +1007,11 @@ object TextRankQueries {
     }) { (s, d) =>
       val docs = documents(s, d)
       val m = linModel(s, d)
-      val lab = QualityDistill.jointLabel(docs)
-      docs.join(lab, "doc_id")
+      // r12: row-local label (see quality_distill_boost) — scan → map →
+      // sort, no label join
+      val (labY, labeled) = QualityDistill.jointLabelCols
+      docs.filter(labeled)
+        .withColumn("y", labY)
         .withColumn("score", QualityLinear.scoreCol(m))
         .select($"doc_id", $"score", ($"score" > 0L).as("predicted"),
           ($"y" === 1L).as("actual"),
