@@ -83,7 +83,7 @@ object LlmQueries {
     * <3 tokens yield an empty gram array — explode drops them, exactly
     * like the `size(ws) >= 3` pre-filter it replaces.
     */
-  private def shingleTok(docs: DataFrame): DataFrame =
+  private[llm] def shingleTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(
       graft.functions.TextStats.wordTrigramsCol(col("text")))).as("w"))
 
@@ -179,17 +179,32 @@ object LlmQueries {
     math.min(4096.0, math.max(base.toDouble, target)).toInt
   }
 
+  /** Max token rows a single partition may feed the shuffled-hash build
+    * side of the inter-counts self-join (≈ a few hundred MB of hash
+    * relation). Under it the `SHUFFLE_HASH` hint replaces sort-merge —
+    * the join's cost was the per-partition SORT of shingle STRINGS, not
+    * the probe (measured at sf1, 12M tokens: SMJ 19.9/24.5 s → SHJ
+    * 4.1/7.4 s on identical output; guide §3.1 "often faster when one
+    * side is moderately small per partition"). Above it (near-unique
+    * shingle profiles where the width dispatch has no reason to widen the
+    * exchange) the plan stays sort-merge, which spills gracefully.
+    */
+  private[llm] val ShjBuildRowsMax = 8000000L
+
   /** Broadcast-dim shape: count dim joined AFTER the pair aggregation,
     * explicitly broadcast (Catalyst's own estimate demoted this exact join
     * to sort-merge at sf10 while the dim was 8 MB on disk). `pairParts`
     * (0 = leave the session layout alone) widens the w-exchange feeding
     * the self-join so the pair partial-agg stays combine-effective — see
     * [[pairBuildPartitions]]; the self-join's two sides share the one
-    * repartitioned frame, so the layout is paid once.
+    * repartitioned frame, so the layout is paid once. `shj` swaps the
+    * self-join to shuffled-hash (see [[ShjBuildRowsMax]]).
     */
-  private[llm] def interCountsBroadcast(docs: DataFrame, pairParts: Int = 0): DataFrame = {
+  private[llm] def interCountsBroadcast(docs: DataFrame, pairParts: Int = 0,
+      shj: Boolean = false): DataFrame = {
     val tok0 = shingleTok(docs)
-    val tok = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
+    val tokL = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
+    val tok = if (shj) tokL.hint("SHUFFLE_HASH") else tokL
     // cnt reads the PRE-repartition frame: its doc_id rollup partial-aggs
     // at the scan and ships doc-count rows — routing it through the
     // widened w-exchange made it a third full-token reader of that
@@ -209,7 +224,8 @@ object LlmQueries {
     * the pair aggregation (min of a group-constant) and the candidate
     * frame never reshuffles.
     */
-  private[llm] def interCountsCarryN(docs: DataFrame, pairParts: Int = 0): DataFrame = {
+  private[llm] def interCountsCarryN(docs: DataFrame, pairParts: Int = 0,
+      shj: Boolean = false): DataFrame = {
     val tok0 = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
@@ -218,7 +234,8 @@ object LlmQueries {
           i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
       .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
         explode(col("arr")).as("w"))
-    val tok = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
+    val tokL = if (pairParts > 0) tok0.repartition(pairParts, col("w")) else tok0
+    val tok = if (shj) tokL.hint("SHUFFLE_HASH") else tokL
     tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -236,12 +253,18 @@ object LlmQueries {
       // below it the planner's own w-exchange is identical and cheaper
       // (no separate repartition node).
       val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val derived = pairBuildPartitions(s, docShingleStats(s, d).sumDf2)
+      val stats = docShingleStats(s, d)
+      val derived = pairBuildPartitions(s, stats.sumDf2)
       val parts = if (derived > base) derived else 0
+      // shuffled-hash dispatch: per-partition build side = total shingle
+      // instances over the effective w-partition count — hint only when
+      // a task's hash relation stays bounded (see ShjBuildRowsMax)
+      val shj = stats.tokens / math.max(1, math.max(base, derived)).toLong <=
+        ShjBuildRowsMax
       val frame =
         if (docCount(s, d) <= InterBroadcastDocsCutover)
-          interCountsBroadcast(docs, parts)
-        else interCountsCarryN(docs, parts)
+          interCountsBroadcast(docs, parts, shj)
+        else interCountsCarryN(docs, parts, shj)
       graft.FrameRegistry.tracked(s, "inter_counts", frame, d)
     })
 
