@@ -278,8 +278,10 @@ object TextStats {
     * diffs them element-wise):
     *
     *  - words    = maximal runs of code points outside Java regex `\s`
-    *               (exactly `[ \t\n\f\r]` — NOT the wider
-    *               Character.isWhitespace set), i.e. the non-empty
+    *               (exactly `[ \t\n\x0B\f\r]` — NOT the wider
+    *               Character.isWhitespace set; \x0B spelled out — a
+    *               literal VT char sat invisibly here before, reading
+    *               as if \s excluded it), i.e. the non-empty
     *               elements of `split(text, "\\s+")`;
     *  - sum_wlen = Σ length(word) in CODE POINTS (Spark `length`);
     *  - n_alpha  = words containing ≥1 ASCII letter (`rlike "[a-zA-Z]"`);

@@ -25,9 +25,14 @@ class GopherStatsSpec extends AnyFunSuite with SparkTestBase {
     "  leading and  double  spaces ", "tab\tsep\nand line",
     "- bullet line\n  - indented bullet\n\t* tab bullet\nplain\n* last",
     "-\n*\n --\nx-y", "über schön 漢字 emoji😀 mixé",
-    "123 456 !!! ???", "ab\fc\rd", "ends with newline\n",
+    "123 456 !!! ???", "a\u000Bb\fc\rd", "ends with newline\n",
+    // \u000B (vertical tab) spelled out — two literal VT chars sat
+    // invisibly in the texts above/below before, making the one
+    // Java-\s-vs-RE2-prose divergence char look unexercised; also pin it
+    // as LEADING line whitespace before a bullet marker (rlike ^\s*[-*])
+    "\u000B- vt-led bullet\nx\u000B* not-a-bullet",
     "crlf line\r\nnext", "multi\n\n\nempty lines\n",
-    "*star at start", " \t mixed  ws \f runs \r here "
+    "*star at start", " \t mixed \u000B ws \f runs \r here "
   )
 
   private def edgeDocs = {
