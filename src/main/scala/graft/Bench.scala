@@ -75,16 +75,18 @@ object Bench {
     // registry order (not Map hash order): run-to-run and round-to-round
     // timings stay comparable per query
     //
-    // SPARK_GRAFT_BENCH_FORCE=1 drives each query by iterating every
-    // OUTPUT ROW (queryExecution.toRdd.foreachPartition — no driver
-    // collect) instead of count(): count() lets Catalyst column-prune a
+    // The timed action drives each query by iterating every OUTPUT ROW
+    // (queryExecution.toRdd.foreachPartition — no driver collect, no
+    // row-format conversion): count() lets Catalyst column-prune a
     // PROJECTED deterministic UDF column, so map-only codec queries
-    // (multimodal_*_features) bench at scan+sort cost under the default.
-    // Forced mode measures delivered-row cost — what a writer downstream
-    // of the query would pay. Default stays count() so committed
-    // artifacts keep their baseline semantics until a deliberate
-    // re-baseline flips every scale in one commit.
-    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    // (multimodal_*_features) benched at scan+sort cost, not delivered-row
+    // cost — what a writer downstream of the query would pay (guide §1.4's
+    // point about count() vs the noop sink). DEFAULT SINCE r13 — a
+    // deliberate measurement-semantics break, re-baselined at every armed
+    // scale in the same commit (OPTIMIZATION_r13.md records both old- and
+    // new-semantics totals on the same host). SPARK_GRAFT_BENCH_FORCE=0
+    // restores the old count() drive for cross-round comparison.
+    val force = !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("0")
     def drive(df: org.apache.spark.sql.DataFrame): Unit =
       if (force) df.queryExecution.toRdd.foreachPartition { it =>
         while (it.hasNext) it.next()
