@@ -179,17 +179,76 @@ object LlmQueries {
     math.min(4096.0, math.max(base.toDouble, target)).toInt
   }
 
-  /** Max token rows a single partition may feed the shuffled-hash build
-    * side of the inter-counts self-join (≈ a few hundred MB of hash
-    * relation). Under it the `SHUFFLE_HASH` hint replaces sort-merge —
-    * the join's cost was the per-partition SORT of shingle STRINGS, not
-    * the probe (measured at sf1, 12M tokens: SMJ 19.9/24.5 s → SHJ
-    * 4.1/7.4 s on identical output; guide §3.1 "often faster when one
-    * side is moderately small per partition"). Above it (near-unique
-    * shingle profiles where the width dispatch has no reason to widen the
-    * exchange) the plan stays sort-merge, which spills gracefully.
+  /** Absolute ceiling on build rows a single partition may feed a
+    * shuffled-hash build side, whatever the memory derivation below says
+    * (a backstop against a mis-sized heap reading as "infinite").
+    * Under the cap the `SHUFFLE_HASH` hint replaces sort-merge — the
+    * join's cost was the per-partition SORT of shingle STRINGS, not the
+    * probe (measured at sf1: SMJ 19.9/24.5 s → SHJ 4.1/7.4 s on identical
+    * output; guide §3.1 "often faster when one side is moderately small
+    * per partition"). Above it the plan stays sort-merge, which spills
+    * gracefully — the fallback costs a bounded constant factor, while an
+    * over-eager hash build OOMs (an inner SHJ build side cannot spill).
     */
   private[llm] val ShjBuildRowsMax = 8000000L
+
+  /** Memory-derived per-partition build-row cap for the SHUFFLE_HASH
+    * dispatch (guide §3.1's stated risk: "an OOM if a build-side
+    * partition does not fit in memory"). Construction: all concurrently
+    * running tasks' hash relations together may claim at most ~30% of the
+    * executor heap (half of Spark's default 0.6 execution fraction —
+    * build relations share execution memory with the probe side's
+    * aggregates), so each of the `slots` concurrent tasks gets
+    * heap·0.3/slots bytes, at `bytesPerRow` of hash-relation footprint
+    * per build row. r12 shipped a flat 8M-row cap validated only at
+    * ~375k rows/partition (round-12 ADVICE); this bounds the regime the
+    * cap was never measured in by construction instead. local[n]: heap =
+    * driver JVM = executor; on a cluster the same formula reads the
+    * executor JVM's own Runtime, which is the heap that matters.
+    */
+  private[graft] def shjBuildRowsCap(s: SparkSession, bytesPerRow: Long): Long = {
+    val heap = Runtime.getRuntime.maxMemory()
+    val slots = math.max(1, s.sparkContext.defaultParallelism)
+    math.min(ShjBuildRowsMax, heap * 3L / 10L / slots / bytesPerRow)
+  }
+
+  /** Worst-PARTITION shuffled-hash safety, not worst-average: the r12
+    * gate divided total build rows by the partition count, but the build
+    * key is skewed (shingle df, band buckets) and every row of the
+    * hottest key hashes to ONE partition — a hot shingle with df near
+    * the corpus size passes an average gate and OOMs the one task whose
+    * hash relation holds it (round-12 verdict "What's wrong" #3). The
+    * hottest partition is ≤ avg + maxKeyRows (its share of the uniform
+    * mass plus the entire hot key), so gate on that bound: dispatch to
+    * SHUFFLE_HASH only when it fits the cap.
+    */
+  private[graft] def shjSafe(totalRows: Long, maxKeyRows: Long, parts: Int,
+      cap: Long): Boolean =
+    totalRows / math.max(1, parts) + maxKeyRows <= cap
+
+  /** Hash-relation bytes budgeted per (w STRING, doc_id LONG) build row of
+    * the inter-counts self-join: ~30-40 B of UTF8 shingle + 16 B UnsafeRow
+    * header + 8 B long, roughly doubled for the BytesToBytesMap's key copy
+    * and bucket array. Deliberately conservative — overestimating only
+    * costs the graceful SMJ fallback.
+    */
+  private[llm] val InterShjBytesPerRow = 128L
+
+  /** minhash band rows are fixed-width (doc_id LONG, band INT, bh LONG):
+    * ~28 B of UnsafeRow plus map overhead.
+    */
+  private[llm] val BandShjBytesPerRow = 64L
+
+  /** LOWER bound for the band join's SHUFFLE_HASH hint: below it the
+    * planner's own broadcast of the tiny band frame wins and the hint
+    * would only add two exchanges. Measured (ExpBand, noop sink, warm,
+    * this host): 40k band rows (sf0.1) — broadcast 0.84 s vs SHJ 1.67 s;
+    * 400k rows (sf1) — planner 3.39 s vs SHJ 1.78 s. The crossover sits
+    * between; 200k (≈ 5 MB of band rows, half the broadcast threshold)
+    * splits it with a bounded ~1.5–2× error either way, against the
+    * unbounded SMJ sort the demoted broadcast degenerates to at scale.
+    */
+  private[llm] val BandShjMinRows = 200000L
 
   /** Broadcast-dim shape: count dim joined AFTER the pair aggregation,
     * explicitly broadcast (Catalyst's own estimate demoted this exact join
@@ -256,11 +315,12 @@ object LlmQueries {
       val stats = docShingleStats(s, d)
       val derived = pairBuildPartitions(s, stats.sumDf2)
       val parts = if (derived > base) derived else 0
-      // shuffled-hash dispatch: per-partition build side = total shingle
-      // instances over the effective w-partition count — hint only when
-      // a task's hash relation stays bounded (see ShjBuildRowsMax)
-      val shj = stats.tokens / math.max(1, math.max(base, derived)).toLong <=
-        ShjBuildRowsMax
+      // shuffled-hash dispatch: the WORST partition's build side — its
+      // uniform share of the token rows plus the hottest shingle's entire
+      // df (all of which hashes to one partition) — must fit the
+      // memory-derived cap (see shjSafe / shjBuildRowsCap)
+      val shj = shjSafe(stats.tokens, stats.maxDf, math.max(base, derived),
+        shjBuildRowsCap(s, InterShjBytesPerRow))
       val frame =
         if (docCount(s, d) <= InterBroadcastDocsCutover)
           interCountsBroadcast(docs, parts, shj)
@@ -508,12 +568,14 @@ object LlmQueries {
   /** Memoized shingle-frequency profile of the `documents` table, keyed like
     * [[goodPairs]] — the dispatch statistic is a property of the immutable
     * input dataset, so one O(T) pass per (session, dir) serves every
-    * df-dispatched query.
+    * df-dispatched query. Since r13 the pass is SHARED with the fuzzy
+    * block profile ([[ProfileStats]]): one corpus read fills both memos,
+    * so whichever of `build:shingle_stats` / `build:fuzzy_stats` runs
+    * first pays the combined (≈ shingle-sized) cost and the other reads
+    * the memo.
     */
-  private val statsMemo =
-    new graft.SessionMemo[(SparkSession, String), ShingleStats]()
   private[llm] def docShingleStats(s: SparkSession, d: String): ShingleStats =
-    statsMemo.computeIfAbsent((s, d), _ => shingleStats(documents(s, d)))
+    ProfileStats.of(s, d).shingle
 
   /** Shared oracle for dedup_cluster AND its distributed twin
     * [[ScaleDedup]].dedup_cluster_dist: recursive-CTE transitive closure of
@@ -548,9 +610,32 @@ object LlmQueries {
   private val minhashMemo =
     new graft.SessionMemo[(SparkSession, String), DataFrame]()
   private[llm] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashMemo.computeIfAbsent((s, d), _ =>
+    minhashMemo.computeIfAbsent((s, d), _ => {
+      val sig = minhashSig(s, d)
+      // band rows are EXACTLY 8·docs (every doc emits one row per band),
+      // so the BandShjMinRows lower bound is decidable from the memoized
+      // doc count alone — below it the planner's broadcast wins and the
+      // bucket profile job would be pure overhead (measured: the profile
+      // added ~2 s to build:minhash_pairs at sf0.1 where the gate then
+      // kept the broadcast anyway)
+      val rows = 8L * docCount(s, d)
+      val shj = rows >= BandShjMinRows && {
+        // band-bucket profile for the shuffled-hash dispatch: one
+        // vocab-sized map-combine aggregate over the (doc_id, band, bh)
+        // rows — O(8·docs) against the band join's O(Σ bucket²) candidate
+        // volume. maxBucket is the skew signal shjSafe needs: a near-dup
+        // cluster of c docs is ONE (band, bh) key of c build rows, all of
+        // which hash to a single partition of the build relation.
+        val prof = bandedFrame(sig).groupBy($"band", $"bh")
+          .agg(count(lit(1)).as("c"))
+          .agg(max($"c").cast(LongType)).head()
+        val maxBucket = if (prof.isNullAt(0)) 0L else prof.getLong(0)
+        val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        shjSafe(rows, maxBucket, base, shjBuildRowsCap(s, BandShjBytesPerRow))
+      }
       graft.FrameRegistry.tracked(s, "minhash_pairs",
-        minhashPairsRaw(minhashSig(s, d)), d))
+        minhashPairsRaw(sig, shj), d)
+    })
 
   /** Memoized 32-perm signature frame over the driver tables — shared by
     * the band join ([[minhashPairs]]) and the band-calibration sweep
@@ -1045,20 +1130,39 @@ object LlmQueries {
     graft.FrameRegistry.transient(sig.sparkSession, "minhash_pairs_call",
       minhashPairsRaw(sig))
 
-  private def minhashPairsRaw(sig: DataFrame): DataFrame = {
+  /** The narrow (doc_id, band, bh) frame feeding the band self-join —
+    * split out so [[minhashPairs]] can profile its bucket histogram for
+    * the shuffled-hash dispatch without duplicating the banding
+    * arithmetic.
+    */
+  private def bandedFrame(sig: DataFrame): DataFrame = {
+    val bands = 8
+    val rows = MinhashPerms / bands
+    sig.select($"doc_id",
+        posexplode(array((0 until bands).map(b =>
+          H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** [[minhashPairsRaw]] exposed for the ExpBand A/B harness. */
+  private[llm] def minhashPairsRawFor(sig: DataFrame, shj: Boolean): DataFrame =
+    minhashPairsRaw(sig, shj)
+
+  private def minhashPairsRaw(sig: DataFrame, shj: Boolean = false): DataFrame = {
       val numHashes = MinhashPerms
-      val bands = 8
-      val rows = numHashes / bands
       // NARROW band join: the bucket shuffle carries only (doc_id, band,
       // bh) — 24 bytes/row — not the 32-long signature array (which
       // posexplode would duplicate ×8 bands). Candidates dedupe on the
       // narrow (a_id, b_id) pair, THEN the signatures rejoin by doc_id:
       // shuffle volume per candidate is 16 bytes instead of ~520, the
       // shape that holds when the corpus is 10^9 docs.
-      val banded = sig.select($"doc_id",
-          posexplode(array((0 until bands).map(b =>
-            H.foldHash((0 until rows).map(r => col("sig")(b * rows + r)))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      // shj: the band keys are LONGS but sort-merge still pays a
+      // per-partition sort of 8·docs rows on both sides; when the worst
+      // partition's build side fits the memory-derived cap (the gate in
+      // [[minhashPairs]] — guide §3.1), hint the self-join to
+      // shuffled-hash like inter_counts'.
+      val banded0 = bandedFrame(sig)
+      val banded = if (shj) banded0.hint("SHUFFLE_HASH") else banded0
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -3139,9 +3243,16 @@ object LlmQueries {
         .withColumn("n", size($"fp").cast(LongType))
       val expl = sets.select($"mdoc", $"n", explode($"fp").as("k"))
       // a set shares all n of its own fingerprints with itself, so every
-      // set qualifies against itself — the rep join is total
+      // set qualifies against itself — the rep join is total.
+      // Cardinality cut (guide §2.3 — shuffle fewer bytes): shared =
+      // |a ∩ b| ≤ |b|, so a pair can only survive the 2·shared ≥ |a|
+      // filter below when 2·|b| ≥ |a| — applying that implied predicate
+      // AT the join drops candidate rows before they reach the pair
+      // aggregation's exchange instead of after it. Output-identical by
+      // construction (every dropped pair would have been filtered).
       val sh = expl.as("a")
-        .join(expl.as("b"), col("a.k") === col("b.k"))
+        .join(expl.as("b"),
+          col("a.k") === col("b.k") && col("b.n") * 2L >= col("a.n"))
         .groupBy(col("a.mdoc").as("am"), col("a.n").as("an"),
           col("b.mdoc").as("bm"))
         .agg(count(lit(1)).as("shared"))

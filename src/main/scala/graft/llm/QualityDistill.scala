@@ -136,7 +136,10 @@ object QualityDistill {
     val cum = histFromVec(vec).select(col("b"), col("x").as("t"),
       sum(col("pos_at")).over(w).as("pos_ge"), sum(col("n_at")).over(w).as("n_ge"))
     val totPos = vec.agg(sum(col("y")).as("p"))
-    cum.crossJoin(totPos)
+    // explicitly broadcast the 1-row total like bestSplitDualVec does —
+    // same BroadcastNestedLoopJoin the plan audit excuses, but stated
+    // rather than left to the planner's estimate (round-12 ADVICE)
+    cum.crossJoin(broadcast(totPos))
       .select(col("b"), col("t"),
         ((col("n_ge") - col("pos_ge")) + (col("p") - col("pos_ge"))).as("e"))
       .orderBy(col("e"), col("b"), col("t")).limit(1)

@@ -129,6 +129,15 @@ object TextRankQueries {
   private[llm] def dsirScoredFrame(rawTok: DataFrame, tgtTok: DataFrame): DataFrame =
     dsirScoreAgainst(rawTok, dsirVocFrame(rawTok, tgtTok))
 
+  // r13 MEASURED NEGATIVE (kept as a note, code reverted): merging the two
+  // vocab aggregates + the m backjoin into one (doc_id, w) aggregate with a
+  // target FLAG column ("one corpus pass instead of three", guide §2.3)
+  // LOSES here because [[tok]] is memoized — the three passes read the
+  // in-memory token cache, while the merged shape's shared (doc,w) subtree
+  // is not reused by Catalyst (no ReusedExchange: the aggregate runs twice
+  // in one plan). ExpDsir, testdata-sf1, noop sink, min of warm runs:
+  // reference 2.60 s vs flagged 3.94 s vs flagged+persisted-m0 2.87 s.
+
   /** The DSIR per-word log-ratio vocabulary (w, lr) — the trainable half
     * of [[dsirScoredFrame]], split out so a deployment can FREEZE it on a
     * build corpus and serve arbitrary (incl. streaming) batches against
@@ -502,12 +511,11 @@ object TextRankQueries {
 
   /** Memoized per-(session, dir) block profile — the dispatch statistic
     * is a property of the immutable input dataset (same contract as
-    * [[LlmQueries.docShingleStats]]).
+    * [[LlmQueries.docShingleStats]], and since r13 the same ONE combined
+    * corpus pass: see [[ProfileStats]]).
     */
-  private val fuzzyStatsMemo = new graft.SessionMemo[
-    (SparkSession, String), FuzzyBlockStats]()
   private def fuzzyStats(s: SparkSession, d: String): FuzzyBlockStats =
-    fuzzyStatsMemo.computeIfAbsent((s, d), _ => fuzzyBlockStats(documents(s, d)))
+    ProfileStats.of(s, d).fuzzy
 
   val queries: Seq[Q] = Seq(
 

@@ -824,18 +824,33 @@ object StatQueries {
         |  ON p.user_id = c.user_id AND p.rn BETWEEN c.rn - 9 AND c.rn
         |GROUP BY c.user_id, c.ts, c.event_id
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin) { (s, d) =>
-      val base = events(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
-        .select($"user_id", $"ts", $"event_id", $"value", $"rn")
-      val w = pow(lit(2), lit(9) - (col("c.rn") - col("p.rn"))).cast(LongType)
-      base.as("c").join(base.as("p"),
-          col("p.user_id") === col("c.user_id") &&
-            col("p.rn").between(col("c.rn") - 9, col("c.rn")))
-        .groupBy(col("c.user_id").as("user_id"), col("c.ts").as("ts"),
-          col("c.event_id").as("event_id"))
-        .agg((sum(dec(col("p.value"), 2) * w).cast(DoubleType) /
-          sum(w)).as("ewma"))
+      // r13 (guide §2.4 — remove shuffles outright): the rn-band self-join
+      // (10× row blowup + a (user,ts,event) pair aggregation) IS a trailing
+      // window — collect the ≤10 frame values with one window over the one
+      // user_id exchange and fold them row-locally. Arithmetic is the
+      // reference's exactly: element i of the n frame values (rn ascending)
+      // has lag n−1−i, weight 2^(9−lag) as an exact LONG (shiftleft ==
+      // pow(2,·) cast BIGINT for these exponents), the numerator sums
+      // DECIMAL(18,2)·LONG products exactly, ONE double division at the
+      // end; Σ_{lag<n} 2^(9−lag) has the closed form 2^10 − 2^(10−n). The
+      // oracle keeps the self-join formulation — hash-identical is the
+      // proof (plus the r13 plan diff: 3 exchanges → 2, join gone).
+      // Assumes non-null value (holds by the events generator: verified 0
+      // nulls at every armed scale; a null would shrink the collected
+      // frame where the join kept the weight row, and the oracle gate
+      // would flag the divergence corpus-specifically).
+      events(s, d)
+        .withColumn("vals", collect_list(dec($"value", 2)).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(-9, 0)))
+        .withColumn("n", size($"vals"))
+        .select($"user_id", $"ts", $"event_id",
+          (aggregate(
+            transform($"vals", (v, i) =>
+              v * pow(lit(2), lit(9) - ($"n" - 1 - i)).cast(LongType)),
+            lit(BigDecimal(0)).cast(DecimalType(38, 2)), (acc, x) => acc + x)
+            .cast(DoubleType) /
+            (lit(1024L) - pow(lit(2), lit(10) - $"n").cast(LongType))).as("ewma"))
         .orderBy($"user_id", $"ts", $"event_id")
     },
 
@@ -859,16 +874,29 @@ object StatQueries {
         |    PARTITION BY user_id ORDER BY rn
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med
         |FROM base ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
-      val base = events(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
-        .select($"user_id", $"ts", $"event_id", $"value", $"rn")
-      base.as("c").join(base.as("p"),
-          col("p.user_id") === col("c.user_id") &&
-            col("p.rn").between(col("c.rn") - 9, col("c.rn")))
-        .groupBy(col("c.user_id").as("user_id"), col("c.ts").as("ts"),
-          col("c.event_id").as("event_id"))
-        .agg(percentile(col("p.value"), lit(0.5)).as("med"))
+      // r13 (guide §2.4, the ts_ewma move): Spark disallows a frame on
+      // percentile() itself, but the ≤10 trailing values collect fine —
+      // one window on the one user_id exchange, then Percentile's exact
+      // selection arithmetic row-local over the sorted frame values:
+      // position = (n−1)·0.5; ⌊pos⌋ == ⌈pos⌉ (or equal keys) → a[⌊pos⌋];
+      // else (⌈pos⌉−pos)·a[⌊pos⌋] + (pos−⌊pos⌋)·a[⌈pos⌉] — the BRANCHES
+      // AND OPERAND ORDER are Percentile.getPercentile's verbatim, so the
+      // doubles are bit-identical (the oracle keeps DuckDB's window
+      // quantile_cont; hash-identical is the proof). Plan: self-join +
+      // pair aggregation gone, 10× candidate blowup gone.
+      val vals = sort_array(collect_list($"value").over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-9, 0)))
+      val posn = (col("n") - 1).cast(DoubleType) * 0.5
+      val lo = floor(posn).cast(IntegerType)
+      val hi = ceil(posn).cast(IntegerType)
+      val aLo = element_at($"vals", lo + 1)
+      val aHi = element_at($"vals", hi + 1)
+      events(s, d)
+        .withColumn("vals", vals).withColumn("n", size($"vals"))
+        .select($"user_id", $"ts", $"event_id",
+          when(hi === lo || aHi === aLo, aLo)
+            .otherwise((hi - posn) * aLo + (posn - lo) * aHi).as("med"))
         .orderBy($"user_id", $"ts", $"event_id")
     })
 
